@@ -1,10 +1,9 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the zvdb_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship exact-kNN query on sf0.001;
+``queries()`` / ``oracle_sql()`` re-export the declared-query registry
+(one entry per implemented operator from SURVEY.md §2, each with its
+DuckDB oracle where SQL-expressible).
 """
 
 from __future__ import annotations
@@ -13,26 +12,26 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from zvdb_spark.queries import registry as _registry
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: exact k-NN over embeddings at sf0.001.
+
+    Exercises the reference's entire hot path — scan -> project ->
+    squared-L2 kernel (src/hnsw.zig:182-192) -> top-k
+    (src/hnsw.zig:194-236) — as one Catalyst plan.
+    """
+    from zvdb_spark.queries.vector import q_knn_exact
+
+    return q_knn_exact(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry.oracle_sql()
