@@ -1,1 +1,165 @@
-"""(to be filled)"""
+"""Aggregation declared queries: group-by, distinct, rollup, cube.
+
+No aggregation exists anywhere in the reference (SURVEY.md §2.2).
+Spark executes all of these as partial (map-side) + final aggregation
+automatically — at 100 TB the shuffle carries one row per (group,
+partition), not per input row.
+
+All float sums go through DECIMAL(18,4) (exact for the 2-decimal
+testdata money columns) and are cast back to double, making them
+bit-identical to the DuckDB oracle regardless of accumulation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zvdb_spark.queries.registry import register
+from zvdb_spark.sources.tables import load
+
+
+def dsum(col: Column | str, scale: int = 4) -> Column:
+    """Order-independent exact sum of a clean-decimal double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+# Oracle-side twin of dsum.
+def _dsum_sql(expr: str) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+@register(
+    "q_agg_groupby",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum_sql('l_quantity')} AS sum_qty,
+       {_dsum_sql('l_extendedprice')} AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1-l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_disc_price,
+       round({_dsum_sql('l_quantity')} / count(*), 4) AS avg_qty,
+       round({_dsum_sql('l_discount')} / count(*), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("agg",),
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: multi-aggregate group-by with
+    partial+final hash aggregation."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        F.round(F.sum(disc_price).cast("double"), 4).alias("sum_disc_price"),
+        F.round(dsum("l_quantity") / F.count("*"), 4).alias("avg_qty"),
+        F.round(dsum("l_discount") / F.count("*"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "distinct"),
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi count(DISTINCT) — Spark expands to a partial-distinct
+    aggregate (Expand + two-phase agg); exact, unlike the
+    approx_count_distinct bench variant."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+SELECT coalesce(r.r_name, 'ALL') AS region_name,
+       coalesce(n.n_name, 'ALL') AS nation_name,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+""",
+    tags=("agg", "rollup"),
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation-within-region ROLLUP (subtotals + grand
+    total). Rollup nulls are coalesced to 'ALL' so the group-marker is
+    unambiguous in both engines (names are never null in the data)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(dsum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+SELECT coalesce(event_type, 'ALL') AS etype,
+       coalesce(strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d'), 'ALL') AS day,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CUBE(event_type, strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d'))
+""",
+    tags=("agg", "cube"),
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event count/value CUBE over type x day (all four grouping
+    sets). Day is pre-formatted to string so the grouping key is
+    engine-neutral."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    return (
+        ev.cube("event_type", "day")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("etype"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n_events",
+            "sum_value",
+        )
+    )

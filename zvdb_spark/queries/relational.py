@@ -1,1 +1,134 @@
-"""(to be filled)"""
+"""Scan / filter / project / sort / top-k declared queries.
+
+The reference has no relational surface at all (no scans, filters,
+sorts beyond the k-NN result sort at ``src/hnsw.zig:227-233``); this
+pack is the baseline relational capability mandated by the engine's
+north star. Every query here compiles to a single whole-stage-codegen
+span over a parquet scan with pushed filters/pruned columns — verify
+with ``zvdb_spark.plans.explain_audit``.
+
+Float-stability convention (applies to the whole registry): money
+columns in the testdata are exact 2-decimal values, so sums are done
+in DECIMAL(18,4) (associative, order-independent, exact) and cast
+back to double — bitwise identical between Spark and the DuckDB
+oracle regardless of partial-aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zvdb_spark.queries.registry import register
+from zvdb_spark.sources.tables import TABLES, load
+
+
+@register(
+    "q_scan_project",
+    oracle="\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM {t}" for t in TABLES
+    ),
+    tags=("scan",),
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan every testdata table (parquet source smoke): one row per
+    table with its row count. Count-only scans read no columns
+    (parquet footer row-group counts)."""
+    out = None
+    for t in TABLES:
+        d = (
+            load(spark, sf_dir, t)
+            .groupBy()
+            .agg(F.count("*").alias("n_rows"))
+            .select(F.lit(t).alias("table_name"), "n_rows")
+        )
+        out = d if out is None else out.unionAll(d)
+    return out
+
+
+@register(
+    "q_filter_pred",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 25
+""",
+    tags=("filter",),
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate + arithmetic projection (TPC-H Q6 shape,
+    row-level). All three predicates push down to the parquet scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 25)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_topk",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+    tags=("topk",),
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k — the relational twin of the reference's k-limit
+    search heap (``src/hnsw.zig:202,211``). orderBy+limit compiles to
+    TakeOrderedAndProject: per-partition heaps of size k, k-row merge,
+    no full sort, no shuffle — the same plan shape at any scale."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q_sort_multi",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice
+FROM lineitem
+ORDER BY l_returnflag ASC, l_quantity DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 100
+""",
+    tags=("sort",),
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with full deterministic tiebreak, limited."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+            "l_extendedprice",
+        )
+        .orderBy(
+            F.col("l_returnflag").asc(),
+            F.col("l_quantity").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(100)
+    )

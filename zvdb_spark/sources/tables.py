@@ -11,6 +11,7 @@ month) and the same ``spark.read.parquet`` call prunes partitions.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -30,9 +31,24 @@ DIM_TABLES = ("region", "nation", "supplier")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table as a DataFrame (schema from footers)."""
+    """Load one testdata table as a DataFrame (schema from footers).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). We read it
+    as raw long nanoseconds (``spark.sql.legacy.parquet.nanosAsLong``)
+    and truncate to microsecond TIMESTAMP with integer division —
+    bit-identical to DuckDB's ``ts::TIMESTAMP`` ns->us truncation, so
+    oracle parity holds. (Double division would lose precision at
+    1.7e18 ns; ``div`` stays in long arithmetic.)
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
