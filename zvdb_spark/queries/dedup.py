@@ -1,1 +1,432 @@
-"""(to be filled)"""
+"""Deduplication declared queries — the training-data-pipeline dedup
+family over documents and embeddings:
+
+- q_doc_dedup          exact duplicate canonicalization (md5 hash-groupBy)
+- q_dedup_minhash      MinHash signatures -> LSH band join -> exact
+                       Jaccard verification (the sub-quadratic path)
+- q_dedup_simhash      32-bit SimHash + Hamming-distance pair join
+- q_dedup_ngram_jaccard exact n-gram Jaccard similarity join (the
+                       quadratic ground-truth twin of minhash)
+- q_dedup_embedding    embedding-cosine near-duplicate pairs
+- q_dedup_groups       connected components over the near-dup graph
+                       (iterative min-label propagation; oracle via
+                       recursive CTE)
+
+All hashing uses the portable md5-based H (see queries/text.py), so
+every stage — signatures, bands, verification — is bit-identical in
+the DuckDB oracle: the LSH pipeline itself is oracle-checked, not
+just its final answer.
+
+Scale: minhash/simhash signatures are per-row HOF expressions (no
+shuffle); the LSH band join shuffles once on (band_idx, key) and only
+co-bucketed candidates reach the exact verifier — this is the 100 TB
+dedup path. The exact ngram join is the declared quadratic oracle twin
+kept for ground truth at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zvdb_spark.functions.vector import as_double_array, cosine_sim
+from zvdb_spark.queries.registry import register
+from zvdb_spark.queries.text import H_DUCK, H_SPARK
+from zvdb_spark.sources.tables import load
+
+P = 2_147_483_647  # 2^31 - 1
+# Fixed seeds for the 8 minhash permutations h_i(x) = (a*x + b) % P.
+MINHASH_AB = (
+    (1_000_003, 12_345),
+    (999_983, 54_321),
+    (1_000_033, 98_765),
+    (999_979, 13_579),
+    (1_000_037, 24_680),
+    (999_961, 86_420),
+    (1_000_039, 11_111),
+    (999_959, 77_777),
+)
+N_BANDS = 4  # 4 bands x 2 rows
+JACCARD_TAU = 0.8
+SIMHASH_BITS = 32
+HAMMING_TAU = 3
+COSINE_TAU = 0.35
+
+
+# ---------------------------------------------------------------- exact
+
+@register(
+    "q_doc_dedup",
+    oracle="""
+WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents)
+SELECT doc_id, text_hash,
+       min(doc_id) OVER (PARTITION BY text_hash) AS rep_id,
+       count(*) OVER (PARTITION BY text_hash) AS group_size
+FROM h
+""",
+    tags=("dedup", "exact"),
+)
+def q_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate canonicalization: hash the full text, every doc
+    mapped to the min doc_id of its hash group. One shuffle on the
+    hash; at 100 TB this is the first pass of any dedup pipeline."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("text_hash")
+    return d.select(
+        "doc_id",
+        "text_hash",
+        F.min("doc_id").over(w).alias("rep_id"),
+        F.count("*").over(w).alias("group_size"),
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+def _shingles_spark(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
+    """doc_id + distinct n-word shingle array, pure HOF (no explode)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tok")
+    )
+    parts = ", ".join(f"element_at(tok, i + {j})" for j in range(n))
+    return d.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sequence(1, size(tok) - {n - 1}),"
+            f" i -> concat_ws('_', {parts})))"
+        ).alias("shingles"),
+    )
+
+
+def _shingles_duck(n: int = 2) -> str:
+    parts = " || '_' || ".join(f"tok[i + {j}]" for j in range(n))
+    return f"""
+d AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, len(tok) - {n - 2}),
+                                           i -> {parts})) AS shingles
+       FROM d)"""
+
+
+_JACCARD_DUCK = (
+    "len(list_intersect(sa.shingles, sb.shingles)) * 1.0"
+    " / len(list_distinct(list_concat(sa.shingles, sb.shingles)))"
+)
+
+
+# -------------------------------------------------------------- minhash
+
+def _minhash_cols_spark() -> list[str]:
+    h = H_SPARK.format(x="s")
+    return [
+        f"array_min(transform(shingles, s -> ({a} * ({h} % {P}) + {b}) % {P}))"
+        f" AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+
+
+def _minhash_cols_duck() -> str:
+    h = H_DUCK.format(x="s")
+    return ", ".join(
+        f"list_min(list_transform(shingles, s -> ({a} * ({h} % {P}) + {b}) % {P}))"
+        f" AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+
+
+def _bands_union_duck() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT doc_id, {j} AS band_idx, mh{2 * j} AS x, mh{2 * j + 1} AS y FROM sig"
+        for j in range(N_BANDS)
+    )
+
+
+_MINHASH_ORACLE = f"""
+WITH {_shingles_duck(2)},
+sig AS (SELECT doc_id, shingles, {_minhash_cols_duck()} FROM sh),
+bands AS ({_bands_union_duck()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.x = b.x AND a.y = b.y
+   AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT ia, ib, {_JACCARD_DUCK} AS j
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.ia
+  JOIN sh sb ON sb.doc_id = cand.ib
+)
+SELECT ia AS id_a, ib AS id_b, round(j, 4) AS jaccard
+FROM ver WHERE j >= {JACCARD_TAU}
+"""
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs via LSH bands, verified by exact Jaccard."""
+    sh = _shingles_spark(spark, sf_dir, 2)
+    sig = sh.selectExpr("doc_id", "shingles", *_minhash_cols_spark())
+    bands = None
+    for j in range(N_BANDS):
+        b = sig.select(
+            "doc_id",
+            F.lit(j).alias("band_idx"),
+            F.col(f"mh{2 * j}").alias("x"),
+            F.col(f"mh{2 * j + 1}").alias("y"),
+        )
+        bands = b if bands is None else bands.unionAll(b)
+    a = bands.select(
+        F.col("doc_id").alias("ia"), "band_idx", "x", "y"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("ib"), "band_idx", "x", "y"
+    )
+    cand = (
+        a.join(b, ["band_idx", "x", "y"])
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("ia"), F.col("shingles").alias("sha"))
+    sb = sh.select(F.col("doc_id").alias("ib"), F.col("shingles").alias("shb"))
+    jac = F.size(F.array_intersect("sha", "shb")) * F.lit(1.0) / F.size(
+        F.array_union("sha", "shb")
+    )
+    return (
+        cand.join(sa, "ia")
+        .join(sb, "ib")
+        .withColumn("j", jac)
+        .filter(F.col("j") >= JACCARD_TAU)
+    )
+
+
+@register("q_dedup_minhash", oracle=_MINHASH_ORACLE, tags=("dedup", "minhash"))
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate detection: 2-word shingles -> 8
+    portable-hash min-signatures (per-row HOFs, no shuffle) -> 4-band
+    LSH join (the only shuffle) -> exact Jaccard verification of
+    candidates. Deterministic given the fixed permutation seeds, so
+    the whole pipeline is oracle-checked."""
+    return _minhash_pairs(spark, sf_dir).select(
+        "ia", "ib", F.round("j", 4).alias("jaccard")
+    ).withColumnsRenamed({"ia": "id_a", "ib": "id_b"})
+
+
+# -------------------------------------------------------------- simhash
+
+def _simhash_votes(col_h: str) -> list[str]:
+    return [
+        f"sum(CASE WHEN ({col_h} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    ]
+
+
+def _simhash_assemble() -> str:
+    return " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
+
+
+_SIMHASH_ORACLE = f"""
+WITH {_shingles_duck(2)},
+e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hh AS (SELECT doc_id, {H_DUCK.format(x='s')} AS h FROM e),
+v AS (SELECT doc_id, {', '.join(_simhash_votes('h'))} FROM hh GROUP BY doc_id),
+sim AS (SELECT doc_id, {_simhash_assemble()} AS simhash FROM v),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM sim a, sim b WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM p WHERE hamming <= {HAMMING_TAU}
+"""
+
+
+@register("q_dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup", "simhash"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection: 32-bit signature from per-shingle
+    hash bit votes, pairs within Hamming distance 3. The signature is
+    one groupBy(doc) over exploded shingles; the pair join compares
+    64-bit integers only — at scale you'd block on simhash prefixes
+    instead of the full pair join (documented tradeoff; prefix
+    blocking is q_dedup_minhash's band pattern applied here)."""
+    sh = _shingles_spark(spark, sf_dir, 2)
+    e = sh.select("doc_id", F.explode("shingles").alias("s"))
+    hh = e.select("doc_id", F.expr(H_SPARK.format(x="s")).alias("h"))
+    v = hh.groupBy("doc_id").agg(
+        *[
+            F.expr(f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)").alias(
+                f"v{j}"
+            )
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim = v.select("doc_id", F.expr(_simhash_assemble()).alias("simhash"))
+    a = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("int"))
+        .filter(F.col("hamming") <= HAMMING_TAU)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ------------------------------------------------------- exact n-gram
+
+_NGRAM_ORACLE = f"""
+WITH {_shingles_duck(3)},
+p AS (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, {_JACCARD_DUCK} AS j
+  FROM sh sa, sh sb WHERE sa.doc_id < sb.doc_id
+)
+SELECT id_a, id_b, round(j, 4) AS jaccard
+FROM p WHERE j >= {JACCARD_TAU}
+"""
+
+
+@register(
+    "q_dedup_ngram_jaccard", oracle=_NGRAM_ORACLE, tags=("dedup", "ngram")
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity join (ground-truth twin of the
+    LSH path; quadratic by contract — at scale use q_dedup_minhash)."""
+    sh = _shingles_spark(spark, sf_dir, 3)
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sha"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("shb"))
+    jac = F.size(F.array_intersect("sha", "shb")) * F.lit(1.0) / F.size(
+        F.array_union("sha", "shb")
+    )
+    return (
+        sa.crossJoin(sb)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("j", jac)
+        .filter(F.col("j") >= JACCARD_TAU)
+        .select("id_a", "id_b", F.round("j", 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------- embedding cosine
+
+_DOT = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]))"
+_NORM = "sqrt(list_sum(list_transform({a}, x -> x*x)))"
+
+_EMB_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_DOT.format(a='a.emb', b='b.emb')}
+           / ({_NORM.format(a='a.emb')} * {_NORM.format(a='b.emb')}) AS c
+  FROM e a, e b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(c, 4) AS cosine
+FROM p WHERE c >= {COSINE_TAU}
+"""
+
+
+@register("q_dedup_embedding", oracle=_EMB_ORACLE, tags=("dedup", "embedding"))
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (semantic dedup). Exact
+    contract; the blocked/ANN variant for scale is in
+    zvdb_spark/operators/ann.py."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("c", cosine_sim("ea", "eb"))
+        .filter(F.col("c") >= COSINE_TAU)
+        .select("id_a", "id_b", F.round("c", 4).alias("cosine"))
+    )
+
+
+# ------------------------------------------------ connected components
+
+_GROUPS_ORACLE = f"""
+WITH RECURSIVE {_shingles_duck(2)},
+sig AS (SELECT doc_id, shingles, {_minhash_cols_duck()} FROM sh),
+bands AS ({_bands_union_duck()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.x = b.x AND a.y = b.y
+   AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT ia, ib FROM cand
+  JOIN sh sa ON sa.doc_id = cand.ia
+  JOIN sh sb ON sb.doc_id = cand.ib
+  WHERE {_JACCARD_DUCK} >= {JACCARD_TAU}
+),
+edges AS (
+  SELECT ia AS src, ib AS dst FROM pairs
+  UNION SELECT ib, ia FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(root, node) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT root AS doc_id, min(node) AS group_id, count(*) AS component_size
+FROM reach GROUP BY root
+"""
+
+
+@register("q_dedup_groups", oracle=_GROUPS_ORACLE, tags=("dedup", "groups"))
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-duplicate grouping: connected components over
+    the minhash pair graph via iterative min-label propagation
+    (the standard large-graph CC algorithm: O(diameter) shuffle
+    rounds). Oracle: recursive-CTE reachability closure."""
+    pairs = _minhash_pairs(spark, sf_dir).select("ia", "ib")
+    edges = pairs.union(
+        pairs.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
+    ).distinct()
+    labels = edges.select(F.col("ia").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    # Component sizes are tiny here; bound iterations by a safe cap and
+    # stop early at fixpoint (count of changed labels == 0).
+    for _ in range(20):
+        nbr_min = (
+            edges.join(labels, edges.ib == labels.id)
+            .groupBy("ia")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.ia, "left")
+            .select(
+                "id",
+                F.least(
+                    "label", F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("group_id"),
+            "component_size",
+        )
+    )

@@ -1,0 +1,96 @@
+"""Structured Streaming jobs — the streaming mirror of the batch
+twins in queries/streaming_twins.py.
+
+The reference's only ingest is single-point ``insert`` under a global
+lock (``src/hnsw.zig:73-117``); its Spark replacement for streams is
+``readStream -> transform -> writeStream`` with watermarks. These
+demos actually execute a streaming query (file source over the events
+parquet, availableNow trigger, memory sink) and return the sink as a
+DataFrame — the driver's rows-only check observes real streaming
+micro-batch execution, not a batch rewrite.
+
+On a cluster the same code points at a directory that keeps receiving
+files (or a Kafka source) with ``trigger(processingTime=...)`` and a
+real sink; availableNow gives deterministic termination for tests.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns since epoch (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource requires a directory; point at sf_dir and glob
+    # the single events file (on a cluster this would be the landing
+    # directory receiving new files).
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
+    name = f"stream_demo_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+def run_streaming_tumbling_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts with a 1-hour watermark, executed
+    as a real streaming query. Mirrors q_stream_tumbling."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def run_streaming_session_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute gap) via session_window —
+    Spark's native stateful session operator — as a real streaming
+    query. Mirrors q_stream_session."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("win.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete")
