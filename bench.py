@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Engine benchmark. Prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two parts:
+
+1. Headline declared queries at $SPARK_GRAFT_SF_DIR (default
+   /root/testdata/sf0.1), each fully executed into a noop sink.
+2. The reference-comparable vector benchmark at the reference's own
+   scale and parameters (BASELINE.md: 100k random uniform [0,1)
+   vectors, 128-d, M=16; 10k queries, k=10):
+     - insert_pts_per_s : bulk ingest + partitioned HNSW index build
+                          (vs 8,392.22 pts/s single-thread baseline)
+     - search_qps       : batched k-NN via per-shard vectorized
+                          top-k + global merge
+                          (vs 2,678.13 q/s single-thread baseline)
+     - ann_search_qps   : graph-traversal ANN path (HNSW mirror)
+
+Scale the vector bench down with SPARK_GRAFT_BENCH_N / _NQ env vars.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# Pin BLAS pools before numpy/Spark start: every core runs its own
+# shard task; nested BLAS threading only adds contention.
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("MKL_NUM_THREADS", "1")
+
+import numpy as np
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "100000"))
+BENCH_DIM = int(os.environ.get("SPARK_GRAFT_BENCH_DIM", "128"))
+BENCH_NQ = int(os.environ.get("SPARK_GRAFT_BENCH_NQ", "10000"))
+BENCH_K = 10
+SEED = 42
+
+HEADLINE = [
+    "q_knn_exact",
+    "q_knn_batch",
+    "q_sim_join_threshold",
+    "q_ann_ivf",
+    "q_filter_pred",
+    "q_agg_groupby",
+    "q_join_inner",
+    "q_join_asof",
+    "q_window_rank",
+    "q_stream_session",
+    "q_text_tokens",
+    "q_dedup_minhash",
+    "q_doc_dedup",
+    "q_multimodal_features",
+]
+
+
+def _noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def gen_vectors(spark, n: int, dim: int, seed: int):
+    """Distributed deterministic vector generation mirroring the
+    reference harness (random uniform [0,1),
+    benchmarks/shared_benchmarks.zig:53-59), seeded per-row."""
+    import pandas as pd
+
+    def _gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = [
+                np.random.default_rng(seed + int(i)).random(dim) for i in ids
+            ]
+            yield pd.DataFrame({"vec_id": ids, "emb": rows})
+
+    return (
+        spark.range(n)
+        .repartition(CPUS)
+        .mapInPandas(_gen, "vec_id long, emb array<double>")
+    )
+
+
+def main() -> None:
+    from zvdb_spark.operators.hnsw import (
+        build_hnsw_index,
+        hnsw_search,
+        shard_vectors,
+    )
+    from zvdb_spark.operators.knn import exact_search_partitioned
+    from zvdb_spark.queries.registry import all_queries
+    from zvdb_spark.session import get_session
+
+    spark = get_session("zvdb_spark_bench", cpus=CPUS)
+    timings: dict[str, float] = {}
+    qs = all_queries()
+
+    # warmup: JVM codegen + python worker pool + parquet footer cache,
+    # so the first timed query doesn't absorb session startup costs
+    _noop_write(qs["q_scan_project"].fn(spark, SF_DIR))
+    _noop_write(qs["q_multimodal_features"].fn(spark, SF_DIR))
+
+    # -- part 1: headline declared queries on testdata ---------------
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _noop_write(qs[name].fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # -- part 2: reference-comparable vector bench -------------------
+    emb = gen_vectors(spark, BENCH_N, BENCH_DIM, SEED).localCheckpoint(
+        eager=True
+    )  # materialized: ingest timing below measures index build, not gen
+
+    t0 = time.perf_counter()
+    sharded = shard_vectors(emb, CPUS).localCheckpoint(eager=True)
+    edges = build_hnsw_index(emb, CPUS, m=16, seed=SEED).localCheckpoint(
+        eager=True
+    )
+    insert_sec = time.perf_counter() - t0
+    timings["vector_index_build"] = round(insert_sec, 3)
+
+    rng = np.random.default_rng(SEED)
+    queries = rng.random((BENCH_NQ, BENCH_DIM))
+
+    # steady-state warmup (python worker pool + closure path), as the
+    # reference harness does before its timed loops
+    _noop_write(exact_search_partitioned(sharded, queries[:200], k=BENCH_K))
+
+    def _best_of(n: int, fn) -> float:
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    exact_sec = _best_of(
+        2, lambda: _noop_write(exact_search_partitioned(sharded, queries, k=BENCH_K))
+    )
+    timings["vector_search_exact"] = round(exact_sec, 3)
+
+    ann_sec = _best_of(
+        2,
+        lambda: _noop_write(
+            hnsw_search(sharded, edges, queries[: BENCH_NQ // 10], k=BENCH_K)
+        ),
+    )
+    timings["vector_search_ann"] = round(ann_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "insert_pts_per_s": round(BENCH_N / insert_sec, 2),
+        "search_qps": round(BENCH_NQ / exact_sec, 2),
+        "ann_search_qps": round((BENCH_NQ // 10) / ann_sec, 2),
+        "baseline_insert_pts_per_s": 8392.22,
+        "baseline_search_qps": 2678.13,
+        "bench_n": BENCH_N,
+        "bench_dim": BENCH_DIM,
+        "bench_nq": BENCH_NQ,
+    }
+    print(json.dumps(result))
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

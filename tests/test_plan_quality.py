@@ -1,0 +1,59 @@
+"""Plan-shape regression tests: the 100 TB story, pinned.
+
+Each assertion encodes a scale property argued in SURVEY.md §4:
+filters reach the parquet scan, column pruning holds, dimension joins
+broadcast, top-k compiles to TakeOrderedAndProject (per-partition
+heaps, no global sort), single-probe kNN needs no shuffle of the
+corpus.
+"""
+
+from __future__ import annotations
+
+from zvdb_spark.plans import plan_audit
+from zvdb_spark.queries.registry import all_queries
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    a = plan_audit(all_queries()["q_filter_pred"].fn(spark, sf_dir))
+    assert a["has_pushed_filters"], "compound predicate must push to parquet"
+    joined = " ".join(a["pushed_filters"])
+    assert "l_shipdate" in joined and "l_quantity" in joined
+
+
+def test_column_pruning(spark, sf_dir):
+    a = plan_audit(all_queries()["q_topk"].fn(spark, sf_dir))
+    # only the 3 projected columns may be read from the 6-column table
+    assert a["read_schemas"], "no ReadSchema found"
+    rs = a["read_schemas"][0]
+    assert "o_orderkey" in rs and "o_totalprice" in rs
+    assert "o_orderpriority" not in rs and "o_orderstatus" not in rs
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    a = plan_audit(all_queries()["q_topk"].fn(spark, sf_dir))
+    assert a["has_take_ordered"], "orderBy+limit must compile to TakeOrderedAndProject"
+
+
+def test_knn_exact_no_corpus_shuffle(spark, sf_dir):
+    """Single-probe kNN: broadcast of the 1-row probe + top-k heaps.
+    The corpus itself must not shuffle (no Exchange above the scan
+    other than the broadcast side / final single-partition merge)."""
+    a = plan_audit(all_queries()["q_knn_exact"].fn(spark, sf_dir))
+    assert a["has_take_ordered"]
+    # 1-row probe joins via broadcast (nested-loop: no equi-key needed)
+    assert "BroadcastNestedLoopJoin" in a["plan"] or a["n_broadcast_joins"] >= 1
+    assert a["n_sortmerge_joins"] == 0
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """orders⋈customer⋈nation⋈region: nation/region (and at test SF,
+    customer) must go broadcast; no join may degrade to a cartesian."""
+    a = plan_audit(all_queries()["q_join_inner"].fn(spark, sf_dir))
+    assert a["n_broadcast_joins"] >= 2
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_explicit_broadcast_zero_shuffle_joins(spark, sf_dir):
+    a = plan_audit(all_queries()["q_join_broadcast"].fn(spark, sf_dir))
+    assert a["n_broadcast_joins"] == 2
+    assert a["n_sortmerge_joins"] == 0

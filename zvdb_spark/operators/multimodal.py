@@ -1,0 +1,96 @@
+"""Multimodal column plumbing: opaque binary payloads + typed
+metadata, processed with Arrow-batched mapInPandas.
+
+The pattern a 100 TB multimodal pipeline needs: media stored as
+``binary`` columns (or object-store URIs) beside structured metadata;
+decode / feature-extract / resize / frame-sample run as vectorized
+Python over Arrow batches, with batch size controlled by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of images
+fits in executor memory.
+
+The actual codec step is STUBBED — image/audio libraries are not in
+this container — behind ``decode_media``: real Spark plumbing (schema,
+batching, partitioning), deterministic fake decode. Swapping in a real
+codec changes only the inside of that one function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta_source", T.StringType()),
+        T.StructField("meta_lang", T.StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("first_byte", T.IntegerType()),
+        T.StructField("payload_md5", T.StringType()),
+    ]
+)
+
+
+def decode_media(payload: bytes, media_type: str) -> dict:
+    """STUB codec. Real deployment: PIL/libav decode here.
+
+    Deterministic fake: byte-level features only, so the Spark-side
+    plumbing (Arrow transfer, batch shapes, schema) is fully testable
+    and oracle-checkable without media libraries installed.
+    """
+    if media_type not in ("text", "image", "audio", "video"):
+        raise NotImplementedError(f"unknown media type {media_type!r}")
+    return {
+        "n_bytes": len(payload),
+        "first_byte": payload[0] if payload else -1,
+        "payload_md5": hashlib.md5(payload).hexdigest(),
+    }
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Arrow moves each batch JVM->Python as one buffer; the iterator
+    form streams batches so a partition never materializes fully in
+    Python memory — the shape that holds at 100 TB.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                decode_media(p, t)
+                for p, t in zip(pdf["payload"], pdf["media_type"])
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            out.insert(1, "media_type", pdf["media_type"].values)
+            yield out
+
+    return media.mapInPandas(_batches, FEATURE_SCHEMA)
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    """Adapter: view the documents table as a multimodal media table
+    (utf-8 payload bytes + metadata). Real pipelines read parquet with
+    a true binary column; the operator surface is identical."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.col("source").alias("meta_source"),
+        F.col("lang").alias("meta_lang"),
+    )

@@ -1,0 +1,187 @@
+"""Approximate-nearest-neighbor declared queries: the scale path for
+similarity search.
+
+The reference accelerates search with an HNSW graph
+(``src/hnsw.zig:194-236``); graph traversal is inherently sequential
+and single-machine. The Spark-native equivalents of "prune the search
+space" are *blocking* structures that Catalyst can execute as joins:
+
+- q_ann_bruteforce — exact cosine top-k baseline (the recall oracle)
+- q_ann_ivf       — IVF (inverted-file) index: deterministic coarse
+                    quantizer -> cell assignment -> nprobe probing ->
+                    exact re-rank within probed cells. Both the index
+                    build AND the search are plain DataFrame ops, and
+                    because the quantizer is seeded deterministically
+                    the whole thing is DuckDB-oracle-checkable.
+
+The per-partition HNSW-mirror (applyInPandas) lives in
+zvdb_spark/operators/hnsw.py and is bench-path only (its graph is
+seeded-random, not SQL-reproducible).
+
+Scale: IVF assignment is a broadcast join against C centroids (no
+shuffle of the corpus); search touches nprobe/C of the data. At 100 TB
+you'd write the assignment out partitioned by cell_id so probes become
+partition-pruned scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from zvdb_spark.functions.vector import as_double_array, cosine_sim, dist_sq
+from zvdb_spark.queries.registry import register
+from zvdb_spark.queries.vector import _DD, QUERY_VEC_ID
+from zvdb_spark.sources.tables import load
+
+ANN_K = 10
+N_CELLS = 16  # coarse-quantizer size
+N_PROBE = 4  # cells probed at search time
+
+_COS_DUCK = (
+    "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x*x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x*x))))"
+)
+
+
+@register(
+    "q_ann_bruteforce",
+    oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qemb FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+d AS (
+  SELECT e.vec_id, {_COS_DUCK.format(a="e.embedding::DOUBLE[]", b="q.qemb")} AS c
+  FROM embeddings e, q
+)
+SELECT vec_id, round(c, 4) AS cosine
+FROM d ORDER BY c DESC, vec_id LIMIT {ANN_K}
+""",
+    tags=("ann",),
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k — the exact baseline every ANN variant
+    is measured against. Scan + TakeOrderedAndProject, no shuffle."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    q = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("emb").alias("qemb"))
+    )
+    return (
+        e.join(F.broadcast(q))
+        .select("vec_id", cosine_sim("emb", "qemb").alias("c"))
+        .orderBy(F.col("c").desc(), "vec_id")
+        .limit(ANN_K)
+        .select("vec_id", F.round("c", 4).alias("cosine"))
+    )
+
+
+# The deterministic coarse quantizer: centroids are the first N_CELLS
+# vectors by vec_id (a deterministic "sample"; a k-means refinement
+# would keep the same query shape). cell(x) = argmin_c dist_sq(x, c),
+# ties broken by centroid id.
+_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cent AS (SELECT vec_id AS cell_id, emb AS cemb FROM e WHERE vec_id < {N_CELLS}),
+assign AS (
+  SELECT vec_id, cell_id, row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_DD.format(a='emb', b='cemb')}, cell_id) AS rn
+  FROM e, cent
+),
+cells AS (SELECT vec_id, cell_id FROM assign WHERE rn = 1),
+q AS (SELECT emb AS qemb FROM e WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (
+  SELECT cell_id, row_number() OVER (
+           ORDER BY {_DD.format(a='qemb', b='cemb')}, cell_id) AS prn
+  FROM cent, q
+),
+cand AS (
+  SELECT e.vec_id, e.emb FROM e
+  JOIN cells ON cells.vec_id = e.vec_id
+  JOIN probe ON probe.cell_id = cells.cell_id AND probe.prn <= {N_PROBE}
+),
+scored AS (
+  SELECT cand.vec_id, {_DD.format(a='cand.emb', b='q.qemb')} AS d
+  FROM cand, q
+)
+SELECT vec_id, round(d, 4) AS dist_sq
+FROM scored ORDER BY d, vec_id LIMIT {ANN_K}
+"""
+
+
+@register("q_ann_ivf", oracle=_IVF_ORACLE, tags=("ann", "ivf"))
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate k-NN, end to end:
+
+    1. build: assign every vector to its nearest of 16 deterministic
+       centroids (broadcast join + per-vector argmin window — the
+       Spark form of the reference's 'insert into index' R2);
+    2. search: rank cells by query->centroid distance, probe the 4
+       nearest, exact re-rank inside probed cells (the 'greedy
+       entry-point descent prunes the space' idea of
+       src/hnsw.zig:88-104, re-expressed as partition pruning).
+
+    Deterministic quantizer => the approximation itself is
+    oracle-verified, not just sampled."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    cent = (
+        e.filter(F.col("vec_id") < N_CELLS)
+        .select(F.col("vec_id").alias("cell_id"), F.col("emb").alias("cemb"))
+    )
+    # build: nearest-centroid assignment (broadcast C, argmin window)
+    w_assign = W.partitionBy("vec_id").orderBy("cd", "cell_id")
+    cells = (
+        e.join(F.broadcast(cent))
+        .select("vec_id", "emb", "cell_id", dist_sq("emb", "cemb").alias("cd"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "cell_id")
+    )
+    # search: probe the N_PROBE nearest cells of the query
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("qemb")
+    )
+    probe = (
+        cent.join(F.broadcast(q))
+        .select("cell_id", dist_sq("cemb", "qemb").alias("qd"))
+        .orderBy("qd", "cell_id")
+        .limit(N_PROBE)
+        .select("cell_id")
+    )
+    cand = cells.join(F.broadcast(probe), "cell_id")
+    return (
+        cand.join(F.broadcast(q))
+        .select("vec_id", dist_sq("emb", "qemb").alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(ANN_K)
+        .select("vec_id", F.round("d", 4).alias("dist_sq"))
+    )
+
+
+@register("q_hnsw_ann", oracle=None, tags=("ann", "hnsw", "bench"))
+def q_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned HNSW-mirror ANN search (operators/hnsw.py): seeded
+    per-shard graph build (applyInPandas) + parallel greedy layer-0
+    probe + global top-k merge. Deterministic under the fixed seed but
+    not SQL-expressible (graph traversal) -> rows-only check; its
+    invariants (k results, ascending distance, determinism, recall vs
+    q_knn_exact) are pytest-enforced in tests/test_hnsw_invariants.py."""
+    import numpy as np
+
+    from zvdb_spark.operators.hnsw import build_hnsw_index, hnsw_search, shard_vectors
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    sharded = shard_vectors(e, n_partitions=8).localCheckpoint(eager=True)
+    edges = build_hnsw_index(e, n_partitions=8, m=16, seed=42)
+    qvec = np.asarray(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).head()[1], dtype=np.float64
+    )
+    return hnsw_search(sharded, edges, np.array([qvec]), k=ANN_K,
+                       query_ids=np.array([QUERY_VEC_ID]))

@@ -119,22 +119,30 @@ _JACCARD_DUCK = (
 
 # -------------------------------------------------------------- minhash
 
+# The md5 per shingle is the expensive part: hash once into an int
+# array (hs), then each permutation is a cheap arithmetic min-reduce.
 def _minhash_cols_spark() -> list[str]:
-    h = H_SPARK.format(x="s")
     return [
-        f"array_min(transform(shingles, s -> ({a} * ({h} % {P}) + {b}) % {P}))"
-        f" AS mh{i}"
+        f"array_min(transform(hs, h -> ({a} * h + {b}) % {P})) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_AB)
     ]
 
 
+_HS_SPARK = (
+    f"transform(shingles, s -> {H_SPARK.format(x='s')} % {P}) AS hs"
+)
+
+
 def _minhash_cols_duck() -> str:
-    h = H_DUCK.format(x="s")
     return ", ".join(
-        f"list_min(list_transform(shingles, s -> ({a} * ({h} % {P}) + {b}) % {P}))"
-        f" AS mh{i}"
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P})) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_AB)
     )
+
+
+_HS_DUCK = (
+    f"list_transform(shingles, s -> {H_DUCK.format(x='s')} % {P}) AS hs"
+)
 
 
 def _bands_union_duck() -> str:
@@ -146,7 +154,8 @@ def _bands_union_duck() -> str:
 
 _MINHASH_ORACLE = f"""
 WITH {_shingles_duck(2)},
-sig AS (SELECT doc_id, shingles, {_minhash_cols_duck()} FROM sh),
+hsh AS (SELECT doc_id, shingles, {_HS_DUCK} FROM sh),
+sig AS (SELECT doc_id, shingles, {_minhash_cols_duck()} FROM hsh),
 bands AS ({_bands_union_duck()}),
 cand AS (
   SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
@@ -168,7 +177,8 @@ FROM ver WHERE j >= {JACCARD_TAU}
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs via LSH bands, verified by exact Jaccard."""
     sh = _shingles_spark(spark, sf_dir, 2)
-    sig = sh.selectExpr("doc_id", "shingles", *_minhash_cols_spark())
+    hsh = sh.selectExpr("doc_id", "shingles", _HS_SPARK)
+    sig = hsh.selectExpr("doc_id", "shingles", *_minhash_cols_spark())
     bands = None
     for j in range(N_BANDS):
         b = sig.select(
@@ -353,7 +363,8 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GROUPS_ORACLE = f"""
 WITH RECURSIVE {_shingles_duck(2)},
-sig AS (SELECT doc_id, shingles, {_minhash_cols_duck()} FROM sh),
+hsh AS (SELECT doc_id, shingles, {_HS_DUCK} FROM sh),
+sig AS (SELECT doc_id, shingles, {_minhash_cols_duck()} FROM hsh),
 bands AS ({_bands_union_duck()}),
 cand AS (
   SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
@@ -389,11 +400,22 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the standard large-graph CC algorithm: O(diameter) shuffle
     rounds). Oracle: recursive-CTE reachability closure."""
     pairs = _minhash_pairs(spark, sf_dir).select("ia", "ib")
-    edges = pairs.union(
-        pairs.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
-    ).distinct()
-    labels = edges.select(F.col("ia").alias("id")).distinct().withColumn(
-        "label", F.col("id")
+    # The near-dup edge graph is orders of magnitude smaller than the
+    # corpus (only verified pairs); collapse it to one partition so the
+    # O(diameter) iteration rounds don't each pay a 32-way shuffle. At
+    # true graph scale drop the coalesce — the same loop is the
+    # standard distributed CC algorithm.
+    edges = (
+        pairs.union(pairs.select(F.col("ib").alias("ia"), F.col("ia").alias("ib")))
+        .distinct()
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("ia").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .coalesce(1)
     )
     # Component sizes are tiny here; bound iterations by a safe cap and
     # stop early at fixpoint (count of changed labels == 0).

@@ -68,8 +68,10 @@ def _ensure_loaded() -> None:
     # Imports deferred to avoid circularity at package import time.
     from zvdb_spark.queries import (  # noqa: F401
         aggregates,
+        ann,
         dedup,
         joins,
+        multimodal,
         relational,
         scalar,
         setops,
