@@ -1,0 +1,72 @@
+"""VectorIndex facade: the reference's init/insert/search contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from zvdb_spark.api import VectorIndex
+from zvdb_spark.sources.tables import load
+
+
+@pytest.fixture(scope="module")
+def idx(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return VectorIndex(spark, m=16, n_partitions=4).insert_batch(emb).build()
+
+
+def test_count_matches_inserts(idx, spark, sf_dir):
+    assert idx.count() == load(spark, sf_dir, "embeddings").count()
+
+
+def test_exact_search_matches_declared_query(idx, spark, sf_dir):
+    from zvdb_spark.queries.vector import q_knn_exact
+
+    qvec = (
+        load(spark, sf_dir, "embeddings")
+        .filter("vec_id = 0")
+        .head()["embedding"]
+    )
+    got = {
+        (r.neighbor_id, round(r.score, 4))
+        for r in idx.search([float(x) for x in qvec], k=10).collect()
+    }
+    want = {
+        (r.vec_id, r.dist_sq) for r in q_knn_exact(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_approximate_search_returns_k(idx, spark, sf_dir):
+    qvec = (
+        load(spark, sf_dir, "embeddings").filter("vec_id = 0").head()["embedding"]
+    )
+    res = idx.search([float(x) for x in qvec], k=10, approximate=True).collect()
+    assert len(res) == 10
+
+
+def test_empty_index_empty_result(spark):
+    empty = VectorIndex(spark)
+    assert empty.search([1.0, 2.0], k=5).count() == 0
+    assert empty.count() == 0
+
+
+def test_incremental_append(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    half1 = emb.filter("vec_id % 2 = 0")
+    half2 = emb.filter("vec_id % 2 = 1")
+    idx2 = VectorIndex(spark, n_partitions=4).insert_batch(half1)
+    n1 = idx2.count()
+    idx2.insert_batch(half2)
+    assert idx2.count() == n1 + half2.count() == emb.count()
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """q_agg_approx_distinct has no SQL oracle (engine-specific HLL
+    sketch); bound its relative error against the exact count here."""
+    from zvdb_spark.queries.registry import all_queries
+
+    rows = all_queries()["q_agg_approx_distinct"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        err = abs(r.approx_parts - r.exact_parts) / max(r.exact_parts, 1)
+        assert err <= 0.1, f"{r.l_returnflag}: {err}"

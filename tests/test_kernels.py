@@ -1,0 +1,67 @@
+"""Kernel-level parity tests mirroring the reference's remaining
+unit tests (src/test_hnsw.zig)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import PythonException
+
+from zvdb_spark.functions.vector import (
+    as_double_array,
+    cosine_sim,
+    dist_sq,
+    dist_sq_strict,
+    dot,
+    l2_norm,
+)
+
+
+def test_different_data_types(spark):
+    """f32 / f64 / i32 element types all work through one widened
+    kernel (src/test_hnsw.zig:239-273; HNSW(T) comptime generic at
+    src/hnsw.zig:8 -> one array<double> kernel here)."""
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [3.0, 4.0])], "a array<float>, b array<float>"
+    )
+    f32 = df.select(dist_sq(as_double_array("a"), as_double_array("b"))).head()[0]
+    df64 = spark.createDataFrame(
+        [([1.0, 2.0], [3.0, 4.0])], "a array<double>, b array<double>"
+    )
+    f64 = df64.select(dist_sq("a", "b")).head()[0]
+    di = spark.createDataFrame([([1, 2], [3, 4])], "a array<int>, b array<int>")
+    i32 = di.select(dist_sq(as_double_array("a"), as_double_array("b"))).head()[0]
+    assert f32 == f64 == i32 == 8.0
+
+
+def test_dim_mismatch_raises(spark):
+    """The reference panics on dimension mismatch (src/hnsw.zig:183-185);
+    the strict kernel raises analysis-time-checkable errors."""
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [1.0, 2.0, 3.0])], "a array<double>, b array<double>"
+    )
+    with pytest.raises(Exception, match="dimension mismatch"):
+        df.select(dist_sq_strict("a", "b")).collect()
+
+
+def test_kernel_math(spark):
+    df = spark.createDataFrame(
+        [([3.0, 4.0], [4.0, 3.0])], "a array<double>, b array<double>"
+    )
+    row = df.select(
+        dist_sq("a", "b").alias("d"),
+        dot("a", "b").alias("p"),
+        l2_norm("a").alias("n"),
+        cosine_sim("a", "b").alias("c"),
+    ).head()
+    assert row.d == 2.0 and row.p == 24.0 and row.n == 5.0
+    assert math.isclose(row.c, 24.0 / 25.0)
+
+
+def test_cosine_zero_norm_null(spark):
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 1.0])], "a array<double>, b array<double>"
+    )
+    assert df.select(cosine_sim("a", "b")).head()[0] is None

@@ -1,0 +1,49 @@
+"""Skew-salting correctness + bucketed co-located join shuffle audit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zvdb_spark.operators.skew import bucketed_coloc, salted_join
+from zvdb_spark.plans import plan_audit
+from zvdb_spark.sources.tables import load
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = (
+        orders.join(customer, "o_custkey")
+        .groupBy()
+        .agg(F.count("*").alias("n"), F.sum("o_orderkey").alias("s"))
+        .head()
+    )
+    salted = (
+        salted_join(orders, customer, "o_custkey", n_salts=4)
+        .groupBy()
+        .agg(F.count("*").alias("n"), F.sum("o_orderkey").alias("s"))
+        .head()
+    )
+    assert (plain.n, plain.s) == (salted.n, salted.s)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+        customer = load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_name"
+        )
+        lb, rb = bucketed_coloc(spark, orders, customer, "o_custkey", 4, "tbkt")
+        joined = lb.join(rb, "o_custkey")
+        audit = plan_audit(joined)
+        assert audit["n_exchanges"] == 0, audit["plan"][:1500]
+        assert joined.count() == orders.join(customer, "o_custkey").count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS tbkt_l")
+        spark.sql("DROP TABLE IF EXISTS tbkt_r")

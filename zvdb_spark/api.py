@@ -1,0 +1,119 @@
+"""Reference-parity API facade.
+
+The reference's entire public API is three calls (``src/zvdb.zig:1``
+exports ``HNSW``): ``init(allocator, m, ef_construction)``,
+``insert(point)``, ``search(query, k)`` (``src/hnsw.zig:52,73,194``).
+``VectorIndex`` offers the same shape to a user switching from the
+reference, backed by the engine's DataFrame operators:
+
+    idx = VectorIndex(spark, m=16, ef_construction=200)   # R1 init
+    idx.insert_batch(df)        # R2 ingest (batch, not point-at-a-time)
+    idx.build()                 # partitioned graph build (R2-R5)
+    idx.search(vec, k=10)       # R7 exact (oracle semantics)
+    idx.search(vec, k=10, approximate=True)  # R7 ANN (graph path)
+    idx.count()                 # nodes.count() analog
+
+Differences from the reference, each deliberate (SURVEY §2.1):
+- ingest is batch-oriented (DataFrames), not a locked single-point
+  insert; row identity comes from the caller's id column, not a global
+  counter under a mutex (src/hnsw.zig:77);
+- all randomness is seeded -> same data + seed = same index, unlike
+  the reference's CSPRNG build (src/hnsw.zig:176);
+- ``ef_construction`` is accepted for signature parity but unused —
+  faithfully mirroring the reference, where it is stored and never
+  read (src/hnsw.zig:52-62, dead parameter).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zvdb_spark.functions.vector import as_double_array
+from zvdb_spark.operators.hnsw import build_hnsw_index, hnsw_search, shard_vectors
+from zvdb_spark.operators.knn import exact_search_partitioned
+
+
+class VectorIndex:
+    """Append-only vector index (the reference is append-only too:
+    insert + search, no delete/update — src/hnsw.zig:73,194)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        m: int = 16,
+        ef_construction: int = 200,
+        n_partitions: int = 32,
+        seed: int = 42,
+    ) -> None:
+        self.spark = spark
+        self.m = m
+        self.ef_construction = ef_construction  # parity: stored, unused
+        self.n_partitions = n_partitions
+        self.seed = seed
+        self._vectors: DataFrame | None = None
+        self._sharded: DataFrame | None = None
+        self._edges: DataFrame | None = None
+
+    # -- ingest (R2) -------------------------------------------------
+    def insert_batch(
+        self, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> "VectorIndex":
+        """Append a batch of vectors. Duplicate points are distinct
+        rows as in the reference (src/test_hnsw.zig:104-119); ids must
+        be caller-unique."""
+        batch = df.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            as_double_array(vec_col).alias("emb"),
+        )
+        self._vectors = batch if self._vectors is None else self._vectors.unionAll(batch)
+        self._sharded = None  # invalidate derived state
+        self._edges = None
+        return self
+
+    def build(self) -> "VectorIndex":
+        """Materialize shard assignment and the per-shard graphs
+        (the bulk replacement for R2's incremental build)."""
+        if self._vectors is None:
+            raise ValueError("insert_batch first: index is empty")
+        self._sharded = shard_vectors(self._vectors, self.n_partitions).localCheckpoint(
+            eager=True
+        )
+        self._edges = build_hnsw_index(
+            self._vectors, self.n_partitions, m=self.m, seed=self.seed
+        ).localCheckpoint(eager=True)
+        return self
+
+    # -- search (R7) -------------------------------------------------
+    def search(
+        self, query, k: int = 10, approximate: bool = False
+    ) -> DataFrame:
+        """Top-k by squared L2 (ascending; squared distances as the
+        reference returns, src/hnsw.zig:191). k > N returns N rows;
+        empty index returns empty."""
+        if self._vectors is None:
+            return self.spark.createDataFrame(
+                [], "query_id long, neighbor_id long, score double, rn int"
+            )
+        if self._sharded is None:
+            self.build()
+        q = np.atleast_2d(np.asarray(query, dtype=np.float64))
+        if approximate:
+            return hnsw_search(self._sharded, self._edges, q, k=k)
+        return exact_search_partitioned(self._sharded, q, k=k, dtype="float64")
+
+    def search_batch(self, queries, k: int = 10, query_ids=None) -> DataFrame:
+        if self._sharded is None:
+            self.build()
+        return exact_search_partitioned(
+            self._sharded, np.asarray(queries, dtype=np.float64), k=k,
+            query_ids=query_ids, dtype="float64",
+        )
+
+    # -- misc --------------------------------------------------------
+    def count(self) -> int:
+        return 0 if self._vectors is None else self._vectors.count()
+
+    def edges(self) -> DataFrame | None:
+        return self._edges

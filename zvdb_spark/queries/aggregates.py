@@ -163,3 +163,20 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register("q_agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts (the sketch variant
+    of q_agg_distinct for 100 TB cardinalities, where exact distinct
+    is a full shuffle but HLL is a fixed-size mergeable sketch).
+    Engine-specific sketch -> rows-only check; the pytest suite bounds
+    its error against the exact count instead."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )

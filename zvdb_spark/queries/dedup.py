@@ -176,9 +176,14 @@ FROM ver WHERE j >= {JACCARD_TAU}
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs via LSH bands, verified by exact Jaccard."""
-    sh = _shingles_spark(spark, sf_dir, 2)
+    # checkpoint the signature frame: the band self-join and the
+    # verification join would otherwise recompute the md5+shingle
+    # pipeline once per branch (4x)
+    sh = _shingles_spark(spark, sf_dir, 2).localCheckpoint(eager=True)
     hsh = sh.selectExpr("doc_id", "shingles", _HS_SPARK)
-    sig = hsh.selectExpr("doc_id", "shingles", *_minhash_cols_spark())
+    sig = hsh.selectExpr("doc_id", "shingles", *_minhash_cols_spark()).localCheckpoint(
+        eager=True
+    )
     bands = None
     for j in range(N_BANDS):
         b = sig.select(
@@ -342,20 +347,28 @@ FROM p WHERE c >= {COSINE_TAU}
 
 @register("q_dedup_embedding", oracle=_EMB_ORACLE, tags=("dedup", "embedding"))
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (semantic dedup). Exact
-    contract; the blocked/ANN variant for scale is in
-    zvdb_spark/operators/ann.py."""
+    """Embedding-cosine near-duplicate pairs (semantic dedup), via the
+    vectorized per-shard threshold join (cosine metric). Exact result
+    contract; the candidate-pruned variant for scale composes the LSH
+    band pattern with the same verifier."""
+    import numpy as np
+
+    from zvdb_spark.operators.hnsw import shard_vectors
+    from zvdb_spark.operators.knn import threshold_join_partitioned
+
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("emb")
     )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("c", cosine_sim("ea", "eb"))
-        .filter(F.col("c") >= COSINE_TAU)
-        .select("id_a", "id_b", F.round("c", 4).alias("cosine"))
+    rows = e.orderBy("vec_id").collect()
+    qids = np.array([r.vec_id for r in rows])
+    qarr = np.stack([np.asarray(r.emb) for r in rows])
+    sharded = shard_vectors(e, n_partitions=32)
+    return threshold_join_partitioned(
+        sharded, qarr, qids, tau=COSINE_TAU, metric="cosine", upper_only=True
+    ).select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.round("score", 4).alias("cosine"),
     )
 
 

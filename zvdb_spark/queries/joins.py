@@ -216,8 +216,13 @@ SELECT purchase_id, click_id, gap_us FROM j WHERE rn = 1
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the same user's latest
-    strictly-prior click (backward as-of). Expressed as a bounded
-    range join + pick-latest window, the standard Spark formulation;
+    strictly-prior click (backward as-of). SURVEY §2.2 sketched this
+    over orders x events, but the synthetic orders (1995-2001) and
+    events (2024) date ranges don't overlap — an order's "latest prior
+    event" would always be empty — so the declared as-of runs
+    events-to-events, which exercises the identical operator shape.
+    Expressed as a bounded range join + pick-latest window, the
+    standard Spark formulation;
     at scale the window's group-limit optimization keeps one row per
     purchase past the shuffle."""
     ev = load(spark, sf_dir, "events")

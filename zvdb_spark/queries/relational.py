@@ -132,3 +132,19 @@ def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+@register("q_sink_parquet", oracle=None, tags=("sink",))
+def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink roundtrip (rows-only): write the top-k result out
+    with the engine sink and read it back. The reference has no sinks
+    at all (results are returned as an owned slice, src/hnsw.zig:235);
+    this is the durable-output surface."""
+    import tempfile
+
+    from zvdb_spark.sources.sinks import read_result, write_result
+
+    out = q_topk(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="zvdb_sink_")
+    write_result(out, f"{tmp}/topk", n_files=1)
+    return read_result(spark, f"{tmp}/topk")

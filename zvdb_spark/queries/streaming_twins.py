@@ -176,3 +176,14 @@ def q_stream_demo_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zvdb_spark.streaming.jobs import run_streaming_session_demo
 
     return run_streaming_session_demo(spark, sf_dir)
+
+
+@register("q_stream_demo_foreachbatch", oracle=None, tags=("streaming", "demo"))
+def q_stream_demo_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental ingest — the streaming mirror of the
+    reference's insert path (src/hnsw.zig:73-117): each micro-batch is
+    appended to a durable aggregate state, exactly how a vector/index
+    table would absorb a stream. Rows-only check."""
+    from zvdb_spark.streaming.jobs import run_foreachbatch_ingest_demo
+
+    return run_foreachbatch_ingest_demo(spark, sf_dir)

@@ -208,19 +208,26 @@ def q_sim_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity join: all unordered pairs with dist_sq < tau.
 
     This is the all-pairs generalization of the reference's single
-    probe. Exact contract => crossJoin; the 100 TB path is the
-    LSH-blocked variant (q_dedup_embedding / operators/ann.py) which
-    prunes candidate pairs to co-bucketed ones before the exact check.
+    probe. Vectorized per-shard GEMM with the threshold applied inside
+    the kernel (operators/knn.py:threshold_join_partitioned): pairs
+    are emitted, never the cross product. The probe side ships as a
+    broadcast block; at 100 TB tile the probe side and/or pre-prune
+    candidates with the LSH band pattern (q_dedup_minhash).
     """
     e = _emb(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("d", dist_sq("emb_a", "emb_b"))
-        .filter(F.col("d") < SIM_TAU)
-        .select("id_a", "id_b", F.round("d", 4).alias("dist_sq"))
+    rows = e.select("vec_id", "emb").orderBy("vec_id").collect()
+    qids = np.array([r.vec_id for r in rows])
+    qarr = np.stack([np.asarray(r.emb) for r in rows])
+    from zvdb_spark.operators.hnsw import shard_vectors
+    from zvdb_spark.operators.knn import threshold_join_partitioned
+
+    sharded = shard_vectors(e, n_partitions=32)
+    return threshold_join_partitioned(
+        sharded, qarr, qids, tau=SIM_TAU, metric="l2_sq", upper_only=True
+    ).select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.round("score", 4).alias("dist_sq"),
     )
 
 
@@ -243,17 +250,26 @@ def q_dedup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative is the minimum vec_id within distance tau
     (self included, so every row has a rep). One-hop min-id
     canonicalization — the deterministic, SQL-checkable core of
-    near-dup grouping (full transitive closure is the iterative
-    variant in operators/dedup.py).
+    near-dup grouping (full transitive closure is q_dedup_groups).
+    Same vectorized threshold-join kernel as q_sim_join_threshold.
     """
     e = _emb(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("vec_id"), F.col("emb").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("nbr"), F.col("emb").alias("emb_b"))
+    rows = e.select("vec_id", "emb").orderBy("vec_id").collect()
+    qids = np.array([r.vec_id for r in rows])
+    qarr = np.stack([np.asarray(r.emb) for r in rows])
+    from zvdb_spark.operators.hnsw import shard_vectors
+    from zvdb_spark.operators.knn import threshold_join_partitioned
+
+    sharded = shard_vectors(e, n_partitions=32)
     return (
-        a.crossJoin(b)
-        .filter(dist_sq("emb_a", "emb_b") < SIM_TAU)
-        .groupBy("vec_id")
-        .agg(F.min("nbr").alias("rep_id"), F.count("*").alias("group_size"))
+        threshold_join_partitioned(
+            sharded, qarr, qids, tau=SIM_TAU, metric="l2_sq", upper_only=False
+        )
+        .groupBy(F.col("query_id").alias("vec_id"))
+        .agg(
+            F.min("neighbor_id").alias("rep_id"),
+            F.count("*").alias("group_size"),
+        )
     )
 
 

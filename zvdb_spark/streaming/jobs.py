@@ -94,3 +94,38 @@ def run_streaming_session_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+def run_foreachbatch_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest via foreachBatch — the streaming mirror of
+    the reference's ``insert`` (src/hnsw.zig:73-117): every micro-batch
+    is merged into a durable per-user aggregate table (parquet),
+    exactly how a vector/index table absorbs an append stream. The
+    micro-batch callback is arbitrary batch code, so the same
+    build_hnsw_index call could run here per batch.
+    """
+    import tempfile
+
+    state_dir = tempfile.mkdtemp(prefix="zvdb_fb_state_")
+    ev = _events_stream(spark, sf_dir)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        )
+        agg.write.mode("append").parquet(state_dir)
+
+    q = (
+        ev.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # compact the per-batch partial states into the final aggregate
+    state = spark.read.parquet(state_dir)
+    return state.groupBy("user_id").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value").cast("double").alias("sum_value"),
+    )
