@@ -152,6 +152,21 @@ def main() -> None:
     )
     timings["vector_search_ann"] = round(ann_sec, 3)
 
+    # measured ANN quality: recall@k of the graph path vs the exact path
+    n_probe = min(200, BENCH_NQ)
+    ann_pdf = hnsw_search(sharded, edges, queries[:n_probe], k=BENCH_K).toPandas()
+    ex_pdf = exact_search_partitioned(
+        sharded, queries[:n_probe], k=BENCH_K, dtype="float64"
+    ).toPandas()
+    hits = sum(
+        len(
+            set(ann_pdf[ann_pdf.query_id == q].vec_id)
+            & set(ex_pdf[ex_pdf.query_id == q].neighbor_id)
+        )
+        for q in range(n_probe)
+    )
+    ann_recall = hits / (n_probe * BENCH_K)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "bench_total",
@@ -162,6 +177,7 @@ def main() -> None:
         "insert_pts_per_s": round(BENCH_N / insert_sec, 2),
         "search_qps": round(BENCH_NQ / exact_sec, 2),
         "ann_search_qps": round((BENCH_NQ // 10) / ann_sec, 2),
+        "ann_recall_at_k": round(ann_recall, 3),
         "baseline_insert_pts_per_s": 8392.22,
         "baseline_search_qps": 2678.13,
         "bench_n": BENCH_N,

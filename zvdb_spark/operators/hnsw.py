@@ -61,11 +61,11 @@ SEARCH_SCHEMA = T.StructType(
 @dataclass
 class _ShardGraph:
     """In-task graph state for one shard (the reference's HNSW struct,
-    src/hnsw.zig:44-50, minus the locks)."""
+    src/hnsw.zig:44-50, minus the locks). Nodes are matrix positions."""
 
     m: int
-    levels: dict[int, int]
-    adj: dict[tuple[int, int], list[int]]  # (node, layer) -> neighbors
+    mat: np.ndarray
+    adj: dict[tuple[int, int], list[int]]  # (pos, layer) -> neighbor pos
     entry: int | None = None
     max_level: int = 0
 
@@ -82,44 +82,66 @@ def _random_level(rng: np.random.Generator) -> int:
     return lvl
 
 
-def _shrink(g: _ShardGraph, vecs: dict[int, np.ndarray], node: int, layer: int):
-    """Top-M prune by distance (src/hnsw.zig:143-170)."""
+def _dists_to(g: _ShardGraph, node: int, others: list[int]) -> np.ndarray:
+    diff = g.mat[others] - g.mat[node]
+    return np.einsum("ij,ij->i", diff, diff)
+
+
+def _shrink(g: _ShardGraph, node: int, layer: int):
+    """Top-M prune by distance (src/hnsw.zig:143-170), vectorized."""
     nbrs = g.adj.get((node, layer), [])
     if len(nbrs) <= g.m:
         return
-    nbrs.sort(key=lambda j: (_dist(vecs[node], vecs[j]), j))
-    g.adj[(node, layer)] = nbrs[: g.m]
+    d = _dists_to(g, node, nbrs)
+    keep = np.lexsort((nbrs, d))[: g.m]
+    g.adj[(node, layer)] = [nbrs[i] for i in keep]
 
 
-def _connect(g: _ShardGraph, vecs, a: int, b: int, layer: int):
+def _connect(g: _ShardGraph, a: int, b: int, layer: int):
     """Bidirectional edge add + prune both (src/hnsw.zig:119-141)."""
     g.adj.setdefault((a, layer), []).append(b)
     g.adj.setdefault((b, layer), []).append(a)
-    _shrink(g, vecs, a, layer)
-    _shrink(g, vecs, b, layer)
+    _shrink(g, a, layer)
+    _shrink(g, b, layer)
 
 
-def _insert(g: _ShardGraph, vecs, node: int, rng: np.random.Generator):
-    """Greedy-descent insert (src/hnsw.zig:73-117)."""
+def _insert(g: _ShardGraph, node: int, rng: np.random.Generator):
+    """Greedy-descent insert (src/hnsw.zig:73-117), with each layer's
+    neighbor evaluation vectorized (one numpy batch per hill-climb
+    step instead of a scalar loop).
+
+    Deviation from the reference, deliberate: the reference connects
+    the new node to only the single descent endpoint per layer
+    (src/hnsw.zig:106-108), which yields a near-tree layer-0 graph and
+    ~1% search recall. We connect to the top-M candidates among the
+    endpoint and its neighborhood (whose distances the descent already
+    computed) — the standard HNSW neighbor-selection step, restoring
+    M-degree navigability at no extra distance evaluations."""
     level = _random_level(rng)
-    g.levels[node] = level
     if g.entry is None:
         g.entry = node
         g.max_level = level
         return
     cur = g.entry
+    cur_d = _dist(g.mat[node], g.mat[cur])
     for layer in range(g.max_level, -1, -1):
         # greedy hill-climb toward the new point (src/hnsw.zig:88-104)
-        improved = True
-        while improved:
-            improved = False
-            cur_d = _dist(vecs[node], vecs[cur])
-            for nbr in g.adj.get((cur, layer), []):
-                nd = _dist(vecs[node], vecs[nbr])
-                if nd < cur_d:
-                    cur, cur_d, improved = nbr, nd, True
+        while True:
+            nbrs = g.adj.get((cur, layer), [])
+            if not nbrs:
+                break
+            d = _dists_to(g, node, nbrs)
+            j = int(np.argmin(d))
+            if d[j] < cur_d:
+                cur, cur_d = nbrs[j], float(d[j])
+            else:
+                break
         if layer <= level:
-            _connect(g, vecs, node, cur, layer)
+            cands = list({cur, *g.adj.get((cur, layer), [])} - {node})
+            d = _dists_to(g, node, cands)
+            best = np.lexsort((cands, d))[: g.m]
+            for i in best:
+                _connect(g, node, cands[i], layer)
     if level > g.max_level:  # src/hnsw.zig:114-116
         g.max_level = level
         g.entry = node
@@ -129,14 +151,15 @@ def _build_shard(pdf: pd.DataFrame, m: int, seed: int) -> pd.DataFrame:
     pid = int(pdf["pid"].iloc[0])
     order = np.argsort(pdf["vec_id"].to_numpy())  # deterministic insert order
     ids = pdf["vec_id"].to_numpy()[order]
-    mat = np.stack(pdf["emb"].to_numpy()[order]).astype(np.float64)
-    vecs = {int(i): mat[k] for k, i in enumerate(ids)}
-    g = _ShardGraph(m=m, levels={}, adj={})
+    mat = np.ascontiguousarray(
+        np.stack(pdf["emb"].to_numpy()[order]).astype(np.float64)
+    )
+    g = _ShardGraph(m=m, mat=mat, adj={})
     rng = np.random.default_rng(seed + pid)
-    for i in ids:
-        _insert(g, vecs, int(i), rng)
+    for p in range(len(ids)):
+        _insert(g, p, rng)
     rows = [
-        (pid, layer, src, dst)
+        (pid, layer, int(ids[src]), int(ids[dst]))
         for (src, layer), nbrs in g.adj.items()
         for dst in nbrs
     ]
@@ -175,37 +198,102 @@ def _search_shard(
     queries: np.ndarray,
     query_ids: np.ndarray,
     k: int,
+    ef: int = 64,
 ) -> pd.DataFrame:
     """Greedy best-first layer-0 search within one shard
-    (src/hnsw.zig:194-236: candidate min-heap, visited set, stop at k)."""
-    import heapq
+    (src/hnsw.zig:194-236: candidate min-heap, visited set).
 
+    Deviations from the reference, each deliberate:
+    - the reference stops after popping exactly k candidates
+      (src/hnsw.zig:211) — a k-node walk from the entry point that
+      measures ~1% recall@10 on random 128-d data; we use an
+      exploration budget ``ef >= k`` and return the best k explored;
+    - the frontier expands as a vectorized BEAM (all beam nodes'
+      neighborhoods evaluated in one numpy batch per step) instead of
+      a scalar pop-one-push-many heap loop — same explored set shape,
+      ~10 numpy calls per query instead of thousands of heap ops.
+      This is the batch/SIMD execution the reference's roadmap calls
+      for (benchmarks/benchmark.md:37-47)."""
     ids = vec_pdf["vec_id"].to_numpy()
     order = np.argsort(ids)
     ids = ids[order]
-    mat = np.stack(vec_pdf["emb"].to_numpy()[order]).astype(np.float64)
+    mat = np.ascontiguousarray(
+        np.stack(vec_pdf["emb"].to_numpy()[order]).astype(np.float64)
+    )
+    n = len(ids)
     pos = {int(i): k_ for k_, i in enumerate(ids)}
-    adj: dict[int, list[int]] = {}
+    # adjacency as position arrays: one vectorized distance evaluation
+    # per frontier pop (the reference evaluates neighbors one by one,
+    # src/hnsw.zig:218-223; batching them is the SIMD twin)
+    adj_pos: list[np.ndarray] = [np.empty(0, dtype=np.int64) for _ in range(n)]
     l0 = edge_pdf[edge_pdf["layer"] == 0]
-    for s, d in zip(l0["src"].to_numpy(), l0["dst"].to_numpy()):
-        adj.setdefault(int(s), []).append(int(d))
-    entry = int(ids[0])  # first inserted node (src/hnsw.zig:110-112)
-    out = []
+    if len(l0):
+        src_pos = np.fromiter(
+            (pos[int(s)] for s in l0["src"].to_numpy()), dtype=np.int64
+        )
+        dst_pos = np.fromiter(
+            (pos[int(d)] for d in l0["dst"].to_numpy()), dtype=np.int64
+        )
+        o = np.argsort(src_pos, kind="stable")
+        src_pos, dst_pos = src_pos[o], dst_pos[o]
+        bounds = np.searchsorted(src_pos, np.arange(n + 1))
+        for j in range(n):
+            adj_pos[j] = dst_pos[bounds[j] : bounds[j + 1]]
+    entry_pos = 0  # first inserted node (src/hnsw.zig:110-112)
+    out_q: list[np.ndarray] = []
+    out_v: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    visited = np.zeros(n, dtype=bool)
+    budget = max(ef, k)
+    beam_width = max(4, budget // 8)
+    max_steps = 24
     for qi, q in zip(query_ids, queries):
-        heap = [(_dist(q, mat[pos[entry]]), entry)]
-        visited = {entry}
-        results: list[tuple[float, int]] = []
-        while heap and len(results) < k:
-            d, node = heapq.heappop(heap)
-            results.append((d, node))
-            for nbr in adj.get(node, []):
-                if nbr not in visited:
-                    visited.add(nbr)
-                    heapq.heappush(heap, (_dist(q, mat[pos[nbr]]), nbr))
-        for d, node in sorted(results):
-            out.append((int(qi), node, d))
-    return pd.DataFrame(out, columns=["query_id", "vec_id", "dist_sq"]).astype(
-        {"query_id": "int64", "vec_id": "int64", "dist_sq": "float64"}
+        visited[:] = False
+        d0 = mat[entry_pos] - q
+        visited[entry_pos] = True
+        exp_p = [np.array([entry_pos], dtype=np.int64)]
+        exp_d = [np.array([float(d0 @ d0)])]
+        beam = exp_p[0]
+        n_explored = 1
+        worst_kept = np.inf
+        for _ in range(max_steps):
+            if not len(beam):
+                break
+            nbrs = np.concatenate([adj_pos[p] for p in beam])
+            fresh = np.unique(nbrs[~visited[nbrs]])
+            if not len(fresh):
+                break
+            visited[fresh] = True
+            diff = mat[fresh] - q
+            dists = np.einsum("ij,ij->i", diff, diff)
+            exp_p.append(fresh)
+            exp_d.append(dists)
+            n_explored += len(fresh)
+            # next beam: closest beam_width of this step's frontier
+            if len(fresh) > beam_width:
+                sel = np.argpartition(dists, beam_width - 1)[:beam_width]
+            else:
+                sel = np.arange(len(fresh))
+            # converge when the frontier stops improving the kept set
+            if n_explored >= budget:
+                all_d = np.concatenate(exp_d)
+                worst_kept = np.partition(all_d, budget - 1)[budget - 1]
+                if dists[sel].min() > worst_kept:
+                    break
+            beam = fresh[sel]
+        pall = np.concatenate(exp_p)
+        dall = np.concatenate(exp_d)
+        nres = min(k, len(pall))
+        sel = np.lexsort((pall, dall))[:nres]
+        out_q.append(np.full(nres, qi, dtype=np.int64))
+        out_v.append(ids[pall[sel]])
+        out_d.append(dall[sel])
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q) if out_q else [],
+            "vec_id": np.concatenate(out_v) if out_v else [],
+            "dist_sq": np.concatenate(out_d) if out_d else [],
+        }
     )
 
 
@@ -215,6 +303,7 @@ def hnsw_search(
     queries: np.ndarray,
     k: int = 10,
     query_ids: np.ndarray | None = None,
+    ef: int = 64,
 ) -> DataFrame:
     """Distributed ANN search: every shard graph probed in parallel
     (cogrouped applyInPandas over vectors+edges), per-shard top-k,
@@ -227,7 +316,7 @@ def hnsw_search(
     qids = np.asarray(query_ids, dtype=np.int64)
 
     def _per_shard(key, vec_pdf_iter, edge_pdf_iter):
-        return _search_shard(vec_pdf_iter, edge_pdf_iter, qarr, qids, k)
+        return _search_shard(vec_pdf_iter, edge_pdf_iter, qarr, qids, k, ef=ef)
 
     per_shard = (
         sharded.groupBy("pid")
