@@ -70,3 +70,18 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     for r in rows:
         err = abs(r.approx_parts - r.exact_parts) / max(r.exact_parts, 1)
         assert err <= 0.1, f"{r.l_returnflag}: {err}"
+
+
+def test_frame_sampling_invariants(spark, sf_dir):
+    """4 frames per media row, each exactly frame_size bytes."""
+    from zvdb_spark.operators.multimodal import documents_as_media, sample_frames
+    from zvdb_spark.sources.tables import load
+
+    media = documents_as_media(load(spark, sf_dir, "documents"))
+    frames = sample_frames(media, n_frames=4, frame_size=16)
+    n_media = media.count()
+    assert frames.count() == 4 * n_media
+    from pyspark.sql import functions as F
+
+    bad = frames.filter(F.octet_length("frame") != 16).count()
+    assert bad == 0

@@ -1,0 +1,42 @@
+"""Seeded Lloyd's k-means: determinism + monotone objective."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from zvdb_spark.functions.vector import as_double_array
+from zvdb_spark.operators.kmeans import assign_cells, kmeans_fit, sse
+from zvdb_spark.sources.tables import load
+
+
+def _emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+
+
+def test_kmeans_deterministic(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    c1 = kmeans_fit(e, k=8, n_iter=3)
+    c2 = kmeans_fit(e, k=8, n_iter=3)
+    assert np.array_equal(c1, c2)
+
+
+def test_kmeans_objective_decreases(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    prev = None
+    for it in (0, 1, 3):
+        c = kmeans_fit(e, k=8, n_iter=it)
+        cur = sse(e, c)
+        if prev is not None:
+            assert cur <= prev + 1e-9, f"SSE rose at iter {it}"
+        prev = cur
+
+
+def test_assignment_covers_all_rows(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    c = kmeans_fit(e, k=8, n_iter=2)
+    a = assign_cells(e, c)
+    assert a.count() == e.count()
+    cells = {r.cell_id for r in a.select("cell_id").distinct().collect()}
+    assert cells.issubset(set(range(8))) and len(cells) > 1

@@ -1,0 +1,92 @@
+"""Distributed seeded k-means (Lloyd's) over an embedding column.
+
+The coarse quantizer behind a production IVF index (queries/ann.py
+uses first-k-by-id centroids for oracle checkability; this operator is
+the refinement you run at scale). Standard distributed formulation:
+
+- centroids are driver-side state (k x dim floats — tiny);
+- assignment is a vectorized Pandas-UDF argmin over the broadcast
+  centroid matrix (one GEMM per Arrow batch, no shuffle);
+- the update step is one groupBy over (cell, dim) partial sums —
+  a single shuffle per iteration carrying k x dim rows per partition.
+
+Deterministic: seeded init (first k rows by id), fixed iteration
+count — same data + seed => identical centroids on any cluster size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+) -> np.ndarray:
+    """Fit k centroids; returns (k, dim) float64 array."""
+    init_rows = emb.orderBy(id_col).limit(k).collect()
+    centroids = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in init_rows]
+    )
+    for _ in range(n_iter):
+        assigned = assign_cells(emb, centroids, id_col, vec_col)
+        # update: elementwise mean per cell via posexplode + two-level agg
+        sums = (
+            assigned.select("cell_id", F.posexplode(vec_col).alias("dim", "v"))
+            .groupBy("cell_id", "dim")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        acc: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r.cell_id, np.zeros(centroids.shape[1]))[r.dim] = r.s
+            cnt[r.cell_id] = r.c
+        for cid, vec in acc.items():
+            new_c[cid] = vec / cnt[cid]
+        centroids = new_c  # empty cells keep their previous centroid
+    return centroids
+
+
+def assign_cells(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+) -> DataFrame:
+    """Nearest-centroid assignment: vectorized argmin per Arrow batch
+    (centroid matrix rides the task closure — k x dim floats)."""
+    cmat = np.ascontiguousarray(centroids)
+    cnorm = (cmat * cmat).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def _cell(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy()).astype(np.float64)
+        xnorm = (mat * mat).sum(axis=1)
+        d = xnorm[:, None] + cnorm[None, :] - 2.0 * (mat @ cmat.T)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return emb.withColumn("cell_id", _cell(F.col(vec_col)))
+
+
+def sse(emb: DataFrame, centroids: np.ndarray, vec_col: str = "emb") -> float:
+    """Within-cluster sum of squared distances (the Lloyd's objective;
+    must be non-increasing over iterations)."""
+    cmat = np.ascontiguousarray(centroids)
+    cnorm = (cmat * cmat).sum(axis=1)
+
+    @F.pandas_udf("double")
+    def _mind(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy()).astype(np.float64)
+        xnorm = (mat * mat).sum(axis=1)
+        d = xnorm[:, None] + cnorm[None, :] - 2.0 * (mat @ cmat.T)
+        return pd.Series(np.maximum(d.min(axis=1), 0.0))
+
+    return emb.select(F.sum(_mind(F.col(vec_col)))).head()[0]

@@ -83,6 +83,85 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_batches, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(payload: bytes, media_type: str, w: int, h: int) -> bytes:
+    """STUB resize. Real deployment: PIL thumbnail / libswscale here.
+
+    Deterministic fake: truncate-or-cycle the byte stream to w*h bytes,
+    preserving the (payload, target-shape) -> bytes contract so batch
+    shapes and memory behavior are real."""
+    if media_type not in ("text", "image", "audio", "video"):
+        raise NotImplementedError(f"unknown media type {media_type!r}")
+    n = w * h
+    if not payload:
+        return b"\x00" * n
+    reps = -(-n // len(payload))
+    return (payload * reps)[:n]
+
+
+def resize_batch(media: DataFrame, w: int = 8, h: int = 8) -> DataFrame:
+    """mapInPandas resize: every payload mapped to a fixed w x h byte
+    buffer — the image-normalization stage of a multimodal pipeline
+    (output rows are fixed-size, so downstream batches are uniform)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": w,
+                    "height": h,
+                    "resized": [
+                        resize_media(p, t, w, h)
+                        for p, t in zip(pdf["payload"], pdf["media_type"])
+                    ],
+                }
+            )
+
+    return media.mapInPandas(_batches, RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4, frame_size: int = 16) -> DataFrame:
+    """mapInPandas frame sampling: each payload split into n_frames
+    evenly-spaced fixed-size windows (the video keyframe-sampling
+    shape: one input row -> n output rows, 1:N flatMap through Arrow).
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                ln = max(len(p), 1)
+                for f in range(n_frames):
+                    off = (f * ln) // n_frames
+                    chunk = bytes(p[off : off + frame_size])
+                    frames.append(chunk + b"\x00" * (frame_size - len(chunk)))
+                    ids.append(mid)
+                    idxs.append(f)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.mapInPandas(_batches, FRAME_SCHEMA)
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Adapter: view the documents table as a multimodal media table
     (utf-8 payload bytes + metadata). Real pipelines read parquet with

@@ -185,3 +185,24 @@ def q_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hnsw_search(sharded, edges, np.array([qvec]), k=ANN_K,
                        query_ids=np.array([QUERY_VEC_ID]))
+
+
+@register("q_kmeans_quantizer", oracle=None, tags=("ann", "kmeans"))
+def q_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Lloyd's k-means quantizer (operators/kmeans.py): the
+    refinement of q_ann_ivf's first-k coarse quantizer. Deterministic
+    (seeded init, fixed iterations) but Lloyd's is iterative driver-
+    coordinated state, not SQL -> rows-only; determinism + monotone-
+    objective invariants are pytest-enforced (tests/test_kmeans.py).
+    Returns per-cell populations and mean within-cell distance."""
+    from zvdb_spark.operators.kmeans import assign_cells, kmeans_fit
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    cents = kmeans_fit(e, k=8, n_iter=3)
+    return (
+        assign_cells(e, cents)
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_vectors"))
+    )

@@ -310,18 +310,32 @@ FROM p WHERE j >= {JACCARD_TAU}
     "q_dedup_ngram_jaccard", oracle=_NGRAM_ORACLE, tags=("dedup", "ngram")
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard similarity join (ground-truth twin of the
-    LSH path; quadratic by contract — at scale use q_dedup_minhash)."""
-    sh = _shingles_spark(spark, sf_dir, 3)
-    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sha"))
-    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("shb"))
-    jac = F.size(F.array_intersect("sha", "shb")) * F.lit(1.0) / F.size(
-        F.array_union("sha", "shb")
-    )
-    return (
-        sa.crossJoin(sb)
+    """Exact 3-gram Jaccard similarity join via an inverted shingle
+    index (the PPJoin-style formulation): explode shingles ->
+    self-join on the shingle -> per-pair common count c ->
+    J = c / (|A| + |B| - c). Exactly the crossJoin+array_intersect
+    result, but only pairs sharing >=1 shingle are ever materialized —
+    the formulation that survives at corpus scale (the oracle keeps
+    the naive quadratic form as ground truth)."""
+    sh = _shingles_spark(spark, sf_dir, 3).localCheckpoint(eager=True)
+    sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
+    posts = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a = posts.select(F.col("doc_id").alias("id_a"), "s")
+    b = posts.select(F.col("doc_id").alias("id_b"), "s")
+    common = (
+        a.join(b, "s")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("j", jac)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sza = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
+    szb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
+    return (
+        common.join(sza, "id_a")
+        .join(szb, "id_b")
+        .withColumn(
+            "j", F.col("c") * F.lit(1.0) / (F.col("sza") + F.col("szb") - F.col("c"))
+        )
         .filter(F.col("j") >= JACCARD_TAU)
         .select("id_a", "id_b", F.round("j", 4).alias("jaccard"))
     )

@@ -70,3 +70,42 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("payload_md5").alias("n_unique_payloads"),
         )
     )
+
+
+@register(
+    "q_multimodal_resize",
+    oracle="""
+SELECT doc_id AS media_id,
+       8 AS width, 8 AS height,
+       CAST(64 AS BIGINT) AS n_resized_check
+FROM documents
+""",
+    tags=("multimodal",),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: every payload normalized to an 8x8 byte buffer in
+    mapInPandas. Declared check: output size is constant (the oracle
+    verifies the row set and the fixed 64-byte contract)."""
+    from zvdb_spark.operators.multimodal import resize_batch
+
+    media = documents_as_media(load(spark, sf_dir, "documents"))
+    out = resize_batch(media, 8, 8)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.octet_length("resized").cast("bigint").alias("n_resized_check"),
+    )
+
+
+@register("q_multimodal_frames", oracle=None, tags=("multimodal",))
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (1:N flatMap through Arrow): 4 fixed-size frames
+    per payload. Rows-only check; invariants (4 rows per media, fixed
+    frame size) are pytest-enforced."""
+    from zvdb_spark.operators.multimodal import sample_frames
+
+    media = documents_as_media(load(spark, sf_dir, "documents"))
+    return sample_frames(media, n_frames=4, frame_size=16).select(
+        "media_id", "frame_idx", F.octet_length("frame").alias("frame_bytes")
+    )
