@@ -47,15 +47,25 @@ HEADLINE = [
     "q_knn_exact",
     "q_knn_batch",
     "q_sim_join_threshold",
+    "q_ann_bruteforce",
     "q_ann_ivf",
     "q_filter_pred",
     "q_agg_groupby",
+    "q_agg_rollup",
     "q_join_inner",
     "q_join_asof",
     "q_window_rank",
+    "q_window_frame",
+    "q_set_except",
+    "q_json_extract",
     "q_stream_session",
+    "q_stream_tumbling",
     "q_text_tokens",
+    "q_text_quality",
     "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_embedding",
     "q_doc_dedup",
     "q_multimodal_features",
 ]

@@ -240,54 +240,85 @@ def _search_shard(
         for j in range(n):
             adj_pos[j] = dst_pos[bounds[j] : bounds[j + 1]]
     entry_pos = 0  # first inserted node (src/hnsw.zig:110-112)
+    budget = max(ef, k)
+    beam_width = max(4, budget // 8)
+    # exploration budget: ef beam-node expansions per query
+    max_steps = max(2, budget // beam_width)
+    nq = len(queries)
     out_q: list[np.ndarray] = []
     out_v: list[np.ndarray] = []
     out_d: list[np.ndarray] = []
-    visited = np.zeros(n, dtype=bool)
-    budget = max(ef, k)
-    beam_width = max(4, budget // 8)
-    max_steps = 24
-    for qi, q in zip(query_ids, queries):
-        visited[:] = False
-        d0 = mat[entry_pos] - q
-        visited[entry_pos] = True
-        exp_p = [np.array([entry_pos], dtype=np.int64)]
-        exp_d = [np.array([float(d0 @ d0)])]
-        beam = exp_p[0]
-        n_explored = 1
-        worst_kept = np.inf
+    qmat = np.ascontiguousarray(np.asarray(queries, dtype=np.float64))
+
+    # pad adjacency into an (n, maxdeg) matrix with sentinel n so the
+    # whole query batch gathers neighbors in one indexing op per step
+    maxdeg = max((len(a) for a in adj_pos), default=0) or 1
+    adj_mat = np.full((n + 1, maxdeg), n, dtype=np.int64)
+    for j, a in enumerate(adj_pos):
+        adj_mat[j, : len(a)] = a
+
+    # process queries in fixed-size blocks: bounds the visited matrix
+    # and the per-step sort working set so throughput stays flat as
+    # the query batch grows
+    qblock = 1024
+    for blo in range(0, nq, qblock):
+        qmb = qmat[blo : blo + qblock]
+        qib = query_ids[blo : blo + qblock]
+        nb = len(qmb)
+        visited = np.zeros((nb, n + 1), dtype=bool)
+        visited[:, entry_pos] = True
+        visited[:, n] = True  # sentinel never expands
+        d0 = qmb - mat[entry_pos]
+        acc_q = [np.arange(nb, dtype=np.int64)]
+        acc_p = [np.full(nb, entry_pos, dtype=np.int64)]
+        acc_d = [np.einsum("ij,ij->i", d0, d0)]
+        beam = np.full((nb, beam_width), n, dtype=np.int64)
+        beam[:, 0] = entry_pos
+        active = np.ones(nb, dtype=bool)
         for _ in range(max_steps):
-            if not len(beam):
+            if not active.any():
                 break
-            nbrs = np.concatenate([adj_pos[p] for p in beam])
-            fresh = np.unique(nbrs[~visited[nbrs]])
-            if not len(fresh):
+            aq = np.nonzero(active)[0]
+            cand = adj_mat[beam[aq]].reshape(len(aq), -1)  # (A, B*maxdeg)
+            qidx = np.repeat(aq, cand.shape[1])
+            cand_flat = cand.ravel()
+            m = ~visited[qidx, cand_flat]
+            qidx, cand_flat = qidx[m], cand_flat[m]
+            if not len(qidx):
                 break
-            visited[fresh] = True
-            diff = mat[fresh] - q
+            # intra-step dedupe per (query, node)
+            key = qidx * (n + 1) + cand_flat
+            _, uniq = np.unique(key, return_index=True)
+            qidx, cand_flat = qidx[uniq], cand_flat[uniq]
+            visited[qidx, cand_flat] = True
+            diff = mat[cand_flat] - qmb[qidx]
             dists = np.einsum("ij,ij->i", diff, diff)
-            exp_p.append(fresh)
-            exp_d.append(dists)
-            n_explored += len(fresh)
-            # next beam: closest beam_width of this step's frontier
-            if len(fresh) > beam_width:
-                sel = np.argpartition(dists, beam_width - 1)[:beam_width]
-            else:
-                sel = np.arange(len(fresh))
-            # converge when the frontier stops improving the kept set
-            if n_explored >= budget:
-                all_d = np.concatenate(exp_d)
-                worst_kept = np.partition(all_d, budget - 1)[budget - 1]
-                if dists[sel].min() > worst_kept:
-                    break
-            beam = fresh[sel]
-        pall = np.concatenate(exp_p)
-        dall = np.concatenate(exp_d)
-        nres = min(k, len(pall))
-        sel = np.lexsort((pall, dall))[:nres]
-        out_q.append(np.full(nres, qi, dtype=np.int64))
-        out_v.append(ids[pall[sel]])
-        out_d.append(dall[sel])
+            acc_q.append(qidx)
+            acc_p.append(cand_flat)
+            acc_d.append(dists)
+            # next beam: best beam_width fresh candidates per query
+            # (vectorized fill: rank-within-group < beam_width)
+            order = np.lexsort((cand_flat, dists, qidx))
+            qs_, ps_ = qidx[order], cand_flat[order]
+            starts = np.searchsorted(qs_, np.arange(nb + 1))
+            rank = np.arange(len(qs_)) - starts[qs_]
+            keep = rank < beam_width
+            beam = np.full((nb, beam_width), n, dtype=np.int64)
+            beam[qs_[keep], rank[keep]] = ps_[keep]
+            active = np.zeros(nb, dtype=bool)
+            active[qs_] = True
+        pall = np.concatenate(acc_p)
+        dall = np.concatenate(acc_d)
+        qall = np.concatenate(acc_q)
+        order = np.lexsort((pall, dall, qall))
+        qs_, ps_, ds_ = qall[order], pall[order], dall[order]
+        starts = np.searchsorted(qs_, np.arange(nb + 1))
+        for qi2 in range(nb):
+            lo = starts[qi2]
+            hi = min(starts[qi2 + 1], lo + k)
+            out_q.append(np.full(hi - lo, qib[qi2], dtype=np.int64))
+            out_v.append(ids[ps_[lo:hi]])
+            out_d.append(ds_[lo:hi])
     return pd.DataFrame(
         {
             "query_id": np.concatenate(out_q) if out_q else [],
