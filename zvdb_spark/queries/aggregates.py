@@ -180,3 +180,124 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_partkey").alias("exact_parts"),
         )
     )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_open,
+       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_finished,
+       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_pending,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderstatus = 'O') AS DOUBLE) AS rev_open
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("agg", "pivot"),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): order counts and revenue by market
+    segment x order status. Spark's pivot() compiles to the same
+    conditional-aggregation the oracle writes explicitly — one
+    shuffle, columns fixed up front (required at scale: an unbounded
+    pivot key set would need a driver-side distinct first)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    piv = (
+        j.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"),
+        )
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.col("O_n").alias("n_open"),
+        F.col("F_n").alias("n_finished"),
+        F.col("P_n").alias("n_pending"),
+        F.col("O_rev").cast("double").alias("rev_open"),
+    )
+
+
+@register(
+    "q_subquery_scalar",
+    oracle="""
+SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE c.c_acctbal > (
+  SELECT avg(c2.c_acctbal) FROM customer c2
+  WHERE c2.c_nationkey = c.c_nationkey
+) * 1.8
+""",
+    tags=("agg", "subquery"),
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers with balance >1.8x their
+    nation's average. Catalyst decorrelates this into an aggregate +
+    join (RewriteCorrelatedScalarSubquery) — expressed via SQL so the
+    rewrite itself is exercised."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 2) AS acctbal
+        FROM customer_v c
+        WHERE c.c_acctbal > (
+          SELECT avg(c2.c_acctbal) FROM customer_v c2
+          WHERE c2.c_nationkey = c.c_nationkey
+        ) * 1.8
+        """
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+WITH j AS (
+  SELECT c.c_mktsegment, o.o_totalprice,
+         row_number() OVER (PARTITION BY c.c_mktsegment ORDER BY o.o_totalprice, o.o_orderkey) AS rn,
+         count(*)     OVER (PARTITION BY c.c_mktsegment) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment,
+       round(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN o_totalprice END), 2) AS median_price,
+       round(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN o_totalprice END), 2) AS p90_price,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM j GROUP BY c_mktsegment
+""",
+    tags=("agg", "percentile"),
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles per group (the k-th order statistic,
+    k = ceil(p*n)): median and p90 of order value by segment. Discrete
+    (an actual data value) rather than interpolated — interpolated
+    medians of 2-decimal data land exactly on half-cent rounding
+    boundaries where engines legitimately differ by 1 ulp. Exact
+    percentile is a windowed sort per group; the sketch alternative at
+    100 TB is approx_percentile (cf. q_agg_approx_distinct)."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_totalprice", "o_orderkey"
+    )
+    w = W.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    wn = W.partitionBy("c_mktsegment")
+    r = j.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    kth = lambda p: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+            F.col("o_totalprice"),
+        )
+    )
+    return r.groupBy("c_mktsegment").agg(
+        F.round(kth(0.5), 2).alias("median_price"),
+        F.round(kth(0.9), 2).alias("p90_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
