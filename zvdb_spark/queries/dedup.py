@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from zvdb_spark.functions.vector import as_double_array, cosine_sim
+from zvdb_spark.functions.vector import as_double_array
 from zvdb_spark.queries.registry import register
 from zvdb_spark.queries.text import H_DUCK, H_SPARK
 from zvdb_spark.sources.tables import load
