@@ -8,11 +8,19 @@ DuckDB oracle where SQL-expressible).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from zvdb_spark.queries import registry as _registry
+# Robust against file-path-based import (spec_from_file_location):
+# make the package importable regardless of the caller's sys.path.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from zvdb_spark.queries import registry as _registry  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
