@@ -1,0 +1,104 @@
+"""Regression tests for edge cases flagged in round-1 review:
+
+- short documents (< n tokens) must yield empty shingle sets, not
+  throw (INVALID_ARRAY_INDEX_IN_ELEMENT_AT from a descending
+  sequence());
+- per-shard top-k must keep the smallest ids among distance ties
+  (duplicate vectors are distinct rows, src/test_hnsw.zig:104-119);
+- salted_join rejects join types it cannot preserve.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def test_shingles_short_docs(spark, tmp_path):
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["one", "two words", "", "a b c"],
+            "source": ["t"] * 4,
+            "lang": ["en"] * 4,
+        }
+    )
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(docs).coalesce(1).write.parquet(
+        f"{d}/documents.parquet"
+    )
+    from zvdb_spark.queries.dedup import _shingles_spark
+
+    rows = {
+        r.doc_id: r.shingles
+        for r in _shingles_spark(spark, d, 2).collect()
+    }
+    assert rows[0] == []  # 1 token, 2-shingles -> empty
+    assert rows[1] == ["two_words"]
+    assert rows[2] == []  # empty text -> [''] token -> still < 2
+    assert rows[3] == ["a_b", "b_c"]
+    # 3-gram path on the same frame
+    rows3 = {
+        r.doc_id: r.shingles
+        for r in _shingles_spark(spark, d, 3).collect()
+    }
+    assert rows3[1] == []
+    assert rows3[3] == ["a_b_c"]
+
+
+def test_topk_tie_break_prefers_small_ids():
+    from zvdb_spark.operators.knn import _topk_by_dist_id
+
+    # row 0: four candidates tied at d=1.0 — keep the two smallest ids
+    # even though argpartition alone could keep any two
+    d = np.array([[1.0, 1.0, 1.0, 1.0, 5.0], [0.1, 0.2, 0.3, 0.4, 0.5]])
+    ids = np.array([40, 10, 30, 20, 1])
+    part = _topk_by_dist_id(d, ids, 2)
+    assert set(ids[part[0]]) == {10, 20}
+    assert list(ids[part[1]]) == [40, 10]
+    # kk >= n keeps everything
+    full = _topk_by_dist_id(d, ids, 5)
+    assert full.shape == (2, 5)
+
+
+def test_topk_tie_at_boundary_partial():
+    from zvdb_spark.operators.knn import _topk_by_dist_id
+
+    # ties straddle the boundary: d = [0, 1, 1, 1], k=2 -> keep 0 and
+    # the smallest-id of the tied group
+    d = np.array([[0.0, 1.0, 1.0, 1.0]])
+    ids = np.array([5, 9, 2, 7])
+    part = _topk_by_dist_id(d, ids, 2)
+    assert set(ids[part[0]]) == {5, 2}
+
+
+def test_salted_join_rejects_right_full(spark):
+    from zvdb_spark.operators.skew import salted_join
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(df, df, "k", how=how)
+
+
+def test_vector_index_schema_uniform(spark):
+    """search() returns one schema on every path (exact/approx/empty)."""
+    from zvdb_spark.api import VectorIndex
+
+    cols = ["query_id", "neighbor_id", "score", "rn"]
+    idx = VectorIndex(spark, n_partitions=2, seed=7)
+    assert idx.search([0.0, 0.0], k=3).columns == cols
+
+    rng = np.random.default_rng(0)
+    pdf = [
+        (int(i), [float(x) for x in rng.random(4)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    idx.insert_batch(df).build()
+    exact = idx.search([0.5, 0.5, 0.5, 0.5], k=3)
+    approx = idx.search([0.5, 0.5, 0.5, 0.5], k=3, approximate=True)
+    assert exact.columns == cols
+    assert approx.columns == cols
+    assert approx.count() <= 3

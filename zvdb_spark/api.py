@@ -91,7 +91,11 @@ class VectorIndex:
     ) -> DataFrame:
         """Top-k by squared L2 (ascending; squared distances as the
         reference returns, src/hnsw.zig:191). k > N returns N rows;
-        empty index returns empty."""
+        empty index returns empty.
+
+        One schema for every path (exact / approximate / empty):
+        (query_id, neighbor_id, score, rn).
+        """
         if self._vectors is None:
             return self.spark.createDataFrame(
                 [], "query_id long, neighbor_id long, score double, rn int"
@@ -100,7 +104,14 @@ class VectorIndex:
             self.build()
         q = np.atleast_2d(np.asarray(query, dtype=np.float64))
         if approximate:
-            return hnsw_search(self._sharded, self._edges, q, k=k)
+            from pyspark.sql import Window as W
+
+            out = hnsw_search(self._sharded, self._edges, q, k=k)
+            out = out.withColumnsRenamed(
+                {"vec_id": "neighbor_id", "dist_sq": "score"}
+            )
+            w = W.partitionBy("query_id").orderBy("score", "neighbor_id")
+            return out.withColumn("rn", F.row_number().over(w))
         return exact_search_partitioned(self._sharded, q, k=k, dtype="float64")
 
     def search_batch(self, queries, k: int = 10, query_ids=None) -> DataFrame:

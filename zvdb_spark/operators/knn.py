@@ -81,6 +81,29 @@ def knn_single(
     return df.orderBy(*ordering).limit(k)
 
 
+def _topk_by_dist_id(d, ids, kk: int):
+    """Per-row indices of the kk smallest (distance, id) pairs.
+
+    argpartition fast path; when ties straddle the k-th boundary the
+    affected rows are re-resolved exactly by (distance, id) lexsort,
+    so shard-level membership matches the declared
+    ``ORDER BY d, neighbor_id`` contract even with duplicate vectors
+    (duplicates are distinct rows, src/test_hnsw.zig:104-119).
+    """
+    import numpy as np
+
+    if kk >= d.shape[1]:
+        return np.broadcast_to(np.arange(d.shape[1]), d.shape).copy()
+    part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+    boundary = np.take_along_axis(d, part, axis=1).max(axis=1)
+    ambiguous = np.nonzero((d <= boundary[:, None]).sum(axis=1) > kk)[0]
+    for r in ambiguous:
+        cand = np.nonzero(d[r] <= boundary[r])[0]
+        order = np.lexsort((ids[cand], d[r, cand]))
+        part[r] = cand[order[:kk]]
+    return part
+
+
 def exact_search_partitioned(
     sharded: DataFrame,
     queries,
@@ -132,7 +155,7 @@ def exact_search_partitioned(
             qc = qarr[lo : lo + chunk]
             # ||q - x||^2 = ||q||^2 + ||x||^2 - 2 q.x (one GEMM per chunk)
             d = qnorm[lo : lo + chunk, None] + xnorm[None, :] - 2.0 * (qc @ mat.T)
-            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            part = _topk_by_dist_id(d, ids, kk)
             outs.append(
                 pd.DataFrame(
                     {

@@ -39,7 +39,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("media_type", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("first_byte", T.IntegerType()),
+        T.StructField("first_cp", T.IntegerType()),
         T.StructField("payload_md5", T.StringType()),
     ]
 )
@@ -54,9 +54,14 @@ def decode_media(payload: bytes, media_type: str) -> dict:
     """
     if media_type not in ("text", "image", "audio", "video"):
         raise NotImplementedError(f"unknown media type {media_type!r}")
+    # first_cp: code point of the first decoded character (-1 for an
+    # empty payload). Code point, not raw byte, so the DuckDB oracle
+    # (ascii(text)) is exact for non-ASCII payloads too.
     return {
         "n_bytes": len(payload),
-        "first_byte": payload[0] if payload else -1,
+        "first_cp": (
+            ord(payload.decode("utf-8", errors="replace")[0]) if payload else -1
+        ),
         "payload_md5": hashlib.md5(payload).hexdigest(),
     }
 

@@ -31,8 +31,18 @@ def salted_join(
 
     Row multiplicity is preserved exactly (each left row carries one
     salt; each right row matches every salt) — semantics identical to
-    ``left.join(right, key, how)``.
+    ``left.join(right, key, how)`` for left-oriented joins. ``right``
+    and ``full`` are rejected: the exploded right side would emit each
+    unmatched right row once per salt. (To salt those, salt the right
+    side and explode the left instead.)
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; got {how!r} — "
+            "right/full would duplicate unmatched right rows n_salts times"
+        )
     salt = (F.crc32(F.monotonically_increasing_id().cast("string")) % n_salts).cast(
         "int"
     )

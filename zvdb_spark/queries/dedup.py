@@ -87,7 +87,13 @@ def q_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- shingles
 
 def _shingles_spark(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
-    """doc_id + distinct n-word shingle array, pure HOF (no explode)."""
+    """doc_id + distinct n-word shingle array, pure HOF (no explode).
+
+    Docs with fewer than n tokens get an empty shingle array (guarded:
+    an unguarded ``sequence(1, size(tok)-n+1)`` yields a DESCENDING
+    sequence for short docs and element_at then throws). Matches the
+    DuckDB twin, where ``range()`` returns empty for the same inputs.
+    """
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("tok")
     )
@@ -95,8 +101,10 @@ def _shingles_spark(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
     return d.select(
         "doc_id",
         F.expr(
+            f"CASE WHEN size(tok) >= {n} THEN "
             f"array_distinct(transform(sequence(1, size(tok) - {n - 1}),"
-            f" i -> concat_ws('_', {parts})))"
+            f" i -> concat_ws('_', {parts}))) "
+            f"ELSE cast(array() as array<string>) END"
         ).alias("shingles"),
     )
 
@@ -427,23 +435,27 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the standard large-graph CC algorithm: O(diameter) shuffle
     rounds). Oracle: recursive-CTE reachability closure."""
     pairs = _minhash_pairs(spark, sf_dir).select("ia", "ib")
-    # The near-dup edge graph is orders of magnitude smaller than the
-    # corpus (only verified pairs); collapse it to one partition so the
-    # O(diameter) iteration rounds don't each pay a 32-way shuffle. At
-    # true graph scale drop the coalesce — the same loop is the
-    # standard distributed CC algorithm.
     edges = (
         pairs.union(pairs.select(F.col("ib").alias("ia"), F.col("ia").alias("ib")))
         .distinct()
-        .coalesce(1)
         .localCheckpoint(eager=True)
     )
+    # The near-dup edge graph is usually orders of magnitude smaller
+    # than the corpus (only verified pairs); when it is, collapse to
+    # one partition so the O(diameter) iteration rounds don't each pay
+    # a full shuffle. Gated on actual edge count so the declared query
+    # is scale-safe as written: a big graph keeps its partitioning and
+    # the same loop is the standard distributed CC algorithm.
+    small = edges.count() <= 2_000_000
+    if small:
+        edges = edges.coalesce(1).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("ia").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .coalesce(1)
     )
+    if small:
+        labels = labels.coalesce(1)
     # Component sizes are tiny here; bound iterations by a safe cap and
     # stop early at fixpoint (count of changed labels == 0).
     for _ in range(20):

@@ -24,7 +24,8 @@ from zvdb_spark.sources.tables import load
 SELECT doc_id AS media_id,
        'text' AS media_type,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
+                 ELSE ascii(text) END AS INT) AS first_cp,
        md5(text) AS payload_md5
 FROM documents
 """,

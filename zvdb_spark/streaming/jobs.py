@@ -47,6 +47,23 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+DEMO_TIMEOUT_S = 180.0
+
+
+def _await_bounded(q, timeout_s: float = DEMO_TIMEOUT_S) -> None:
+    """Wait for a streaming query with a hard bound, stopping it if it
+    overruns — a demo must never wedge the shared session (the batch
+    queries that follow it in a harness run depend on that)."""
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            q.stop()
+            q.awaitTermination(30)
+    finally:
+        if q.isActive:
+            q.stop()
+
+
 def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
     name = f"stream_demo_{uuid.uuid4().hex[:8]}"
     q = (
@@ -56,7 +73,7 @@ def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    _await_bounded(q)
     return result.sparkSession.table(name)
 
 
@@ -122,7 +139,7 @@ def run_foreachbatch_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    _await_bounded(q)
     # compact the per-batch partial states into the final aggregate
     state = spark.read.parquet(state_dir)
     return state.groupBy("user_id").agg(
