@@ -74,6 +74,65 @@ def test_topk_tie_at_boundary_partial():
     assert set(ids[part[0]]) == {5, 2}
 
 
+def test_declared_queries_never_collect_table_data():
+    """Scale contract: no declared query may pull table data to the
+    driver. ``.collect()`` is banned from the whole queries package —
+    the only sanctioned driver-side reads are O(1) scalar parameters
+    (``head()`` of a 1-row probe) and counts. (operators/kmeans.py
+    holds k x dim centroid state driver-side by design and is not a
+    declared query path.)"""
+    import pathlib
+
+    import zvdb_spark.queries as qpkg
+
+    qdir = pathlib.Path(qpkg.__file__).parent
+    offenders = [
+        p.name
+        for p in qdir.glob("*.py")
+        if ".collect()" in p.read_text()
+    ]
+    assert offenders == [], f".collect() found in queries: {offenders}"
+
+
+def test_blocked_search_matches_partitioned(spark):
+    """exact_search_blocked (DataFrame probe side) returns the same
+    top-k as exact_search_partitioned (numpy probe side)."""
+    import pandas as pd
+
+    from zvdb_spark.operators.hnsw import shard_vectors
+    from zvdb_spark.operators.knn import (
+        exact_search_blocked,
+        exact_search_partitioned,
+    )
+
+    rng = np.random.default_rng(3)
+    n, dim, k = 200, 8, 5
+    mat = rng.random((n, dim))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, emb array<double>",
+    )
+    probes = df.select(
+        df.vec_id.alias("query_id"), df.emb.alias("qemb")
+    )
+    blocked = (
+        exact_search_blocked(df, probes, k=k, n_shards=4, n_blocks=3)
+        .toPandas()
+        .sort_values(["query_id", "rn"], ignore_index=True)
+    )
+    sharded = shard_vectors(df, 4)
+    part = (
+        exact_search_partitioned(sharded, mat, k=k, dtype="float64")
+        .toPandas()
+        .sort_values(["query_id", "rn"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        blocked[["query_id", "neighbor_id", "rn"]],
+        part[["query_id", "neighbor_id", "rn"]],
+    )
+    assert np.allclose(blocked["score"], part["score"], atol=1e-9)
+
+
 def test_salted_join_rejects_right_full(spark):
     from zvdb_spark.operators.skew import salted_join
 

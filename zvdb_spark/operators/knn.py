@@ -104,6 +104,209 @@ def _topk_by_dist_id(d, ids, kk: int):
     return part
 
 
+def _pair_scores(qarr, mat, metric: str):
+    """Vectorized query-block x corpus-shard scores (one GEMM).
+
+    l2_sq: squared L2 (ascending-better); cosine: cosine similarity
+    (descending-better), NaN where either norm is zero (matches the
+    NULL semantics of functions.vector.cosine_sim).
+    """
+    import numpy as np
+
+    g = qarr @ mat.T
+    if metric == "l2_sq":
+        qn = (qarr * qarr).sum(axis=1)
+        xn = (mat * mat).sum(axis=1)
+        return qn[:, None] + xn[None, :] - 2.0 * g
+    if metric == "cosine":
+        qn = np.sqrt((qarr * qarr).sum(axis=1))
+        xn = np.sqrt((mat * mat).sum(axis=1))
+        denom = qn[:, None] * xn[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(denom > 0, g / denom, np.nan)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def _replicated_cogroup(
+    corpus: DataFrame,
+    probes: DataFrame,
+    fn,
+    out_schema,
+    n_shards: int,
+    n_blocks: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "emb",
+    query_id: str = "query_id",
+    query_vec: str = "qemb",
+) -> DataFrame:
+    """Block-matrix fan-out of probes x corpus with BOTH sides as
+    DataFrames — no driver-side collect of table data anywhere.
+
+    The corpus is hash-sharded into P shards and replicated across B
+    probe blocks; probes are hash-blocked into B blocks and replicated
+    across P shards; a cogrouped applyInPandas task then sees exactly
+    one (probe-block, corpus-shard) cell. Shuffle volume is
+    |corpus| x B + |probes| x P rows — the block nested-loop join
+    shape that scales: task memory is bounded by (|corpus|/P +
+    |probes|/B) regardless of total size, and P/B tune the
+    replication-vs-parallelism tradeoff (at 100 TB you raise both; the
+    driver never holds a row).
+    """
+    c = corpus.select(
+        F.col(corpus_id).cast("long").alias("vec_id"),
+        F.col(corpus_vec).alias("emb"),
+        (F.crc32(F.col(corpus_id).cast("string")) % n_shards).cast("int").alias(
+            "pid"
+        ),
+    ).withColumn("bid", F.explode(F.array(*[F.lit(b) for b in range(n_blocks)])))
+    q = probes.select(
+        F.col(query_id).cast("long").alias("query_id"),
+        F.col(query_vec).alias("qemb"),
+        (F.crc32(F.col(query_id).cast("string")) % n_blocks).cast("int").alias(
+            "bid"
+        ),
+    ).withColumn("pid", F.explode(F.array(*[F.lit(p) for p in range(n_shards)])))
+    return (
+        q.groupBy("bid", "pid")
+        .cogroup(c.groupBy("bid", "pid"))
+        .applyInPandas(fn, out_schema)
+    )
+
+
+_PAIR_SCHEMA = "query_id long, neighbor_id long, score double"
+
+# Target rows per probe block / corpus shard: cells around
+# 2048 x 2048 keep each GEMM big enough to amortize the Arrow+Python
+# task overhead while bounding task memory; the grid then grows
+# linearly with data size (more cells = more parallelism at scale,
+# fewer cells = less overhead at test scale).
+_TARGET_CELL_ROWS = 2048
+_MAX_GRID = 256
+
+
+def _auto_grid(corpus: DataFrame, probes: DataFrame,
+               n_shards: int | None, n_blocks: int | None) -> tuple[int, int]:
+    if n_shards is None:
+        n_shards = min(_MAX_GRID, max(1, -(-corpus.count() // _TARGET_CELL_ROWS)))
+    if n_blocks is None:
+        n_blocks = min(_MAX_GRID, max(1, -(-probes.count() // _TARGET_CELL_ROWS)))
+    return n_shards, n_blocks
+
+
+def exact_search_blocked(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    metric: str = "l2_sq",
+    n_shards: int | None = None,
+    n_blocks: int | None = None,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "emb",
+    query_id: str = "query_id",
+    query_vec: str = "qemb",
+) -> DataFrame:
+    """Exact batched k-NN where the probe side is a DataFrame: each
+    (probe-block x corpus-shard) cell computes a GEMM top-k with exact
+    (distance, id) tie handling, then a global per-query top-k merge
+    carries only B*P*k candidate rows per query block — never the
+    corpus. Returns (query_id, neighbor_id, score, rn), rn in 1..k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_shards, n_blocks = _auto_grid(corpus, probes, n_shards, n_blocks)
+    asc = metric == "l2_sq"
+
+    def _cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "score": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "score": "float64"})
+        qids = qpdf["query_id"].to_numpy()
+        qarr = np.ascontiguousarray(
+            np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
+        )
+        ids = cpdf["vec_id"].to_numpy()
+        mat = np.ascontiguousarray(
+            np.stack(cpdf["emb"].to_numpy()).astype(np.float64)
+        )
+        d = _pair_scores(qarr, mat, metric)
+        kk = min(k, mat.shape[0])
+        rank_d = d if asc else -d
+        part = _topk_by_dist_id(rank_d, ids, kk)
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, kk),
+                "neighbor_id": ids[part.ravel()],
+                "score": np.take_along_axis(d, part, axis=1).ravel(),
+            }
+        )
+
+    per_cell = _replicated_cogroup(
+        corpus, probes, _cell, _PAIR_SCHEMA, n_shards, n_blocks,
+        corpus_id, corpus_vec, query_id, query_vec,
+    )
+    ordering = [F.col("score").asc() if asc else F.col("score").desc(),
+                F.col("neighbor_id").asc()]
+    w = W.partitionBy("query_id").orderBy(*ordering)
+    return per_cell.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+
+
+def threshold_join_blocked(
+    corpus: DataFrame,
+    probes: DataFrame,
+    tau: float,
+    metric: str = "l2_sq",
+    upper_only: bool = False,
+    n_shards: int | None = None,
+    n_blocks: int | None = None,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "emb",
+    query_id: str = "query_id",
+    query_vec: str = "qemb",
+) -> DataFrame:
+    """All-pairs similarity join under a threshold with the probe side
+    as a DataFrame (same block x shard fan-out as
+    exact_search_blocked). Pairs passing the threshold are emitted
+    directly from each cell — no candidate materialization, no merge
+    stage. l2_sq keeps score < tau; cosine keeps score >= tau;
+    upper_only emits only neighbor_id > query_id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_shards, n_blocks = _auto_grid(corpus, probes, n_shards, n_blocks)
+
+    def _cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "score": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "score": "float64"})
+        qids = qpdf["query_id"].to_numpy()
+        qarr = np.ascontiguousarray(
+            np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
+        )
+        ids = cpdf["vec_id"].to_numpy()
+        mat = np.ascontiguousarray(
+            np.stack(cpdf["emb"].to_numpy()).astype(np.float64)
+        )
+        score = _pair_scores(qarr, mat, metric)
+        mask = score < tau if metric == "l2_sq" else score >= tau
+        if upper_only:
+            mask &= ids[None, :] > qids[:, None]
+        r, c = np.nonzero(mask)
+        return pd.DataFrame(
+            {"query_id": qids[r], "neighbor_id": ids[c], "score": score[r, c]}
+        )
+
+    return _replicated_cogroup(
+        corpus, probes, _cell, _PAIR_SCHEMA, n_shards, n_blocks,
+        corpus_id, corpus_vec, query_id, query_vec,
+    )
+
+
 def exact_search_partitioned(
     sharded: DataFrame,
     queries,

@@ -370,23 +370,20 @@ FROM p WHERE c >= {COSINE_TAU}
 @register("q_dedup_embedding", oracle=_EMB_ORACLE, tags=("dedup", "embedding"))
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (semantic dedup), via the
-    vectorized per-shard threshold join (cosine metric). Exact result
-    contract; the candidate-pruned variant for scale composes the LSH
-    band pattern with the same verifier."""
-    import numpy as np
-
-    from zvdb_spark.operators.hnsw import shard_vectors
-    from zvdb_spark.operators.knn import threshold_join_partitioned
+    DataFrame-native block-matrix threshold join (cosine metric, both
+    sides DataFrames — no driver-side collect). Exact result contract;
+    the candidate-pruned variant for scale composes the LSH band
+    pattern with the same verifier."""
+    from zvdb_spark.operators.knn import threshold_join_blocked
 
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("emb")
     )
-    rows = e.orderBy("vec_id").collect()
-    qids = np.array([r.vec_id for r in rows])
-    qarr = np.stack([np.asarray(r.emb) for r in rows])
-    sharded = shard_vectors(e, n_partitions=32)
-    return threshold_join_partitioned(
-        sharded, qarr, qids, tau=COSINE_TAU, metric="cosine", upper_only=True
+    probes = e.select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    return threshold_join_blocked(
+        e, probes, tau=COSINE_TAU, metric="cosine", upper_only=True
     ).select(
         F.col("query_id").alias("id_a"),
         F.col("neighbor_id").alias("id_b"),

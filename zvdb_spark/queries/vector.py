@@ -114,33 +114,24 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched multi-query k-NN: every vector's top-k neighbors
     (self included, dist 0 — mirrors reference self-match semantics).
 
-    Implementation: per-shard vectorized top-k (one GEMM per shard
-    over the Arrow batch) + global per-query top-k merge
-    (operators/knn.py:exact_search_partitioned) — the columnar/SIMD
-    execution the reference lists as future work
-    (benchmarks/benchmark.md:37-47). ~20x faster than the equivalent
-    crossJoin + HOF-distance + window plan while producing the
-    identical oracle-checked result (float64 GEMM; the 1e-15
-    accumulation-order difference vanishes under round(4)).
-
-    The probe set (here: the whole corpus, ~1 MB) ships to each shard
-    task as a broadcast; at 100 TB self-join scale you tile the probe
-    side into blocks and run one such pass per block — same operator,
-    bounded memory.
+    Implementation: block-matrix exact search with BOTH sides as
+    DataFrames (operators/knn.py:exact_search_blocked) — probes are
+    hash-blocked, the corpus hash-sharded, each (block x shard) cell
+    computes one GEMM top-k inside a cogrouped applyInPandas task, and
+    the global merge carries only k candidates per cell per query.
+    This is the columnar/SIMD execution the reference lists as future
+    work (benchmarks/benchmark.md:37-47), with no driver-side collect
+    of table data anywhere: task memory stays bounded at any corpus
+    size (float64 GEMM; the 1e-15 accumulation-order difference vs the
+    HOF kernel vanishes under round(4)).
     """
-    import numpy as np
-
-    from zvdb_spark.operators.hnsw import shard_vectors
-    from zvdb_spark.operators.knn import exact_search_partitioned
+    from zvdb_spark.operators.knn import exact_search_blocked
 
     e = _emb(spark, sf_dir)
-    rows = e.select("vec_id", "emb").orderBy("vec_id").collect()
-    qids = np.array([r.vec_id for r in rows])
-    qarr = np.stack([np.asarray(r.emb) for r in rows])
-    sharded = shard_vectors(e, n_partitions=32)
-    return exact_search_partitioned(
-        sharded, qarr, k=BATCH_K, query_ids=qids, dtype="float64"
-    ).select(
+    probes = e.select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    return exact_search_blocked(e, probes, k=BATCH_K).select(
         "query_id",
         "neighbor_id",
         F.round("score", 4).alias("dist_sq"),
@@ -207,22 +198,21 @@ def q_sim_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity join: all unordered pairs with dist_sq < tau.
 
     This is the all-pairs generalization of the reference's single
-    probe. Vectorized per-shard GEMM with the threshold applied inside
-    the kernel (operators/knn.py:threshold_join_partitioned): pairs
-    are emitted, never the cross product. The probe side ships as a
-    broadcast block; at 100 TB tile the probe side and/or pre-prune
+    probe. Block-matrix threshold join with both sides as DataFrames
+    (operators/knn.py:threshold_join_blocked): each (probe-block x
+    corpus-shard) cell evaluates one GEMM and emits only pairs passing
+    the threshold — pairs are emitted, never the cross product, and no
+    table data touches the driver. At 100 TB additionally pre-prune
     candidates with the LSH band pattern (q_dedup_minhash).
     """
-    e = _emb(spark, sf_dir)
-    rows = e.select("vec_id", "emb").orderBy("vec_id").collect()
-    qids = np.array([r.vec_id for r in rows])
-    qarr = np.stack([np.asarray(r.emb) for r in rows])
-    from zvdb_spark.operators.hnsw import shard_vectors
-    from zvdb_spark.operators.knn import threshold_join_partitioned
+    from zvdb_spark.operators.knn import threshold_join_blocked
 
-    sharded = shard_vectors(e, n_partitions=32)
-    return threshold_join_partitioned(
-        sharded, qarr, qids, tau=SIM_TAU, metric="l2_sq", upper_only=True
+    e = _emb(spark, sf_dir)
+    probes = e.select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    return threshold_join_blocked(
+        e, probes, tau=SIM_TAU, metric="l2_sq", upper_only=True
     ).select(
         F.col("query_id").alias("id_a"),
         F.col("neighbor_id").alias("id_b"),
@@ -250,19 +240,18 @@ def q_dedup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (self included, so every row has a rep). One-hop min-id
     canonicalization — the deterministic, SQL-checkable core of
     near-dup grouping (full transitive closure is q_dedup_groups).
-    Same vectorized threshold-join kernel as q_sim_join_threshold.
+    Same DataFrame-native threshold-join kernel as
+    q_sim_join_threshold.
     """
-    e = _emb(spark, sf_dir)
-    rows = e.select("vec_id", "emb").orderBy("vec_id").collect()
-    qids = np.array([r.vec_id for r in rows])
-    qarr = np.stack([np.asarray(r.emb) for r in rows])
-    from zvdb_spark.operators.hnsw import shard_vectors
-    from zvdb_spark.operators.knn import threshold_join_partitioned
+    from zvdb_spark.operators.knn import threshold_join_blocked
 
-    sharded = shard_vectors(e, n_partitions=32)
+    e = _emb(spark, sf_dir)
+    probes = e.select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
     return (
-        threshold_join_partitioned(
-            sharded, qarr, qids, tau=SIM_TAU, metric="l2_sq", upper_only=False
+        threshold_join_blocked(
+            e, probes, tau=SIM_TAU, metric="l2_sq", upper_only=False
         )
         .groupBy(F.col("query_id").alias("vec_id"))
         .agg(
