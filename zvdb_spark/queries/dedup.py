@@ -94,8 +94,14 @@ def _shingles_spark(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
     sequence for short docs and element_at then throws). Matches the
     DuckDB twin, where ``range()`` returns empty for the same inputs.
     """
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("tok")
+    # The docs parquet is a single small file -> one input partition;
+    # everything downstream (per-shingle md5, signature aggs) would run
+    # single-threaded without this spread. One cheap shuffle of raw
+    # text parallelizes the whole hash pipeline across the cluster.
+    d = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("tok"))
     )
     parts = ", ".join(f"element_at(tok, i + {j})" for j in range(n))
     return d.select(
@@ -273,29 +279,77 @@ FROM p WHERE hamming <= {HAMMING_TAU}
 @register("q_dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup", "simhash"))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection: 32-bit signature from per-shingle
-    hash bit votes, pairs within Hamming distance 3. The signature is
-    one groupBy(doc) over exploded shingles; the pair join compares
-    64-bit integers only — at scale you'd block on simhash prefixes
-    instead of the full pair join (documented tradeoff; prefix
-    blocking is q_dedup_minhash's band pattern applied here)."""
-    sh = _shingles_spark(spark, sf_dir, 2)
-    e = sh.select("doc_id", F.explode("shingles").alias("s"))
-    hh = e.select("doc_id", F.expr(H_SPARK.format(x="s")).alias("h"))
-    v = hh.groupBy("doc_id").agg(
-        *[
-            F.expr(f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)").alias(
-                f"v{j}"
-            )
-            for j in range(SIMHASH_BITS)
-        ]
+    hash bit votes, pairs within Hamming distance <= 3.
+
+    The signature is ONE per-row higher-order expression (fold over
+    the hashed shingle array accumulating a 32-slot vote vector, then
+    assembling the sign bits) — no explode, no 32-aggregate groupBy,
+    no shuffle; measured ~2x faster than the grouped-votes plan, whose
+    32 aggregates also blow past JVM codegen method limits when fused.
+
+    The pair stage is byte-band blocked, never all-pairs: the 32-bit
+    signature splits into 4 bytes, and Hamming <= 3 guarantees at
+    least one byte matches exactly (pigeonhole: 3 differing bits
+    cannot touch all 4 bytes), so an equi-join on (band_idx, byte)
+    finds every qualifying pair; exact bit_count verification then
+    filters candidates. Same result as the oracle's quadratic
+    ground-truth form, with one shuffle on the band key — the shape
+    that survives corpus scale."""
+    hof = (
+        f"aggregate(transform(shingles, s -> {H_SPARK.format(x='s')}), "
+        f"array_repeat(0L, {SIMHASH_BITS}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}), "
+        f"(a, j) -> a + IF((h >> j) & 1 = 1, 1L, -1L)), "
+        f"acc -> aggregate(zip_with(acc, sequence(0, {SIMHASH_BITS - 1}), "
+        f"(v, j) -> IF(v > 0, shiftleft(1L, j), 0L)), 0L, (s, x) -> s + x))"
     )
-    sim = v.select("doc_id", F.expr(_simhash_assemble()).alias("simhash"))
-    a = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
-    b = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
-    return (
-        a.crossJoin(b)
+    # checkpoint the shingle arrays: the filter and the HOF signature
+    # would otherwise each re-evaluate the shingle-build expression
+    # (projection collapse inlines it), and the band-join branches
+    # would recompute everything again
+    sh = _shingles_spark(spark, sf_dir, 2).localCheckpoint(eager=True)
+    # empty-shingle docs carry no votes and are excluded (the
+    # explode-based oracle drops them the same way)
+    sim = (
+        sh.filter(F.size("shingles") > 0)
+        .select("doc_id", F.expr(hof).alias("simhash"))
+        .localCheckpoint(eager=True)
+    )
+    n_bands = HAMMING_TAU + 1  # pigeonhole: tau diffs can't hit all bands
+    band_bits = SIMHASH_BITS // n_bands
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.expr(
+                            f"(simhash >> {band_bits * j}) & {(1 << band_bits) - 1}"
+                        ).alias("bv"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.bv")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"),
+        "band_idx", "bv",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"),
+        "band_idx", "bv",
+    )
+    cand = (
+        a.join(b, ["band_idx", "bv"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("int"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("int"))
         .filter(F.col("hamming") <= HAMMING_TAU)
         .select("id_a", "id_b", "hamming")
     )
