@@ -56,12 +56,12 @@ HEADLINE = [
     "q_join_asof",
     "q_window_rank",
     "q_window_frame",
-    "q_set_except",
+    "q_set_ops",
     "q_json_extract",
     "q_stream_session",
     "q_stream_tumbling",
     "q_text_tokens",
-    "q_text_quality",
+    "q_text_metrics",
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_dedup_ngram_jaccard",

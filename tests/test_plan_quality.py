@@ -21,7 +21,9 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
 
 
 def test_column_pruning(spark, sf_dir):
-    a = plan_audit(all_queries()["q_topk"].fn(spark, sf_dir))
+    from zvdb_spark.queries.relational import _topk_orders
+
+    a = plan_audit(_topk_orders(spark, sf_dir))
     # only the 3 projected columns may be read from the 6-column table
     assert a["read_schemas"], "no ReadSchema found"
     rs = a["read_schemas"][0]
@@ -30,7 +32,8 @@ def test_column_pruning(spark, sf_dir):
 
 
 def test_topk_is_take_ordered(spark, sf_dir):
-    a = plan_audit(all_queries()["q_topk"].fn(spark, sf_dir))
+    # both branches of the merged declared query keep the heap plan
+    a = plan_audit(all_queries()["q_topk_sort"].fn(spark, sf_dir))
     assert a["has_take_ordered"], "orderBy+limit must compile to TakeOrderedAndProject"
 
 

@@ -7,7 +7,7 @@ from zvdb_spark.sources.sinks import read_result, write_result
 
 
 def test_parquet_roundtrip(spark, sf_dir):
-    df = all_queries()["q_topk"].fn(spark, sf_dir)
+    df = all_queries()["q_topk_sort"].fn(spark, sf_dir)
     with tempfile.TemporaryDirectory() as tmp:
         write_result(df, f"{tmp}/out", n_files=1)
         back = read_result(spark, f"{tmp}/out")

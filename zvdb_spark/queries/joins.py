@@ -108,48 +108,44 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_join_semi",
+    "q_join_semi_anti",
     oracle="""
-SELECT c_custkey, c_name, c_mktsegment
+SELECT 'semi' AS how, c_custkey, c_name
 FROM customer c
 WHERE EXISTS (
   SELECT 1 FROM orders o
   WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
         AND o.o_totalprice > 300000
 )
-""",
-    tags=("join", "semi"),
-)
-def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join (EXISTS): customers having a large urgent order."""
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 300000)
-    )
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_name", "c_mktsegment"
-    )
-
-
-@register(
-    "q_join_anti",
-    oracle="""
-SELECT c_custkey, c_name
+UNION ALL
+SELECT 'anti' AS how, c_custkey, c_name
 FROM customer c
 WHERE NOT EXISTS (
   SELECT 1 FROM orders o
   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
 )
 """,
-    tags=("join", "anti"),
+    tags=("join", "semi", "anti"),
 )
-def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers with no very large order."""
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS: customers having a large urgent order)
+    and left-anti join (NOT EXISTS: customers with no very large
+    order), declared as one tagged result — both physical join types
+    execute in the one plan."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    o_urgent = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 300000)
     )
+    o_big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    semi = (
+        c.join(o_urgent, c.c_custkey == o_urgent.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("how"), "c_custkey", "c_name")
+    )
+    anti = (
+        c.join(o_big, c.c_custkey == o_big.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("how"), "c_custkey", "c_name")
+    )
+    return semi.unionAll(anti)
 
 
 @register(

@@ -83,17 +83,7 @@ def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_topk",
-    oracle="""
-SELECT o_orderkey, o_custkey, o_totalprice
-FROM orders
-ORDER BY o_totalprice DESC, o_orderkey
-LIMIT 20
-""",
-    tags=("topk",),
-)
-def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k — the relational twin of the reference's k-limit
     search heap (``src/hnsw.zig:202,211``). orderBy+limit compiles to
     TakeOrderedAndProject: per-partition heaps of size k, k-row merge,
@@ -106,19 +96,46 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
 @register(
-    "q_sort_multi",
-    oracle="""
-SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice
-FROM lineitem
-ORDER BY l_returnflag ASC, l_quantity DESC, l_orderkey ASC, l_linenumber ASC
-LIMIT 100
-""",
-    tags=("sort",),
+    "q_topk_sort",
+    oracle=f"""
+SELECT 'topk' AS src, o_orderkey AS k1, o_custkey AS k2,
+       o_totalprice AS v1, NULL::DOUBLE AS v2, NULL::VARCHAR AS s1
+FROM ({_TOPK_ORACLE})
+UNION ALL
+SELECT 'sort' AS src, l_orderkey AS k1, l_linenumber AS k2,
+       l_quantity AS v1, l_extendedprice AS v2, l_returnflag AS s1
+FROM (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice
+  FROM lineitem
+  ORDER BY l_returnflag ASC, l_quantity DESC, l_orderkey ASC, l_linenumber ASC
+  LIMIT 100
 )
-def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-key sort with full deterministic tiebreak, limited."""
-    return (
+""",
+    tags=("topk", "sort"),
+)
+def q_topk_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (TakeOrderedAndProject — the reference's k-limit
+    heap, src/hnsw.zig:202,211) and a multi-key sort with full
+    deterministic tiebreak, declared as one tagged result with an
+    aligned schema."""
+    topk = _topk_orders(spark, sf_dir).select(
+        F.lit("topk").alias("src"),
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_custkey").alias("k2"),
+        F.col("o_totalprice").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+        F.lit(None).cast("string").alias("s1"),
+    )
+    sort_multi = (
         load(spark, sf_dir, "lineitem")
         .select(
             "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
@@ -131,20 +148,31 @@ def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").asc(),
         )
         .limit(100)
+        .select(
+            F.lit("sort").alias("src"),
+            F.col("l_orderkey").alias("k1"),
+            F.col("l_linenumber").cast("long").alias("k2"),
+            F.col("l_quantity").alias("v1"),
+            F.col("l_extendedprice").alias("v2"),
+            F.col("l_returnflag").alias("s1"),
+        )
     )
+    return topk.unionAll(sort_multi)
 
 
-@register("q_sink_parquet", oracle=None, tags=("sink",))
+@register("q_sink_parquet", oracle=_TOPK_ORACLE, tags=("sink",))
 def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parquet sink roundtrip (rows-only): write the top-k result out
-    with the engine sink and read it back. The reference has no sinks
-    at all (results are returned as an owned slice, src/hnsw.zig:235);
-    this is the durable-output surface."""
+    """Parquet sink roundtrip: write the top-k result out with the
+    engine sink and read it back. The reference has no sinks at all
+    (results are returned as an owned slice, src/hnsw.zig:235); this
+    is the durable-output surface. Oracled: the roundtripped rows must
+    hash-match the direct top-k oracle — a write that loses, dups, or
+    retypes rows fails the check."""
     import tempfile
 
     from zvdb_spark.sources.sinks import read_result, write_result
 
-    out = q_topk(spark, sf_dir)
+    out = _topk_orders(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="zvdb_sink_")
     write_result(out, f"{tmp}/topk", n_files=1)
     return read_result(spark, f"{tmp}/topk")

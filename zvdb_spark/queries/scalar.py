@@ -1,8 +1,8 @@
 """Scalar-function declared queries: string, date/time, JSON.
 
 (The math and array packs live in queries/vector.py as
-q_vector_norms / q_array_funcs, generalizing the reference's one
-scalar kernel at ``src/hnsw.zig:182-192``.)
+q_vector_array_funcs, generalizing the reference's one scalar kernel
+at ``src/hnsw.zig:182-192``.)
 
 All pure row-level expressions — single codegen stage over the scan,
 no shuffle. Booleans are cast to int and timestamps formatted to

@@ -132,75 +132,77 @@ def _argmax_case(score_of: dict[str, str]) -> str:
 
 
 @register(
-    "q_text_langid",
-    oracle=f"""
-WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tok FROM documents)
-SELECT doc_id, lang AS actual_lang,
-       {_argmax_case({lg: _lang_score_duck(m) for lg, m in LANG_MARKERS.items()})} AS pred_lang,
-       CAST({_lang_score_duck(LANG_MARKERS['en'])} AS BIGINT) AS en_score
-FROM t
-""",
-    tags=("text", "langid"),
-)
-def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language-ID heuristic: per-language marker counts,
-    argmax with fixed priority tie-break. Pure HOF expressions — the
-    shape of a real n-gram lang-ID scorer (per-class accumulate +
-    argmax), deterministic for the oracle."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", F.col("lang").alias("actual_lang"), F.split("text", " ").alias("tok")
-    )
-    score_of = {lg: _lang_score_spark(m) for lg, m in LANG_MARKERS.items()}
-    return d.select(
-        "doc_id",
-        "actual_lang",
-        F.expr(_argmax_case(score_of)).alias("pred_lang"),
-        F.expr(score_of["en"]).cast("bigint").alias("en_score"),
-    )
-
-
-@register(
-    "q_text_quality",
+    "q_text_metrics",
     oracle=f"""
 WITH t AS (
-  SELECT doc_id, n_chars, string_split(text, ' ') AS tok FROM documents
+  SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS tok
+  FROM documents
 ),
 s AS (
-  SELECT doc_id, n_chars,
+  SELECT doc_id, lang, n_chars, text, tok,
          len(tok) AS n_tokens,
          len(list_distinct(tok)) AS n_distinct,
          len(list_filter(tok, t -> t IN ('the','a','and','of'))) AS n_stop
   FROM t
 )
-SELECT doc_id, n_tokens, n_distinct,
+SELECT doc_id,
+       lang AS actual_lang,
+       {_argmax_case({lg: _lang_score_duck(m) for lg, m in LANG_MARKERS.items()})} AS pred_lang,
+       CAST({_lang_score_duck(LANG_MARKERS['en'])} AS BIGINT) AS en_score,
+       n_tokens, n_distinct,
        round(n_distinct * 1.0 / n_tokens, 4) AS ttr,
        round(n_chars * 1.0 / n_tokens, 4) AS avg_token_len,
        round(n_stop * 1.0 / n_tokens, 4) AS stopword_ratio,
        round( (n_distinct * 1.0 / n_tokens) * least(1.0, n_tokens / 50.0)
-              * (1.0 - n_stop * 1.0 / n_tokens), 4) AS quality_score
+              * (1.0 - n_stop * 1.0 / n_tokens), 4) AS quality_score,
+       len(regexp_extract_all(text, '[a-z]+')) AS re_tokens,
+       len(list_distinct(regexp_extract_all(text, '[a-z]+'))) AS re_distinct,
+       len(regexp_extract_all(text, '[a-z]{{4,}}')) AS long_tokens
 FROM s
 """,
-    tags=("text", "quality"),
+    tags=("text", "langid", "quality", "tokens"),
 )
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document quality scoring: type-token ratio, length prior,
-    stopword ratio, combined into one deterministic score — the
-    standard cheap-quality-filter shape for pretraining data."""
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis metrics, one row per doc, three
+    families in one pass over the corpus (how a production pipeline
+    actually computes them — a single projection, not three scans):
+
+    - language ID: marker-word counts per language, argmax with fixed
+      priority tie-break (the shape of an n-gram lang-ID scorer);
+    - quality scoring: type-token ratio, length prior, stopword ratio,
+      combined deterministic score (the standard cheap quality filter
+      for pretraining data);
+    - token counting: regex extraction (BPE-ish pre-tokenizer shape),
+      distinct and long-token counts; whitespace count = n_tokens.
+
+    All pure HOF/regexp expressions inside one codegen stage."""
     d = _docs(spark, sf_dir).select(
-        "doc_id", "n_chars", F.split("text", " ").alias("tok")
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        "n_chars",
+        "text",
+        F.split("text", " ").alias("tok"),
     )
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     s = d.select(
         "doc_id",
+        "actual_lang",
         "n_chars",
+        "text",
+        "tok",
         F.size("tok").alias("n_tokens"),
         F.size(F.array_distinct("tok")).alias("n_distinct"),
         F.expr(f"size(filter(tok, t -> t IN ({stop_list})))").alias("n_stop"),
     )
+    score_of = {lg: _lang_score_spark(m) for lg, m in LANG_MARKERS.items()}
     ttr = F.col("n_distinct") * 1.0 / F.col("n_tokens")
     stop_ratio = F.col("n_stop") * 1.0 / F.col("n_tokens")
+    re_toks = F.expr("regexp_extract_all(text, '[a-z]+', 0)")
     return s.select(
         "doc_id",
+        "actual_lang",
+        F.expr(_argmax_case(score_of)).alias("pred_lang"),
+        F.expr(score_of["en"]).cast("bigint").alias("en_score"),
         "n_tokens",
         "n_distinct",
         F.round(ttr, 4).alias("ttr"),
@@ -210,30 +212,6 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ttr * F.least(F.lit(1.0), F.col("n_tokens") / 50.0) * (1.0 - stop_ratio),
             4,
         ).alias("quality_score"),
-    )
-
-
-@register(
-    "q_text_tokencount",
-    oracle="""
-SELECT doc_id,
-       len(string_split(text, ' ')) AS ws_tokens,
-       len(regexp_extract_all(text, '[a-z]+')) AS re_tokens,
-       len(list_distinct(regexp_extract_all(text, '[a-z]+'))) AS re_distinct,
-       len(regexp_extract_all(text, '[a-z]{4,}')) AS long_tokens
-FROM documents
-""",
-    tags=("text", "tokens"),
-)
-def q_text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting two ways: whitespace split and regex extraction
-    (the BPE-ish pre-tokenizer shape), plus distinct and long-token
-    counts."""
-    d = _docs(spark, sf_dir)
-    re_toks = F.expr("regexp_extract_all(text, '[a-z]+', 0)")
-    return d.select(
-        "doc_id",
-        F.size(F.split("text", " ")).alias("ws_tokens"),
         F.size(re_toks).alias("re_tokens"),
         F.size(F.array_distinct(re_toks)).alias("re_distinct"),
         F.size(F.expr("regexp_extract_all(text, '[a-z]{4,}', 0)")).alias(

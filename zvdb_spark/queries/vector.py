@@ -11,8 +11,10 @@ oracle-checkable Spark plans:
                      Pandas-UDF kernel; must hash-match the native one
 - q_sim_join_threshold — all pairs under a distance threshold
 - q_dedup_vectors  — near-duplicate canonicalization (min-id rep)
-- q_vector_norms   — norm/dot/cosine kernels (superset of R6)
-- q_array_funcs    — array scalar-function pack
+- q_vector_array_funcs — norm/dot/cosine kernels (superset of R6)
+                     plus the array scalar-function pack
+- q_knn_eltypes    — k-NN over int-quantized / f32 vector columns
+                     (element-type parity, src/test_hnsw.zig:239-273)
 
 Scale notes: the exact k-NN path is a scan + TakeOrderedAndProject
 (per-partition heaps, then a k-row merge on the driver) — O(N) work,
@@ -262,7 +264,7 @@ def q_dedup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_vector_norms",
+    "q_vector_array_funcs",
     oracle=f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qemb FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
 SELECT e.vec_id,
@@ -270,46 +272,32 @@ SELECT e.vec_id,
        round(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qemb), x -> x[1]*x[2])), 4) AS dot_q,
        round(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qemb), x -> x[1]*x[2]))
              / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))
-                * sqrt(list_sum(list_transform(q.qemb, x -> x*x)))), 4) AS cos_q
+                * sqrt(list_sum(list_transform(q.qemb, x -> x*x)))), 4) AS cos_q,
+       len(e.embedding) AS dim,
+       round(e.embedding[1]::DOUBLE, 4) AS first_elem,
+       round(list_max(e.embedding)::DOUBLE, 4) AS max_elem,
+       round(list_min(e.embedding)::DOUBLE, 4) AS min_elem,
+       round(list_sort(e.embedding)[2]::DOUBLE, 4) AS second_smallest,
+       len(list_filter(e.embedding, x -> x > 0)) AS n_positive
 FROM embeddings e, q
 """,
-    tags=("vector", "scalar-math"),
+    tags=("vector", "scalar-math", "scalar-array"),
 )
-def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector L2 norm, dot product and cosine similarity against
-    the probe vector — the scalar-math pack generalizing the
-    reference's one kernel (``src/hnsw.zig:182-192``)."""
-    emb = _emb(spark, sf_dir)
+def q_vector_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector scalar-math pack (L2 norm / dot / cosine vs the probe —
+    generalizing the reference's one kernel, ``src/hnsw.zig:182-192``)
+    plus the array-function pack (size / element access / min / max /
+    sort_array / filter), one row per vector in a single projection."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding"), as_double_array("embedding").alias("emb")
+    )
     q = _probe(spark, sf_dir)
+    e = F.col("embedding")
     return emb.join(F.broadcast(q)).select(
         "vec_id",
         F.round(l2_norm("emb"), 4).alias("l2_norm"),
         F.round(dot("emb", "qemb"), 4).alias("dot_q"),
         F.round(cosine_sim("emb", "qemb"), 4).alias("cos_q"),
-    )
-
-
-@register(
-    "q_array_funcs",
-    oracle="""
-SELECT vec_id,
-       len(embedding) AS dim,
-       round(embedding[1]::DOUBLE, 4) AS first_elem,
-       round(list_max(embedding)::DOUBLE, 4) AS max_elem,
-       round(list_min(embedding)::DOUBLE, 4) AS min_elem,
-       round(list_sort(embedding)[2]::DOUBLE, 4) AS second_smallest,
-       len(list_filter(embedding, x -> x > 0)) AS n_positive
-FROM embeddings
-""",
-    tags=("vector", "scalar-array"),
-)
-def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array scalar-function pack: size / element access / min / max /
-    sort_array / filter over the embedding column."""
-    emb = load(spark, sf_dir, "embeddings")
-    e = F.col("embedding")
-    return emb.select(
-        "vec_id",
         F.size(e).alias("dim"),
         F.round(F.element_at(e, 1).cast("double"), 4).alias("first_elem"),
         F.round(F.array_max(e).cast("double"), 4).alias("max_elem"),
@@ -318,4 +306,66 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "second_smallest"
         ),
         F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@register(
+    "q_knn_eltypes",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS emb_f,
+         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS emb_i
+  FROM embeddings
+),
+q AS (SELECT emb_f AS qemb_f, emb_i AS qemb_i FROM e WHERE vec_id = {QUERY_VEC_ID}),
+d AS (
+  SELECT e.vec_id,
+         CAST(list_sum(list_transform(list_zip(e.emb_i, q.qemb_i),
+              x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) AS d_i32,
+         {_DD.format(a="e.emb_f", b="q.qemb_f")} AS d_f
+  FROM e, q
+)
+SELECT vec_id, d_i32, round(d_f, 4) AS dist_sq_f32
+FROM d ORDER BY d_i32, vec_id LIMIT {KNN_K}
+""",
+    tags=("vector", "eltypes"),
+)
+def q_knn_eltypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-type parity, end to end: the reference instantiates its
+    generic index over f32 / f64 / i32 (``src/test_hnsw.zig:239-273``).
+    This query runs k-NN over a derived INTEGER vector column
+    (fixed-point quantization, floor(x*1000)) with an exact integer
+    squared-L2 kernel — ranking on the integer distance — alongside
+    the float32-storage distance (cast to double; f32 values are
+    exactly representable, so both engines agree bitwise).
+
+    Both engines quantize from the same doubles, so the integer path
+    is exactly reproducible — no float rounding anywhere in the
+    ranking key."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        as_double_array("embedding").alias("emb_f"),
+        F.expr(
+            "transform(cast(embedding as array<double>),"
+            " x -> cast(floor(x * 1000) as bigint))"
+        ).alias("emb_i"),
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb_f").alias("qemb_f"), F.col("emb_i").alias("qemb_i")
+    )
+    d_i = F.expr(
+        "aggregate(zip_with(emb_i, qemb_i, (x, y) -> (x-y)*(x-y)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    return (
+        e.join(F.broadcast(q))
+        .select(
+            "vec_id",
+            d_i.cast("bigint").alias("d_i32"),
+            dist_sq("emb_f", "qemb_f").alias("d_f"),
+        )
+        .orderBy("d_i32", "vec_id")
+        .limit(KNN_K)
+        .select("vec_id", "d_i32", F.round("d_f", 4).alias("dist_sq_f32"))
     )
