@@ -43,6 +43,19 @@ BENCH_NQ = int(os.environ.get("SPARK_GRAFT_BENCH_NQ", "10000"))
 BENCH_K = 10
 SEED = 42
 
+# Reference bench grid (benchmarks/single_threaded_benchmarks.zig:28-33
+# defines dims {128,512,768,1024} x k {10,25,50,100}; no published
+# numbers beyond 128-d/k=10). Run by default at reduced scale so the
+# grid rows land in every BENCH_r{N}.json; raise via env for the full
+# reference shape.
+GRID_ON = os.environ.get("SPARK_GRAFT_BENCH_GRID", "1") != "0"
+GRID_N = int(os.environ.get("SPARK_GRAFT_BENCH_GRID_N", "20000"))
+GRID_NQ = int(os.environ.get("SPARK_GRAFT_BENCH_GRID_NQ", "2000"))
+GRID_DIMS = [int(d) for d in os.environ.get(
+    "SPARK_GRAFT_BENCH_GRID_DIMS", "512,768,1024").split(",")]
+GRID_KS = [int(k) for k in os.environ.get(
+    "SPARK_GRAFT_BENCH_GRID_KS", "25,50,100").split(",")]
+
 HEADLINE = [
     "q_knn_exact",
     "q_knn_batch",
@@ -177,6 +190,35 @@ def main() -> None:
     )
     ann_recall = hits / (n_probe * BENCH_K)
 
+    # -- part 3: reference bench grid (dims x k) ---------------------
+    # benchmarks/single_threaded_benchmarks.zig:28-33 defines the grid;
+    # high dim is where the per-shard GEMM path shines (arithmetic
+    # intensity grows with dim while top-k merge cost stays k-bound).
+    grid_rows = []
+    if GRID_ON:
+        for dim in GRID_DIMS:
+            gemb = gen_vectors(spark, GRID_N, dim, SEED + dim)
+            gsharded = shard_vectors(gemb, CPUS).localCheckpoint(eager=True)
+            gq = np.random.default_rng(SEED + dim).random((GRID_NQ, dim))
+            _noop_write(exact_search_partitioned(gsharded, gq[:100], k=10))
+            for kk in GRID_KS:
+                sec = _best_of(
+                    2,
+                    lambda s=gsharded, q=gq, k_=kk: _noop_write(
+                        exact_search_partitioned(s, q, k=k_)
+                    ),
+                )
+                grid_rows.append(
+                    {
+                        "dim": dim,
+                        "k": kk,
+                        "n": GRID_N,
+                        "nq": GRID_NQ,
+                        "search_qps": round(GRID_NQ / sec, 2),
+                    }
+                )
+            gsharded.unpersist()
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "bench_total",
@@ -193,6 +235,7 @@ def main() -> None:
         "bench_n": BENCH_N,
         "bench_dim": BENCH_DIM,
         "bench_nq": BENCH_NQ,
+        "grid": grid_rows,
     }
     print(json.dumps(result))
     sys.stdout.flush()
