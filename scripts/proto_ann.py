@@ -357,3 +357,219 @@ if sys.argv[1:] and sys.argv[1] == "seeded":
         (16, 512, 256, 32, 64),
     ]:
         run_seeded(M, ef, C, nseed, bw)
+
+
+def build_mnn_graph_cells(X, M, C, R, Cc=None, cell=None):
+    """Approximate M-NN graph: each node's neighbors searched only in
+    its cell + the R-1 nearest cells (cell-blocked build — fraction
+    ~R/C of the exact N^2 work)."""
+    n = len(X)
+    if Cc is None:
+        Cc = kmeans(X, C)
+        cell = assign(X, Cc)
+    # cell neighbor lists (C x R) by centroid distance
+    cd = (Cc * Cc).sum(1)[None, :] - 2.0 * (Cc @ Cc.T)
+    nbr = np.argsort(cd, axis=1, kind="stable")[:, :R]
+    # per-cell member lists
+    members = [np.nonzero(cell == c)[0] for c in range(C)]
+    nn_src, nn_dst, nn_d = [], [], []
+    for g in range(C):
+        probes = members[g]
+        if not len(probes):
+            continue
+        cand = np.concatenate([members[c] for c in nbr[g]])
+        pm, cm = X[probes], X[cand]
+        d = (cm * cm).sum(1)[None, :] - 2.0 * (pm @ cm.T)
+        # mask self
+        selfmask = cand[None, :] == probes[:, None]
+        d[selfmask] = np.inf
+        kk = min(M, len(cand) - 1)
+        part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+        nn_src.append(np.repeat(probes, kk))
+        nn_dst.append(cand[part.ravel()])
+        nn_d.append(np.take_along_axis(d, part, axis=1).ravel())
+    src = np.concatenate(nn_src); dst = np.concatenate(nn_dst)
+    s2 = np.concatenate([src, dst]); d2 = np.concatenate([dst, src])
+    key = s2 * n + d2
+    _, idx = np.unique(key, return_index=True)
+    s2, d2 = s2[idx], d2[idx]
+    dist = ((X[s2] - X[d2]) ** 2).sum(1)
+    order = np.lexsort((dist, s2))
+    s2, d2 = s2[order], d2[order]
+    starts = np.searchsorted(s2, np.arange(n + 1))
+    rank = np.arange(len(s2)) - starts[s2]
+    keep = rank < 2 * M
+    return s2[keep], d2[keep], Cc, cell
+
+
+def run_approx(M, ef, C, R, nseed, bw, nq_batch=1000):
+    t0 = time.time()
+    s, d, Cc, cell = build_mnn_graph_cells(X, M, C, R)
+    build_s = time.time() - t0
+    n = len(X)
+    maxdeg = 2 * M
+    adj = np.full((n + 1, maxdeg), n, dtype=np.int64)
+    starts = np.searchsorted(s, np.arange(n + 1))
+    for j in range(n):
+        a = d[starts[j] : starts[j + 1]]
+        adj[j, : len(a)] = a
+    entries = np.zeros(C, dtype=np.int64)
+    for c in range(C):
+        idx = np.nonzero(cell == c)[0]
+        if len(idx):
+            dc = ((X[idx] - Cc[c]) ** 2).sum(1)
+            entries[c] = idx[dc.argmin()]
+    t0 = time.time()
+    qd = (Cc * Cc).sum(1)[None, :] - 2.0 * (Q[:nq_batch] @ Cc.T)
+    near = np.argsort(qd, axis=1, kind="stable")[:, :nseed]
+    seeds = entries[near]
+    res, nexp = beam_search_seeded(X, adj, seeds, Q[:nq_batch], K, ef, bw)
+    search_s = time.time() - t0
+    hits = sum(len(set(res[q][:K]) & set(gt[q])) for q in range(nq_batch))
+    rec = hits / (nq_batch * K)
+    print(
+        f"APPROX M={M} ef={ef} C={C} R={R} nseed={nseed} bw={bw}: "
+        f"recall={rec:.3f} build={build_s:.1f}s search={search_s:.2f}s "
+        f"({nq_batch/search_s:.0f} q/s 1-thread) exp/q={nexp/nq_batch:.0f}",
+        flush=True,
+    )
+
+
+if sys.argv[1:] and sys.argv[1] == "approx":
+    for args in [
+        (16, 192, 64, 4, 8, 24),
+        (16, 192, 64, 8, 8, 24),
+        (16, 256, 128, 8, 16, 32),
+        (16, 384, 128, 8, 16, 48),
+        (24, 256, 64, 8, 16, 32),
+    ]:
+        run_approx(*args)
+
+
+def run_rp(dp, cand, nq_batch=1000):
+    """Random-projection prefilter: top-`cand` in dp-dim projected
+    space (one GEMM), exact re-rank of candidates in full dim."""
+    rng2 = np.random.default_rng(7)
+    R = rng2.standard_normal((DIM, dp)) / np.sqrt(dp)
+    t0 = time.time()
+    XP = X @ R
+    build_s = time.time() - t0
+    xn = (XP * XP).sum(1)
+    t0 = time.time()
+    QP = Q[:nq_batch] @ R
+    hits = 0
+    chunk = 256
+    for lo in range(0, nq_batch, chunk):
+        qp = QP[lo : lo + chunk]
+        d = xn[None, :] - 2.0 * (qp @ XP.T)
+        part = np.argpartition(d, cand - 1, axis=1)[:, :cand]
+        for j in range(len(qp)):
+            q = lo + j
+            c = part[j]
+            dd = ((X[c] - Q[q]) ** 2).sum(1)
+            top = c[np.lexsort((c, dd))[:K]]
+            hits += len(set(top) & set(gt[q]))
+    search_s = time.time() - t0
+    rec = hits / (nq_batch * K)
+    print(
+        f"RP dp={dp} cand={cand}: recall={rec:.3f} project={build_s:.2f}s "
+        f"search={search_s:.2f}s ({nq_batch/search_s:.0f} q/s 1-thread)",
+        flush=True,
+    )
+
+
+if sys.argv[1:] and sys.argv[1] == "rp":
+    for dp, cand in [(16, 100), (24, 100), (32, 100), (32, 50), (32, 200),
+                     (48, 100), (24, 200), (16, 200)]:
+        run_rp(dp, cand)
+
+
+if sys.argv[1:] and sys.argv[1] == "clustered":
+    # regenerate corpus as a seeded Gaussian mixture: the distribution
+    # where ANN structure exists (real embedding corpora cluster)
+    NCLUST = 200
+    sigma = float(sys.argv[2]) if sys.argv[2:] else 0.08
+    rng3 = np.random.default_rng(123)
+    centers = rng3.random((NCLUST, DIM))
+    ca = rng3.integers(0, NCLUST, N)
+    X = centers[ca] + sigma * rng3.standard_normal((N, DIM))
+    qa = rng3.integers(0, NCLUST, NQ)
+    Q = centers[qa] + sigma * rng3.standard_normal((NQ, DIM))
+    t0 = time.time()
+    xn = (X * X).sum(1)
+    gt = np.empty((NQ, K), dtype=np.int64)
+    for i in range(0, NQ, 256):
+        q = Q[i : i + 256]
+        d = xn[None, :] - 2.0 * (q @ X.T)
+        gt[i : i + 256] = np.argsort(d, axis=1, kind="stable")[:, :K]
+    print(f"clustered gt {time.time()-t0:.1f}s sigma={sigma}", flush=True)
+    for args in [
+        (16, 96, 128, 4, 4, 12),
+        (16, 128, 128, 4, 8, 16),
+        (16, 128, 256, 4, 8, 16),
+        (16, 192, 256, 8, 8, 24),
+    ]:
+        run_approx(*args)
+
+
+def run_approx_ms(M, ef, C, R, nseed, bw, spc, nq_batch=1000):
+    """Multi-seed per cell: spc seeds per routed cell (nearest-to-
+    centroid + evenly spaced members) — covers multi-cluster cells."""
+    t0 = time.time()
+    s, d, Cc, cell = build_mnn_graph_cells(X, M, C, R)
+    build_s = time.time() - t0
+    n = len(X)
+    maxdeg = 2 * M
+    adj = np.full((n + 1, maxdeg), n, dtype=np.int64)
+    starts = np.searchsorted(s, np.arange(n + 1))
+    for j in range(n):
+        a = d[starts[j] : starts[j + 1]]
+        adj[j, : len(a)] = a
+    ent = np.zeros((C, spc), dtype=np.int64)
+    for c in range(C):
+        idx = np.nonzero(cell == c)[0]
+        if len(idx):
+            dc = ((X[idx] - Cc[c]) ** 2).sum(1)
+            picks = [idx[dc.argmin()]]
+            step = max(1, len(idx) // spc)
+            picks += [idx[(j * step) % len(idx)] for j in range(1, spc)]
+            ent[c] = np.array(picks[:spc])
+    t0 = time.time()
+    qd = (Cc * Cc).sum(1)[None, :] - 2.0 * (Q[:nq_batch] @ Cc.T)
+    near = np.argsort(qd, axis=1, kind="stable")[:, :nseed]
+    seeds = ent[near].reshape(nq_batch, -1)
+    res, nexp = beam_search_seeded(X, adj, seeds, Q[:nq_batch], K, ef, bw)
+    search_s = time.time() - t0
+    hits = sum(len(set(res[q][:K]) & set(gt[q])) for q in range(nq_batch))
+    rec = hits / (nq_batch * K)
+    print(
+        f"MS M={M} ef={ef} C={C} R={R} nseed={nseed} bw={bw} spc={spc}: "
+        f"recall={rec:.3f} build={build_s:.1f}s search={search_s:.2f}s "
+        f"({nq_batch/search_s:.0f} q/s 1-thread) exp/q={nexp/nq_batch:.0f}",
+        flush=True,
+    )
+
+
+if sys.argv[1:] and sys.argv[1] == "clustered_ms":
+    NCLUST = 200
+    sigma = float(sys.argv[2]) if sys.argv[2:] else 0.08
+    rng3 = np.random.default_rng(123)
+    centers = rng3.random((NCLUST, DIM))
+    ca = rng3.integers(0, NCLUST, N)
+    X = centers[ca] + sigma * rng3.standard_normal((N, DIM))
+    qa = rng3.integers(0, NCLUST, NQ)
+    Q = centers[qa] + sigma * rng3.standard_normal((NQ, DIM))
+    xn = (X * X).sum(1)
+    gt = np.empty((NQ, K), dtype=np.int64)
+    for i in range(0, NQ, 256):
+        q = Q[i : i + 256]
+        d = xn[None, :] - 2.0 * (q @ X.T)
+        gt[i : i + 256] = np.argsort(d, axis=1, kind="stable")[:, :K]
+    print(f"clustered sigma={sigma}", flush=True)
+    for args in [
+        (16, 96, 128, 4, 4, 12, 4),
+        (16, 128, 128, 4, 8, 16, 4),
+        (16, 128, 256, 4, 8, 16, 2),
+        (16, 128, 256, 4, 8, 16, 4),
+    ]:
+        run_approx_ms(*args)

@@ -99,7 +99,7 @@ def test_blocked_search_matches_partitioned(spark):
     top-k as exact_search_partitioned (numpy probe side)."""
     import pandas as pd
 
-    from zvdb_spark.operators.hnsw import shard_vectors
+    from zvdb_spark.operators.knn import shard_vectors
     from zvdb_spark.operators.knn import (
         exact_search_blocked,
         exact_search_partitioned,

@@ -1,0 +1,117 @@
+"""GraphIndex (operators/graph_ann.py) invariants.
+
+Ports the reference's test battery (src/test_hnsw.zig) onto the
+round-2 kNN-graph index: k-clamp and empty-index semantics (:104-126),
+determinism (:275-316), row conservation under partitioned ingest
+(:154-209), plus the round-2 acceptance criterion: append-after-build
+matches a full rebuild within recall tolerance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from zvdb_spark.functions.vector import as_double_array
+from zvdb_spark.operators.graph_ann import GraphIndex
+from zvdb_spark.operators.knn import exact_search_blocked
+from zvdb_spark.sources.tables import load
+
+
+def _emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+
+
+def _queries(spark, emb, n=20):
+    return (
+        emb.orderBy("vec_id")
+        .limit(n)
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+        .localCheckpoint(eager=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir):
+    emb = _emb(spark, sf_dir).localCheckpoint(eager=True)
+    idx = GraphIndex(m=8, ef=64).build(emb)
+    return emb, idx
+
+
+def _recall(res_pdf, exact_pdf, k):
+    hits = 0
+    qids = exact_pdf.query_id.unique()
+    for q in qids:
+        got = set(res_pdf[res_pdf.query_id == q].vec_id)
+        want = set(exact_pdf[exact_pdf.query_id == q].neighbor_id)
+        hits += len(got & want)
+    return hits / (len(qids) * k)
+
+
+def test_recall_vs_exact(spark, sf_dir, built):
+    emb, idx = built
+    q = _queries(spark, emb)
+    res = idx.search(q, k=5, n_queries=20).toPandas()
+    ex = exact_search_blocked(emb, q, k=5).toPandas()
+    assert _recall(res, ex, 5) >= 0.9
+
+
+def test_results_ascending_and_self_match(spark, sf_dir, built):
+    emb, idx = built
+    q = _queries(spark, emb, n=5)
+    res = idx.search(q, k=5, n_queries=5).toPandas()
+    for qid, grp in res.groupby("query_id"):
+        d = grp.sort_values(["dist_sq", "vec_id"]).dist_sq.to_numpy()
+        assert (np.diff(d) >= 0).all()
+        assert grp.dist_sq.min() == 0.0  # self-match, src/test_hnsw.zig:55-68
+
+
+def test_k_clamp(spark, sf_dir, built):
+    emb, idx = built
+    q = _queries(spark, emb, n=2)
+    n = emb.count()
+    res = idx.search(q, k=n + 100, n_queries=2).toPandas()
+    assert (res.groupby("query_id").size() == n).all()
+
+
+def test_deterministic(spark, sf_dir, built):
+    emb, idx = built
+    idx2 = GraphIndex(m=8, ef=64).build(emb)
+    e1 = idx.edges.toPandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    e2 = idx2.edges.toPandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert e1[["src", "dst"]].equals(e2[["src", "dst"]])
+
+
+def test_append_matches_rebuild(spark, sf_dir):
+    """Round-2 acceptance: build on 90%, append 10%, search must match
+    a full rebuild within recall tolerance — the incremental-ingest
+    twin of the reference's insert (src/hnsw.zig:73-117)."""
+    emb = _emb(spark, sf_dir).localCheckpoint(eager=True)
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    inc = GraphIndex(m=8, ef=64).build(base).append(delta)
+    full = GraphIndex(m=8, ef=64).build(emb)
+    # row conservation (the Concurrent Access analog, :154-209)
+    assert inc.sharded.count() == emb.count()
+    q = _queries(spark, emb)
+    ex = exact_search_blocked(emb, q, k=5).toPandas()
+    r_inc = _recall(inc.search(q, k=5, n_queries=20).toPandas(), ex, 5)
+    r_full = _recall(full.search(q, k=5, n_queries=20).toPandas(), ex, 5)
+    assert r_inc >= r_full - 0.05, (r_inc, r_full)
+    # appended ids are reachable: searching an appended vector's own
+    # embedding must return it at distance 0
+    probe = delta.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    res = inc.search(probe, k=1, n_queries=3).toPandas()
+    assert (res.dist_sq == 0.0).all()
+    assert set(res.vec_id) == set(res.query_id)
+
+
+def test_empty_query_side(spark, sf_dir, built):
+    emb, idx = built
+    q = _queries(spark, emb, n=1).filter(F.col("query_id") < 0)
+    assert idx.search(q, k=3, n_queries=0).count() == 0

@@ -31,8 +31,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zvdb_spark.functions.vector import as_double_array
-from zvdb_spark.operators.hnsw import build_hnsw_index, hnsw_search, shard_vectors
-from zvdb_spark.operators.knn import exact_search_partitioned
+from zvdb_spark.operators.graph_ann import GraphIndex
+from zvdb_spark.operators.knn import exact_search_partitioned, shard_vectors
 
 
 class VectorIndex:
@@ -54,7 +54,7 @@ class VectorIndex:
         self.seed = seed
         self._vectors: DataFrame | None = None
         self._sharded: DataFrame | None = None
-        self._edges: DataFrame | None = None
+        self._graph: GraphIndex | None = None
 
     # -- ingest (R2) -------------------------------------------------
     def insert_batch(
@@ -62,27 +62,41 @@ class VectorIndex:
     ) -> "VectorIndex":
         """Append a batch of vectors. Duplicate points are distinct
         rows as in the reference (src/test_hnsw.zig:104-119); ids must
-        be caller-unique."""
+        be caller-unique.
+
+        Before ``build()`` the batch just accumulates; after it, the
+        batch is INSERTED INCREMENTALLY into the existing index —
+        exact-path shards extend and the ANN graph absorbs the delta
+        via operators/graph_ann.append_edges (per-new-point connect +
+        local re-prune, the reference's incremental ``insert``,
+        src/hnsw.zig:73-117 — never a rebuild)."""
         batch = df.select(
             F.col(id_col).cast("long").alias("vec_id"),
             as_double_array(vec_col).alias("emb"),
         )
-        self._vectors = batch if self._vectors is None else self._vectors.unionAll(batch)
-        self._sharded = None  # invalidate derived state
-        self._edges = None
+        if self._vectors is None:
+            self._vectors = batch
+            return self
+        self._vectors = self._vectors.unionAll(batch)
+        if self._sharded is not None:
+            new_sharded = shard_vectors(batch, self.n_partitions).localCheckpoint(
+                eager=True
+            )
+            self._sharded = self._sharded.unionAll(new_sharded)
+        if self._graph is not None:
+            self._graph.append(batch)
         return self
 
     def build(self) -> "VectorIndex":
-        """Materialize shard assignment and the per-shard graphs
-        (the bulk replacement for R2's incremental build)."""
+        """Materialize the exact-path shard assignment and the ANN
+        graph (bulk form of R2-R5; subsequent insert_batch calls
+        append incrementally instead of invalidating)."""
         if self._vectors is None:
             raise ValueError("insert_batch first: index is empty")
         self._sharded = shard_vectors(self._vectors, self.n_partitions).localCheckpoint(
             eager=True
         )
-        self._edges = build_hnsw_index(
-            self._vectors, self.n_partitions, m=self.m, seed=self.seed
-        ).localCheckpoint(eager=True)
+        self._graph = GraphIndex(m=self.m, seed=self.seed).build(self._vectors)
         return self
 
     # -- search (R7) -------------------------------------------------
@@ -106,7 +120,11 @@ class VectorIndex:
         if approximate:
             from pyspark.sql import Window as W
 
-            out = hnsw_search(self._sharded, self._edges, q, k=k)
+            qdf = self.spark.createDataFrame(
+                [(int(i), [float(x) for x in row]) for i, row in enumerate(q)],
+                "query_id long, qemb array<double>",
+            )
+            out = self._graph.search(qdf, k=k, n_queries=len(q))
             out = out.withColumnsRenamed(
                 {"vec_id": "neighbor_id", "dist_sq": "score"}
             )
@@ -127,4 +145,4 @@ class VectorIndex:
         return 0 if self._vectors is None else self._vectors.count()
 
     def edges(self) -> DataFrame | None:
-        return self._edges
+        return self._graph.edges if self._graph is not None else None

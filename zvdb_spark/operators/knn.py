@@ -18,6 +18,17 @@ from pyspark.sql import functions as F
 from zvdb_spark.functions.vector import cosine_sim, dist_sq
 
 
+def shard_vectors(
+    emb: DataFrame, n_partitions: int, id_col: str = "vec_id", vec_col: str = "emb"
+) -> DataFrame:
+    """Deterministic hash-shard assignment for the exact search path
+    (replaces the reference's global id counter under mutex,
+    src/hnsw.zig:77): hash-mod on the id."""
+    return emb.withColumn(
+        "pid", (F.crc32(F.col(id_col).cast("string")) % n_partitions).cast("int")
+    )
+
+
 def _score(metric: str, a: str, b: str) -> tuple[Column, bool]:
     """Return (score column, ascending?) for a metric name."""
     if metric == "l2_sq":

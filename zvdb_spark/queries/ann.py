@@ -14,9 +14,11 @@ space" are *blocking* structures that Catalyst can execute as joins:
                     because the quantizer is seeded deterministically
                     the whole thing is DuckDB-oracle-checkable.
 
-The per-partition HNSW-mirror (applyInPandas) lives in
-zvdb_spark/operators/hnsw.py and is bench-path only (its graph is
-seeded-random, not SQL-reproducible).
+The navigable kNN-graph path (cell-blocked build + seeded beam, the
+round-2 successor of the HNSW mirror) lives in
+zvdb_spark/operators/graph_ann.py and is bench-path only (graph
+traversal is not SQL-expressible; its invariants are pytest-pinned in
+tests/test_graph_ann.py).
 
 Scale: IVF assignment is a broadcast join against C centroids (no
 shuffle of the corpus); search touches nprobe/C of the data. At 100 TB
@@ -163,28 +165,26 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_hnsw_ann", oracle=None, tags=("ann", "hnsw", "bench"))
+@register("q_hnsw_ann", oracle=None, tags=("ann", "graph", "bench"))
 def q_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partitioned HNSW-mirror ANN search (operators/hnsw.py): seeded
-    per-shard graph build (applyInPandas) + parallel greedy layer-0
-    probe + global top-k merge. Deterministic under the fixed seed but
-    not SQL-expressible (graph traversal) -> rows-only check; its
-    invariants (k results, ascending distance, determinism, recall vs
-    q_knn_exact) are pytest-enforced in tests/test_hnsw_invariants.py."""
-    import numpy as np
-
-    from zvdb_spark.operators.hnsw import build_hnsw_index, hnsw_search, shard_vectors
+    """Navigable kNN-graph ANN search (operators/graph_ann.py — the
+    engine's successor to the reference's HNSW, src/hnsw.zig:194-236):
+    cell-blocked graph build + cell-seeded batched beam search, every
+    stage a DataFrame plan. Deterministic under the fixed seed but not
+    SQL-expressible (graph traversal) -> rows-only check; its
+    invariants (recall vs exact, ascending distance, determinism,
+    append-vs-rebuild, k clamps) are pytest-enforced in
+    tests/test_graph_ann.py."""
+    from zvdb_spark.operators.graph_ann import GraphIndex
 
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("emb")
     )
-    sharded = shard_vectors(e, n_partitions=8).localCheckpoint(eager=True)
-    edges = build_hnsw_index(e, n_partitions=8, m=16, seed=42)
-    qvec = np.asarray(
-        e.filter(F.col("vec_id") == QUERY_VEC_ID).head()[1], dtype=np.float64
+    idx = GraphIndex(m=16, ef=64, cell_target_rows=100, seed=42).build(e)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
-    return hnsw_search(sharded, edges, np.array([qvec]), k=ANN_K,
-                       query_ids=np.array([QUERY_VEC_ID]))
+    return idx.search(q, k=ANN_K, n_queries=1)
 
 
 @register("q_kmeans_quantizer", oracle=None, tags=("ann", "kmeans"))
