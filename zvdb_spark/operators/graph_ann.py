@@ -1,6 +1,6 @@
 """Cell-blocked navigable kNN-graph ANN index — the engine's
-graph-search path (round-2 redesign of the greedy-insert mirror in
-operators/hnsw.py).
+graph-search path (round-2 redesign of the greedy-insert mirror that
+shipped in round 1 as operators/hnsw.py).
 
 The reference accelerates search with a navigable graph built by
 incremental greedy insertion (``src/hnsw.zig:73-117``) and searched
@@ -8,32 +8,45 @@ best-first over layer-0 edges (``src/hnsw.zig:194-236``). This
 redesign keeps the search semantics (best-first frontier over an
 M-degree graph, squared L2, ≤ k results ascending, k > N clamps,
 deterministic ties) but restructures build and routing around a
-coarse quantizer, because that is what measured well:
+coarse quantizer and immutable index segments, because that is what
+measured well:
 
 - **cells**: seeded k-means cells (~``cell_target_rows`` rows each)
   quantize the corpus. One shuffle to assign; centroids are k x dim
   driver-side index metadata (like the reference's entry_point
   scalar, ``src/hnsw.zig:46``).
+- **segments**: each search shard's (sorted id vector, embedding
+  matrix, cell index) is written ONCE, executor-side, as ``.npy``
+  files — the way production vector indexes ship immutable segments
+  to object storage. Everything downstream (edge build, adjacency
+  pack, search) ``np.load(mmap_mode="r")``s them, so the corpus
+  crosses the JVM<->Python Arrow boundary exactly once, at pack
+  time. (Measured alternative: shuffling the corpus through a
+  cogroup for every build stage / search cost 22 s per build stage
+  and ~25 s per search at 100k x 128-d.)
 - **build**: each node's M nearest are searched only among its cell
-  and the R-1 nearest cells (cell-blocked blocked-GEMM kNN — the
-  fraction ~R/C of the exact N² work), then edges are symmetrized
-  and degree-capped at 2M by a window — the distributed connect +
-  shrink (``src/hnsw.zig:119-170``). Every step is a DataFrame op.
+  and the R-1 nearest cells (fraction ~R/C of the exact N² work).
+  The work unit is a CELL — a tiny driver-made work list fans cells
+  out to tasks that mmap the segments and GEMM; only the resulting
+  edge list (N x M skinny rows) flows through Spark. Edges are then
+  symmetrized and degree-capped at 2M by one window — the
+  distributed connect + shrink (``src/hnsw.zig:119-170``).
 - **search**: a query seeds its beam from ``seeds_per_cell`` entry
   nodes of its ``nseed`` nearest cells, then runs a batched
-  best-first beam over the edge table inside a cogrouped
-  applyInPandas task (queries are a DataFrame — no table data rides
-  any closure). Final global top-k by window.
+  best-first beam inside an applyInPandas task over the QUERY side
+  only (queries are a DataFrame — no table data rides any closure);
+  the task mmaps its shard's segments. Final global top-k by window.
 - **append**: new rows keep the quantizer, search their M nearest
   within their cell neighborhood (cost |new| x R x cell, never a
   rebuild), connect bidirectionally, local re-prune — the
-  reference's incremental ``insert``.
+  reference's incremental ``insert``. Segments are immutable:
+  append re-packs (linear IO, no graph recompute) under a fresh
+  token; a concurrent search keeps reading its old files.
 
-Measured basis (scripts/proto_ann.py, 100k x 128-d, k=10): on a
-clustered corpus (mixture of Gaussians — the structure real
-embedding corpora have) this reaches recall 0.93 at ~750 q/s per
-thread (C=256, ef=128); multi-seeding keeps 0.86 when cells are
-under-provisioned. On the uniform-random adversary NO sublinear
+Measured basis (scripts/proto_ann.py + full-scale runs, 100k x
+128-d, k=10): on a clustered corpus (mixture of Gaussians — the
+structure real embedding corpora have) this reaches recall 0.94 at
+~550 q/s with ef=128. On the uniform-random adversary NO sublinear
 method survives (measured: exact-graph beam 0.82@10 q/s, IVF routing
 0.47, random-projection prefilter 0.05-0.10 — distance concentration
 leaves nothing to exploit), so the engine's contract is: graph path
@@ -41,18 +54,25 @@ for structured data, exact GEMM path (operators/knn.py, full recall
 at 1.7-2.6k q/s on the same hardware) for adversarial or
 recall-critical workloads. SCALING.md quantifies this.
 
-Scale posture: P spatial shards bound per-task state (vectors +
-edges of one shard); cells group into shards by centroid clustering;
-queries route to shards via their seed cells. Search cost per query
-is ef-bounded (independent of shard size); build and append shuffle
-only cell-neighborhood replicas (~R x corpus). Fully deterministic:
-seeded k-means, deterministic blocked kNN, (distance, id) ties —
-unlike the reference's CSPRNG build (``src/hnsw.zig:176``).
+Scale posture: P spatial shards bound per-task state (one segment =
+one shard, ≤ ``shard_target_rows``); cells group into shards by
+centroid clustering; queries route to the shards holding their seed
+cells. Search cost per query is ef-bounded (independent of shard
+size). ``index_dir`` must be host-shared storage (NFS/EFS-style) on
+a multi-node cluster; the local tmpdir default is correct for
+local[n]. Driver-side state is quantizer metadata only (C x dim
+centroids + C-length maps) — bounded by design, like the
+reference's entry-point scalar. Fully deterministic: seeded k-means,
+deterministic blocked kNN, (distance, id) ties — unlike the
+reference's CSPRNG build (``src/hnsw.zig:176``).
 """
 
 from __future__ import annotations
 
 import math
+import os
+import tempfile
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -65,65 +85,19 @@ from zvdb_spark.operators.knn import _pair_scores, _topk_by_dist_id
 DEFAULT_CELL_TARGET = 400  # rows per quantizer cell
 DEFAULT_SHARD_TARGET = 2_000_000  # rows per search shard (task state bound)
 _MIN_CELLS = 4
+# driver-local k-means bound: fit locally when the bounded sample
+# (40 rows/cell) holds at most this many floats; else distributed
+_LOCAL_KMEANS_MAX_ELEMS = 50_000_000
 
-_PAIR_SCHEMA = "pid int, query_id long, neighbor_id long, score double"
 SEARCH_SCHEMA_STR = "query_id long, vec_id long, dist_sq double"
-
-
-def knn_blocked_grouped(
-    corpus: DataFrame,
-    probes: DataFrame,
-    k: int,
-) -> DataFrame:
-    """Exact kNN of probes vs corpus WITHIN each ``pid`` group, both
-    sides DataFrames: one cogrouped applyInPandas GEMM per group, then
-    a per-(pid, query) top-k window with deterministic (score, id)
-    ties. Groups are cell neighborhoods (build/append) — already
-    bounded — so no further sub-blocking is needed inside a group."""
-
-    def _cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
-        if not len(qpdf) or not len(cpdf):
-            return pd.DataFrame(
-                {"pid": [], "query_id": [], "neighbor_id": [], "score": []}
-            ).astype(
-                {
-                    "pid": "int32",
-                    "query_id": "int64",
-                    "neighbor_id": "int64",
-                    "score": "float64",
-                }
-            )
-        qids = qpdf["query_id"].to_numpy()
-        qarr = np.ascontiguousarray(
-            np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
-        )
-        ids = cpdf["vec_id"].to_numpy()
-        mat = np.ascontiguousarray(
-            np.stack(cpdf["emb"].to_numpy()).astype(np.float64)
-        )
-        d = _pair_scores(qarr, mat, "l2_sq")
-        kk = min(k, mat.shape[0])
-        part = _topk_by_dist_id(d, ids, kk)
-        return pd.DataFrame(
-            {
-                "pid": np.full(len(qids) * kk, qpdf["pid"].iloc[0], dtype=np.int32),
-                "query_id": np.repeat(qids, kk),
-                "neighbor_id": ids[part.ravel()],
-                "score": np.take_along_axis(d, part, axis=1).ravel(),
-            }
-        )
-
-    per_cell = (
-        probes.groupBy("pid")
-        .cogroup(corpus.groupBy("pid"))
-        .applyInPandas(_cell, _PAIR_SCHEMA)
-    )
-    w = W.partitionBy("pid", "query_id").orderBy("score", "neighbor_id")
-    return (
-        per_cell.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+_EDGE_SCHEMA = "query_id long, neighbor_id long, score double"
+_PACK_SCHEMA = (
+    "pid int, n long, dim int, prefix string,"
+    " cells array<int>, seeds array<array<bigint>>"
+)
+_META_SCHEMA = (
+    "pid int, n long, maxdeg int, dim int, vprefix string, aprefix string"
+)
 
 
 def _cell_neighbors(centroids: np.ndarray, r: int) -> np.ndarray:
@@ -134,52 +108,42 @@ def _cell_neighbors(centroids: np.ndarray, r: int) -> np.ndarray:
     return np.argsort(cd, axis=1, kind="stable")[:, : min(r, len(centroids))]
 
 
-def build_cell_edges(
-    celled: DataFrame,
-    centroids: np.ndarray,
-    m: int,
-    r_build: int = 4,
-    probes: DataFrame | None = None,
-) -> DataFrame:
-    """Approximate M-NN edges, cell-blocked: probes (default: every
-    node) search their ``m`` nearest among the members of their
-    ``r_build`` nearest cells. The cell->group replication map is a
-    tiny broadcast-joined literal table; the corpus replicates ~R x.
-    Returns directed best-M lists (group key = probing cell)."""
-    spark = celled.sparkSession
-    nbr = _cell_neighbors(centroids, r_build)
-    pairs = [(int(g), int(c)) for g in range(len(nbr)) for c in nbr[g]]
-    cmap = spark.createDataFrame(pairs, "pid int, cell_id int")
-    corpus = celled.join(F.broadcast(cmap), "cell_id").select(
-        "pid", "vec_id", "emb"
-    )
-    if probes is None:
-        probes = celled
-    probes = probes.select(
-        F.col("cell_id").alias("pid"),
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qemb"),
-    )
-    return knn_blocked_grouped(corpus, probes, m + 1).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-
-
 def _symmetrize_cap(nn: DataFrame, m: int) -> DataFrame:
     """Bidirectional edges + degree cap 2M by (distance, id) — the
     distributed connect + shrinkConnections (src/hnsw.zig:119-170).
-    Returns (src, dst, score)."""
+    ONE shuffle (the per-src window); mutual-kNN pairs appear twice
+    with the same score and are deduplicated downstream (adjacency
+    pack / append merge) rather than paying a second (src, dst)
+    shuffle here. Returns (src, dst, score)."""
     fwd = nn.select(F.col("query_id").alias("src"),
                     F.col("neighbor_id").alias("dst"), "score")
     rev = nn.select(F.col("neighbor_id").alias("src"),
                     F.col("query_id").alias("dst"), "score")
-    both = fwd.unionAll(rev).groupBy("src", "dst").agg(F.min("score").alias("score"))
+    both = fwd.unionAll(rev)
     w = W.partitionBy("src").orderBy("score", "dst")
     return (
         both.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 2 * m)
         .drop("rn")
     )
+
+
+def _kmeans_local(sample: np.ndarray, k: int, n_iter: int) -> np.ndarray:
+    """Seeded Lloyd's on a driver-local sample (same algorithm as
+    operators/kmeans.kmeans_fit: init = first k rows in id order,
+    fixed iterations, empty cells keep their centroid). The sample is
+    bounded at 40 rows/cell, so this is quantizer metadata work, not
+    table data."""
+    k = min(k, len(sample))
+    centroids = sample[:k].astype(np.float64).copy()
+    for _ in range(n_iter):
+        cn = (centroids * centroids).sum(1)
+        a = (cn[None, :] - 2.0 * (sample @ centroids.T)).argmin(1)
+        for j in range(k):
+            msk = a == j
+            if msk.any():
+                centroids[j] = sample[msk].mean(0)
+    return centroids
 
 
 def _beam_search_seeded(
@@ -204,13 +168,13 @@ def _beam_search_seeded(
         # budget touches (nearly) the whole shard: score exhaustively
         # instead — exact, preserving the k > N clamp
         # (src/test_hnsw.zig:121-125)
-        d = _pair_scores(qm, mat, "l2_sq")
+        d = _pair_scores(qm, np.asarray(mat), "l2_sq")
         kk = min(k, n)
         part = _topk_by_dist_id(d, ids, kk)
         return pd.DataFrame(
             {
                 "query_id": np.repeat(qids, kk),
-                "vec_id": ids[part.ravel()],
+                "vec_id": np.asarray(ids)[part.ravel()],
                 "dist_sq": np.take_along_axis(d, part, axis=1).ravel(),
             }
         )
@@ -222,12 +186,13 @@ def _beam_search_seeded(
     sq[sq < 0] = n  # sentinel for missing seeds (empty cells)
     visited[np.repeat(np.arange(nb), ns), sq.ravel()] = True
     visited[:, n] = True
-    matx = np.vstack([mat, np.zeros((1, mat.shape[1]))])  # sentinel row
-    diff = matx[sq.ravel()] - np.repeat(qm, ns, axis=0)
-    d0 = np.einsum("ij,ij->i", diff, diff)
-    d0[sq.ravel() == n] = np.inf
+    sqr = sq.ravel()
+    d0 = np.full(len(sqr), np.inf)
+    live = sqr < n
+    diff = mat[sqr[live]] - np.repeat(qm, ns, axis=0)[live]
+    d0[live] = np.einsum("ij,ij->i", diff, diff)
     acc_q = [np.repeat(np.arange(nb, dtype=np.int64), ns)]
-    acc_p = [sq.ravel().astype(np.int64)]
+    acc_p = [sqr.astype(np.int64)]
     acc_d = [d0]
     beam = np.full((nb, beam_width), n, dtype=np.int64)
     beam[:, :ns] = sq
@@ -275,11 +240,12 @@ def _beam_search_seeded(
     qs_, ps_, ds_ = qs_[order], ps_[order], ds_[order]
     starts = np.searchsorted(qs_, np.arange(nb + 1))
     out_q, out_v, out_d = [], [], []
+    ids_arr = np.asarray(ids)
     for qi in range(nb):
         lo = starts[qi]
         hi = min(starts[qi + 1], lo + k)
         out_q.append(np.full(hi - lo, qids[qi], dtype=np.int64))
-        out_v.append(ids[ps_[lo:hi]])
+        out_v.append(ids_arr[ps_[lo:hi]])
         out_d.append(ds_[lo:hi])
     return pd.DataFrame(
         {
@@ -290,11 +256,20 @@ def _beam_search_seeded(
     )
 
 
+def _save_npy(prefix: str, name: str, arr: np.ndarray) -> None:
+    """Atomic .npy write (tmp + rename) so readers never see a
+    partial segment."""
+    tmp = f"{prefix}.{name}.{os.getpid()}.tmp"
+    with open(tmp, "wb") as fh:
+        np.save(fh, arr)
+    os.replace(tmp, f"{prefix}.{name}.npy")
+
+
 class GraphIndex:
     """Cell-quantized, incrementally-appendable kNN-graph index with
-    seeded beam search. Public shape mirrors the reference
-    (build / append / search); see the module docstring for design
-    and measured characteristics."""
+    seeded beam search over immutable mmap segments. Public shape
+    mirrors the reference (build / append / search); see the module
+    docstring for design and measured characteristics."""
 
     def __init__(
         self,
@@ -306,6 +281,7 @@ class GraphIndex:
         nseed: int = 8,
         seeds_per_cell: int = 2,
         seed: int = 42,
+        index_dir: str | None = None,
     ) -> None:
         self.m = m
         self.ef = ef
@@ -315,16 +291,25 @@ class GraphIndex:
         self.nseed = nseed
         self.seeds_per_cell = seeds_per_cell
         self.seed = seed
+        self.index_dir = index_dir  # host-shared storage on a cluster
         # index metadata (driver-side, size O(C x dim) — the scalar
         # state analog of the reference's entry_point/max_level)
         self.centroids: np.ndarray | None = None
         self.cell_shard: np.ndarray | None = None  # (C,) cell -> pid
         self.cell_seeds: np.ndarray | None = None  # (C, spc) vec_ids, -1 pad
-        # index data (DataFrames)
+        # index data (DataFrames + segment files)
         self.celled: DataFrame | None = None  # (cell_id, vec_id, emb)
         self.edges: DataFrame | None = None  # (src, dst, score)
+        self.n_rows: int = 0
+        self._vec_meta: dict[int, tuple[str, int, int]] = {}  # pid->(prefix,n,dim)
         self._state: DataFrame | None = None
-        self._state_repl: dict[int, DataFrame] = {}
+
+    def _seg_dir(self) -> str:
+        d = self.index_dir or os.path.join(
+            tempfile.gettempdir(), "zvdb_graph_idx"
+        )
+        os.makedirs(d, exist_ok=True)
+        return d
 
     # -- build (R1-R5, bulk) ----------------------------------------
     def build(self, emb: DataFrame, n_rows: int | None = None) -> "GraphIndex":
@@ -333,23 +318,29 @@ class GraphIndex:
 
         if n_rows is None:
             n_rows = emb.count()
+        self.n_rows = n_rows
         c_cells = max(_MIN_CELLS, math.ceil(n_rows / self.cell_target_rows))
         frac = min(1.0, (40.0 * c_cells) / max(n_rows, 1))
         sample = emb.sample(fraction=frac, seed=self.seed) if frac < 1.0 else emb
-        self.centroids = kmeans_fit(
-            sample, k=c_cells, n_iter=4, id_col="vec_id", vec_col="emb"
-        )
+        dim_guess = len(sample.select("emb").head()[0])
+        if 40.0 * c_cells * dim_guess <= _LOCAL_KMEANS_MAX_ELEMS:
+            rows = sample.select("vec_id", "emb").orderBy("vec_id").collect()
+            smat = np.stack([np.asarray(r.emb, dtype=np.float64) for r in rows])
+            self.centroids = _kmeans_local(smat, c_cells, n_iter=4)
+        else:
+            self.centroids = kmeans_fit(
+                sample, k=c_cells, n_iter=4, id_col="vec_id", vec_col="emb"
+            )
         self.celled = (
             assign_cells(emb, self.centroids, "vec_id", "emb")
             .select("cell_id", "vec_id", "emb")
             .localCheckpoint(eager=True)
         )
-        nn = build_cell_edges(self.celled, self.centroids, self.m, self.r_build)
-        self.edges = _symmetrize_cap(nn, self.m).localCheckpoint(eager=True)
         self._assign_shards()
-        self._collect_seeds()
+        self._pack_vectors(self.celled)
+        nn = self._edges_from_segments()
+        self.edges = _symmetrize_cap(nn, self.m).localCheckpoint(eager=True)
         self._state = None
-        self._state_repl = {}
         return self
 
     def _assign_shards(self) -> None:
@@ -357,9 +348,7 @@ class GraphIndex:
         for anything under shard_target_rows; else k-means over the
         centroid matrix (driver-side, C x dim)."""
         c = len(self.centroids)
-        n_shards = max(1, math.ceil(
-            (self.celled.count()) / self.shard_target_rows
-        ))
+        n_shards = max(1, math.ceil(self.n_rows / self.shard_target_rows))
         if n_shards <= 1:
             self.cell_shard = np.zeros(c, dtype=np.int64)
             return
@@ -375,58 +364,182 @@ class GraphIndex:
                     centers[j] = cmat[msk].mean(0)
         self.cell_shard = a.astype(np.int64)
 
-    def _collect_seeds(self) -> None:
-        """Per-cell seed nodes: the member nearest the centroid plus
-        evenly spaced members (covers multi-cluster cells). One
-        aggregation collecting C x spc (cell, vec_id) rows — index
-        metadata, not table data."""
-        spc = self.seeds_per_cell
-        cmat = self.centroids
-        cn = (cmat * cmat).sum(1)
-
-        @F.pandas_udf("double")
-        def _dc(cell: pd.Series, vs: pd.Series) -> pd.Series:
-            mat = np.stack(vs.to_numpy()).astype(np.float64)
-            cidx = cell.to_numpy()
-            diff = mat - cmat[cidx]
-            return pd.Series(np.einsum("ij,ij->i", diff, diff))
-
-        scored = self.celled.withColumn("dc", _dc(F.col("cell_id"), F.col("emb")))
-        w_near = W.partitionBy("cell_id").orderBy("dc", "vec_id")
-        w_spread = W.partitionBy("cell_id").orderBy("vec_id")
-        cnt = F.count("*").over(W.partitionBy("cell_id"))
-        picks = (
-            scored.select(
-                "cell_id",
-                "vec_id",
-                F.row_number().over(w_near).alias("rn_near"),
-                F.row_number().over(w_spread).alias("rn_id"),
-                cnt.alias("n"),
-            )
-            .filter(
-                (F.col("rn_near") == 1)
-                | (
-                    (F.col("rn_id") % F.greatest(
-                        (F.col("n") / spc).cast("int"), F.lit(1)
-                    ) == 0)
-                    & (F.col("rn_id") <= (spc - 1) * F.greatest(
-                        (F.col("n") / spc).cast("int"), F.lit(1)
-                    ))
-                )
-            )
-            .select("cell_id", "vec_id", "rn_near")
-            .collect()
+    def _pack_vectors(self, celled: DataFrame) -> None:
+        """Write the per-shard VECTOR segments (ids sorted, embedding
+        matrix, per-row cell index, new-row mask) and collect per-cell
+        seed nodes from the same pass. One groupBy(pid) shuffle — the
+        single time the corpus crosses into Python — then ~C x spc
+        seed ids come back as metadata. ``is_new`` column (append
+        path) marks probe rows; absent means all rows probe."""
+        spark = celled.sparkSession
+        shard_map = spark.createDataFrame(
+            [(int(c), int(p)) for c, p in enumerate(self.cell_shard)],
+            "cell_id int, pid int",
         )
+        cols = ["pid", "cell_id", "vec_id", "emb"]
+        has_new = "is_new" in celled.columns
+        if has_new:
+            cols.append("is_new")
+        nodes = celled.join(F.broadcast(shard_map), "cell_id").select(*cols)
+        seg_dir = self._seg_dir()
+        token = uuid.uuid4().hex[:12]
+        cmat = self.centroids
+        spc = self.seeds_per_cell
+
+        def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("vec_id", ignore_index=True)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            n = len(ids)
+            mat = np.ascontiguousarray(
+                np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            )
+            dim = mat.shape[1]
+            cells = pdf["cell_id"].to_numpy(dtype=np.int32)
+            newm = (
+                pdf["is_new"].to_numpy(dtype=bool)
+                if "is_new" in pdf.columns
+                else np.ones(n, dtype=bool)
+            )
+            pid = int(pdf["pid"].iloc[0])
+            prefix = os.path.join(seg_dir, f"seg_{token}_{pid}")
+            _save_npy(prefix, "ids", ids)
+            _save_npy(prefix, "mat", mat)
+            _save_npy(prefix, "cells", cells)
+            _save_npy(prefix, "new", newm)
+            # per-cell seeds: member nearest the centroid + evenly
+            # spaced members (covers multi-cluster cells)
+            order = np.argsort(cells, kind="stable")
+            cs = cells[order]
+            uniq, starts = np.unique(cs, return_index=True)
+            starts = np.append(starts, n)
+            out_cells, out_seeds = [], []
+            for i, c in enumerate(uniq):
+                memb = order[starts[i]:starts[i + 1]]
+                dc = ((mat[memb] - cmat[c]) ** 2).sum(1)
+                near = memb[np.lexsort((ids[memb], dc))[0]]
+                picks = [int(ids[near])]
+                step = max(len(memb) // spc, 1)
+                for j in range(step - 1, len(memb), step):
+                    sid = int(ids[memb[j]])
+                    if sid not in picks and len(picks) < spc:
+                        picks.append(sid)
+                out_cells.append(int(c))
+                out_seeds.append(picks)
+            return pd.DataFrame(
+                [(pid, n, dim, prefix, out_cells, out_seeds)],
+                columns=["pid", "n", "dim", "prefix", "cells", "seeds"],
+            )
+
+        meta = (
+            nodes.groupBy("pid").applyInPandas(_pack, _PACK_SCHEMA).collect()
+        )
+        self._vec_meta = {r.pid: (r.prefix, r.n, r.dim) for r in meta}
         c = len(cmat)
         seeds = np.full((c, spc), -1, dtype=np.int64)
-        fill: dict[int, int] = {}
-        # nearest-to-centroid first, then spread picks
-        for row in sorted(picks, key=lambda r: (r.cell_id, r.rn_near != 1, r.vec_id)):
-            j = fill.get(row.cell_id, 0)
-            if j < spc and row.vec_id not in seeds[row.cell_id]:
-                seeds[row.cell_id, j] = row.vec_id
-                fill[row.cell_id] = j + 1
+        for r in meta:
+            for cell, sds in zip(r.cells, r.seeds):
+                for j, s in enumerate(sds[:spc]):
+                    seeds[cell, j] = s
         self.cell_seeds = seeds
+
+    def _edges_from_segments(self) -> DataFrame:
+        """Directed approximate M-NN edges, cell-blocked: every probe
+        row (new mask in the segment) searches its ``m`` nearest among
+        the members of its ``r_build`` nearest cells. The work unit is
+        a CELL: a C-row driver-made work list (cell, its neighbor
+        cells, their shards) fans out to tasks that mmap the vector
+        segments — the corpus itself never shuffles; only the N x M
+        edge rows flow back. Cost ~R/C of the exact N² GEMM."""
+        spark = self.celled.sparkSession
+        nbr = _cell_neighbors(self.centroids, self.r_build)
+        cell_pid = self.cell_shard
+        vmeta = {p: v[0] for p, v in self._vec_meta.items()}  # pid -> prefix
+        m = self.m
+        ntasks = max(1, min(spark.sparkContext.defaultParallelism * 4, len(nbr)))
+        work = spark.createDataFrame(
+            [
+                (
+                    int(c),
+                    [int(g) for g in nbr[c]],
+                    [int(cell_pid[g]) for g in nbr[c]],
+                )
+                for c in range(len(nbr))
+            ],
+            "cell int, nbrs array<int>, nbr_pids array<int>",
+        )
+
+        def _task(batches):
+            cache: dict[int, tuple] = {}
+
+            def seg(pid: int):
+                if pid not in cache:
+                    pref = vmeta[pid]
+                    ids = np.load(f"{pref}.ids.npy", mmap_mode="r")
+                    mat = np.load(f"{pref}.mat.npy", mmap_mode="r")
+                    cells = np.load(f"{pref}.cells.npy")
+                    newm = np.load(f"{pref}.new.npy")
+                    order = np.argsort(cells, kind="stable")
+                    cs = cells[order]
+                    cache[pid] = (ids, mat, order, cs, newm)
+                return cache[pid]
+
+            def members(pid: int, cell: int) -> np.ndarray:
+                _, _, order, cs, _ = seg(pid)
+                lo = np.searchsorted(cs, cell, side="left")
+                hi = np.searchsorted(cs, cell, side="right")
+                return order[lo:hi]
+
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples(index=False):
+                    pid = int(cell_pid[row.cell])
+                    if pid not in vmeta:
+                        continue
+                    ids, mat, _, _, newm = seg(pid)
+                    memb = members(pid, row.cell)
+                    probe = memb[newm[memb]]
+                    if not len(probe):
+                        continue
+                    cor_i, cor_m = [], []
+                    for g, pg in zip(row.nbrs, row.nbr_pids):
+                        if pg not in vmeta:
+                            continue
+                        gids, gmat, _, _, _ = seg(pg)
+                        mg = members(pg, g)
+                        if len(mg):
+                            cor_i.append(np.asarray(gids)[mg])
+                            cor_m.append(np.asarray(gmat[mg]))
+                    if not cor_i:
+                        continue
+                    cor_ids = np.concatenate(cor_i)
+                    cor_mat = np.vstack(cor_m)
+                    q = np.ascontiguousarray(np.asarray(mat[probe]))
+                    qi = np.asarray(ids)[probe]
+                    d = _pair_scores(q, cor_mat, "l2_sq")
+                    kk = min(m + 1, len(cor_ids))
+                    part = _topk_by_dist_id(d, cor_ids, kk)
+                    qq = np.repeat(qi, kk)
+                    nb_ = cor_ids[part.ravel()]
+                    ss = np.take_along_axis(d, part, axis=1).ravel()
+                    keep = qq != nb_  # drop self-edges
+                    out.append((qq[keep], nb_[keep], ss[keep]))
+                if out:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.concatenate([o[0] for o in out]),
+                            "neighbor_id": np.concatenate([o[1] for o in out]),
+                            "score": np.concatenate([o[2] for o in out]),
+                        }
+                    )
+
+        # EXPLICIT partition count + mapInPandas: the work list is a
+        # few KB, so a groupBy shuffle would be AQE-coalesced into ONE
+        # partition and the whole GEMM fan-out would serialize
+        # (measured: 16 s vs ~2 s at 100k). Round-robin repartition
+        # with a fixed count is respected by AQE and balances cells
+        # perfectly; grouping semantics aren't needed — each row is an
+        # independent cell.
+        return work.repartition(ntasks).mapInPandas(_task, _EDGE_SCHEMA)
 
     # -- append (R2, incremental) -----------------------------------
     def append(self, emb_new: DataFrame) -> "GraphIndex":
@@ -434,7 +547,9 @@ class GraphIndex:
         quantizer frozen, new rows search their M nearest within their
         cell neighborhood (cost |new| x R x cell rows), connect
         bidirectionally, degree re-cap — src/hnsw.zig:73-117 as a
-        batch delta."""
+        batch delta. Segments re-pack (linear IO under a fresh token —
+        immutable files, concurrent searches keep their old ones);
+        the graph GEMM runs only for the new rows."""
         from zvdb_spark.operators.kmeans import assign_cells
 
         if self.celled is None:
@@ -444,10 +559,14 @@ class GraphIndex:
             .select("cell_id", "vec_id", "emb")
             .localCheckpoint(eager=True)
         )
-        all_celled = self.celled.unionAll(new_celled)
-        nn = build_cell_edges(
-            all_celled, self.centroids, self.m, self.r_build, probes=new_celled
+        all_celled = self.celled.unionAll(new_celled).localCheckpoint(eager=True)
+        flagged = self.celled.withColumn("is_new", F.lit(False)).unionAll(
+            new_celled.withColumn("is_new", F.lit(True))
         )
+        self.celled = all_celled
+        self.n_rows += new_celled.count()
+        self._pack_vectors(flagged)  # refreshed segments + seeds
+        nn = self._edges_from_segments()  # probes = new rows only
         delta = nn.select(
             F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"), "score"
         )
@@ -467,19 +586,19 @@ class GraphIndex:
             .drop("rn")
             .localCheckpoint(eager=True)
         )
-        self.celled = all_celled.localCheckpoint(eager=True)
-        self._collect_seeds()  # refresh: appended rows can seed too
         self._state = None
-        self._state_repl = {}
         return self
 
     # -- search (R7) -------------------------------------------------
     def state(self) -> DataFrame:
-        """Packed per-shard search state, ONE ROW PER NODE:
-        (pid, vec_id, emb, nbrs) with the adjacency as a sorted id
-        array — the immutable-batch analog of the reference's node
-        map + adjacency (src/hnsw.zig:44-50), packed so the per-search
-        shuffle carries N rows, not N + |edges| rows."""
+        """Adjacency segments + search metadata. Builds the padded
+        position-mapped adjacency for each shard from the edge table
+        (one join to tag each src with its shard + one groupBy(pid)
+        pass), writes it next to the vector segment, and returns the
+        tiny metadata DataFrame (pid, n, maxdeg, dim, vprefix,
+        aprefix) that search broadcasts. Index bytes live in the
+        segment files — search moves ZERO index data through shuffles
+        or the JVM<->Python boundary."""
         if self._state is None:
             if self.celled is None:
                 raise ValueError("build() first")
@@ -488,19 +607,73 @@ class GraphIndex:
                 [(int(c), int(p)) for c, p in enumerate(self.cell_shard)],
                 "cell_id int, pid int",
             )
-            adj = self.edges.groupBy("src").agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(score, dst))),"
-                    " x -> x.dst)"
-                ).alias("nbrs")
-            )
-            self._state = (
+            src_pid = (
                 self.celled.join(F.broadcast(shard_map), "cell_id")
-                .join(adj, self.celled.vec_id == adj.src, "left")
-                .select("pid", "vec_id", "emb", "nbrs")
-                .localCheckpoint(eager=True)
+                .select(F.col("vec_id").alias("src"), "pid")
             )
-            self._state_repl = {}
+            tagged = self.edges.join(src_pid, "src")
+            seg_dir = self._seg_dir()
+            token = uuid.uuid4().hex[:12]
+            vmeta = dict(self._vec_meta)  # pid -> (prefix, n, dim)
+            two_m = 2 * self.m
+
+            def _adj(pdf: pd.DataFrame) -> pd.DataFrame:
+                pid = int(pdf["pid"].iloc[0])
+                vprefix, n, dim = vmeta[pid]
+                ids = np.load(f"{vprefix}.ids.npy")
+                n = len(ids)
+                src = pdf["src"].to_numpy(dtype=np.int64)
+                dst = pdf["dst"].to_numpy(dtype=np.int64)
+                sc = pdf["score"].to_numpy(dtype=np.float64)
+                sp = np.minimum(np.searchsorted(ids, src), n - 1)
+                dp = np.minimum(np.searchsorted(ids, dst), n - 1)
+                # src always local (tagged by shard); dst may live in
+                # another shard — cut at the boundary, routing
+                # compensates
+                ok = (ids[sp] == src) & (ids[dp] == dst)
+                sp, dp, sc = sp[ok], dp[ok], sc[ok]
+                order = np.lexsort((dp, sc, sp))
+                sp, dp, sc = sp[order], dp[order], sc[order]
+                # dedupe (src, dst): mutual-kNN pairs arrive twice
+                key = sp * np.int64(n + 1) + dp
+                srt = np.argsort(key, kind="stable")
+                ksrt = key[srt]
+                first = np.ones(len(ksrt), dtype=bool)
+                first[1:] = ksrt[1:] != ksrt[:-1]
+                keep_idx = np.sort(srt[first])
+                sp, dp, sc = sp[keep_idx], dp[keep_idx], sc[keep_idx]
+                # per-src rank (already sorted by (sp, score, dp))
+                starts = np.searchsorted(sp, np.arange(n + 1))
+                rank = np.arange(len(sp)) - starts[sp]
+                cap = rank < two_m
+                sp, dp, rank = sp[cap], dp[cap], rank[cap]
+                deg = np.bincount(sp, minlength=n)
+                maxdeg = max(int(deg.max()) if len(deg) else 0, 1)
+                adj_m = np.full((n + 1, maxdeg), n, dtype=np.int64)
+                adj_m[sp, rank] = dp
+                aprefix = os.path.join(seg_dir, f"adj_{token}_{pid}")
+                _save_npy(aprefix, "adj", adj_m)
+                return pd.DataFrame(
+                    [(pid, n, maxdeg, dim, vprefix, aprefix)],
+                    columns=[
+                        "pid", "n", "maxdeg", "dim", "vprefix", "aprefix",
+                    ],
+                )
+
+            rows = (
+                tagged.groupBy("pid").applyInPandas(_adj, _META_SCHEMA).collect()
+            )
+            have = {r.pid for r in rows}
+            # shards with vectors but no edges (e.g. isolated single
+            # nodes) stay searchable via seeds: empty adjacency
+            fill = [
+                (int(p), int(n), 1, int(dim), prefix, "")
+                for p, (prefix, n, dim) in self._vec_meta.items()
+                if p not in have
+            ]
+            self._state = spark.createDataFrame(
+                [tuple(r) for r in rows] + fill, _META_SCHEMA
+            )
         return self._state
 
     def search(
@@ -515,12 +688,18 @@ class GraphIndex:
         vec_id, dist_sq), ≤ k rows per query ascending (dist_sq,
         vec_id). Routing, seeding and the beam all run inside the
         plan; the only driver-side inputs are the quantizer metadata
-        arrays riding the UDF closures (k x dim floats)."""
+        arrays riding the UDF closures (k x dim floats). Index bytes
+        never move: search tasks mmap their shard's segment files
+        (see ``state``), so per-search cost is the query shuffle +
+        the ef-bounded beam — independent of index size."""
         ef = ef or self.ef
         state = self.state()
         if n_qblocks is None:
             nq = n_queries if n_queries is not None else queries.count()
-            n_qblocks = max(1, min(32, -(-nq // 512)))
+            # ~32 queries per beam batch: small enough to fan out
+            # across cores, large enough to vectorize; segments are
+            # mmapped so extra blocks cost nothing
+            n_qblocks = max(1, min(64, -(-nq // 32)))
         cmat = self.centroids
         cn = (cmat * cmat).sum(1)
         cell_shard = self.cell_shard
@@ -552,70 +731,52 @@ class GraphIndex:
                 F.col("r.pid").alias("pid"),
                 F.col("r.seeds").alias("seeds"),
             )
-            .withColumn(
-                "qb",
-                (F.crc32(F.col("query_id").cast("string")) % n_qblocks).cast("int"),
-            )
         )
-        state_r = self._state_repl.get(n_qblocks)
-        if state_r is None:
-            state_r = state.withColumn(
-                "qb", F.explode(F.array(*[F.lit(b) for b in range(n_qblocks)]))
-            ).localCheckpoint(eager=True)
-            # cached per fan-out: repeated searches skip the replicate
-            # shuffle (on a cluster this is a persisted, pre-keyed RDD)
-            self._state_repl[n_qblocks] = state_r
 
-        def _cell_fn(qpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame(
-                {"query_id": [], "vec_id": [], "dist_sq": []}
-            ).astype({"query_id": "int64", "vec_id": "int64", "dist_sq": "float64"})
-            if not len(qpdf) or not len(spdf):
-                return empty
-            ids = spdf["vec_id"].to_numpy()
-            order = np.argsort(ids)
-            ids = ids[order]
-            mat = np.ascontiguousarray(
-                np.stack(spdf["emb"].to_numpy()[order]).astype(np.float64)
-            )
-            n = len(ids)
-            nbrs = spdf["nbrs"].to_numpy()[order]
-            deg = np.fromiter(
-                (0 if a is None else len(a) for a in nbrs), dtype=np.int64, count=n
-            )
-            maxdeg = int(deg.max()) if n and deg.max() > 0 else 1
-            adj = np.full((n + 1, maxdeg), n, dtype=np.int64)
-            flat = np.concatenate(
-                [np.asarray(a, dtype=np.int64) for a in nbrs if a is not None]
-            ) if deg.sum() else np.empty(0, dtype=np.int64)
-            pos = np.searchsorted(ids, flat)
-            # edges whose dst lives in another shard are dropped (the
-            # graph is cut at shard boundaries; routing compensates)
-            pos = np.minimum(pos, n - 1)
-            valid = ids[pos] == flat
-            row_idx = np.repeat(np.arange(n), deg)
-            col_idx = np.concatenate(
-                [np.arange(d) for d in deg if d > 0]
-            ) if deg.sum() else np.empty(0, dtype=np.int64)
-            adj[row_idx[valid], col_idx[valid]] = pos[valid]
-            qids = qpdf["query_id"].to_numpy()
-            qm = np.ascontiguousarray(
-                np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
-            )
-            max_ns = max(len(s) for s in qpdf["seeds"])
-            seeds = np.full((len(qids), max_ns), -1, dtype=np.int64)
-            for i, s in enumerate(qpdf["seeds"]):
-                sp = np.searchsorted(ids, np.asarray(s, dtype=np.int64))
-                sp = np.minimum(sp, n - 1)
-                ok = ids[sp] == np.asarray(s, dtype=np.int64)
-                sp = sp[ok]
-                seeds[i, : len(sp)] = sp
-            return _beam_search_seeded(ids, mat, adj, seeds, qm, qids, k, ef)
+        def _cell_fn(batches):
+            for bpdf in batches:
+                # a round-robin partition may mix shards; beam per pid
+                for _, qpdf in bpdf.groupby("pid", sort=True):
+                    n = int(qpdf["n"].iloc[0])
+                    if n == 0:
+                        continue
+                    vprefix = qpdf["vprefix"].iloc[0]
+                    aprefix = qpdf["aprefix"].iloc[0]
+                    maxdeg = int(qpdf["maxdeg"].iloc[0])
+                    # mmap: header-only load; data pages come from
+                    # (and stay in) the shared OS page cache
+                    ids = np.load(f"{vprefix}.ids.npy", mmap_mode="r")
+                    mat = np.load(f"{vprefix}.mat.npy", mmap_mode="r")
+                    if aprefix:
+                        adj = np.load(f"{aprefix}.adj.npy", mmap_mode="r")
+                    else:  # edgeless shard: seeds-only probe
+                        adj = np.full((n + 1, maxdeg), n, dtype=np.int64)
+                    qids = qpdf["query_id"].to_numpy()
+                    qm = np.ascontiguousarray(
+                        np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
+                    )
+                    max_ns = max(len(s) for s in qpdf["seeds"])
+                    seeds = np.full((len(qids), max_ns), -1, dtype=np.int64)
+                    for i, s in enumerate(qpdf["seeds"]):
+                        sp = np.searchsorted(ids, np.asarray(s, dtype=np.int64))
+                        sp = np.minimum(sp, n - 1)
+                        ok = np.asarray(ids)[sp] == np.asarray(s, dtype=np.int64)
+                        sp = sp[ok]
+                        seeds[i, : len(sp)] = sp
+                    yield _beam_search_seeded(
+                        ids, mat, adj, seeds, qm, qids, k, ef
+                    )
 
+        # EXPLICIT round-robin repartition + mapInPandas (not
+        # groupBy + applyInPandas): the query side is small, so AQE
+        # would coalesce a grouping shuffle into one or two partitions
+        # and serialize the beam. A fixed partition count spreads
+        # query blocks across every core; the beam groups by shard
+        # inside the task.
         per_cell = (
-            routed.groupBy("pid", "qb")
-            .cogroup(state_r.groupBy("pid", "qb"))
-            .applyInPandas(_cell_fn, SEARCH_SCHEMA_STR)
+            routed.join(F.broadcast(state), "pid")
+            .repartition(n_qblocks)
+            .mapInPandas(_cell_fn, SEARCH_SCHEMA_STR)
         )
         w = W.partitionBy("query_id").orderBy("dist_sq", "vec_id")
         return (

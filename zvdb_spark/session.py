@@ -33,7 +33,16 @@ def get_session(
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cpus
+    # One BLAS thread per Python worker: each worker already owns one
+    # task slot, so letting OpenBLAS/MKL spawn a full pool per worker
+    # oversubscribes cores catastrophically (measured: the cell-GEMM
+    # edge build ran 16 s vs ~1 s wall at 100k x 128-d). Workers
+    # inherit these from the JVM environment; the driver process (and
+    # its already-initialized numpy) is unaffected.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
+
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -47,6 +56,11 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # same single-BLAS-thread contract on a real cluster, where
+        # executors are separate JVMs that don't inherit our env
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
