@@ -67,9 +67,9 @@ class VectorIndex:
         Before ``build()`` the batch just accumulates; after it, the
         batch is INSERTED INCREMENTALLY into the existing index —
         exact-path shards extend and the ANN graph absorbs the delta
-        via operators/graph_ann.append_edges (per-new-point connect +
-        local re-prune, the reference's incremental ``insert``,
-        src/hnsw.zig:73-117 — never a rebuild)."""
+        via GraphIndex.append (per-new-point connect + local re-prune,
+        the reference's incremental ``insert``, src/hnsw.zig:73-117 —
+        never a rebuild)."""
         batch = df.select(
             F.col(id_col).cast("long").alias("vec_id"),
             as_double_array(vec_col).alias("emb"),

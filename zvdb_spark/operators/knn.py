@@ -23,10 +23,18 @@ def shard_vectors(
 ) -> DataFrame:
     """Deterministic hash-shard assignment for the exact search path
     (replaces the reference's global id counter under mutex,
-    src/hnsw.zig:77): hash-mod on the id."""
+    src/hnsw.zig:77): hash-mod on the id.
+
+    The output is EXPLICITLY round-robin repartitioned to exactly
+    n_partitions perfectly-balanced physical partitions: callers
+    checkpoint it, and the per-shard search (mapInPandas) then runs
+    one task per partition with no per-search shuffle — and no AQE
+    coalescing of a grouping shuffle into a handful of tasks (AQE
+    shrinks small implicit shuffles by byte size, which would
+    serialize the GEMM fan-out)."""
     return emb.withColumn(
         "pid", (F.crc32(F.col(id_col).cast("string")) % n_partitions).cast("int")
-    )
+    ).repartition(n_partitions)
 
 
 def _score(metric: str, a: str, b: str) -> tuple[Column, bool]:
@@ -177,9 +185,17 @@ def _replicated_cogroup(
             "bid"
         ),
     ).withColumn("pid", F.explode(F.array(*[F.lit(p) for p in range(n_shards)])))
+    # explicit pre-partitioning on the cogroup keys: the cogroup's own
+    # shuffle would be AQE-coalesced by byte size, collapsing the
+    # B x P GEMM grid into a few tasks; a fixed partition count is
+    # respected and EnsureRequirements reuses it (no second shuffle)
+    nparts = min(1024, max(n_shards * n_blocks, 1))
     return (
-        q.groupBy("bid", "pid")
-        .cogroup(c.groupBy("bid", "pid"))
+        q.repartition(nparts, "bid", "pid")
+        .groupBy("bid", "pid")
+        .cogroup(
+            c.repartition(nparts, "bid", "pid").groupBy("bid", "pid")
+        )
         .applyInPandas(fn, out_schema)
     )
 
@@ -336,6 +352,12 @@ def exact_search_partitioned(
     carries P*k rows per query, never the corpus. This is the pattern
     that holds at 100 TB: shard-local heaps + k-row merge, identical
     to the reference's heap+merge (src/hnsw.zig:202) but shared-nothing.
+
+    Runs via mapInPandas over the corpus's EXISTING partitions (a
+    shard = a physical partition; Arrow batch splits within a
+    partition are harmless because the global merge re-ranks), so a
+    pre-partitioned checkpointed corpus is searched with zero corpus
+    shuffle and full task fan-out.
     """
     import numpy as np
     import pandas as pd
@@ -357,21 +379,28 @@ def exact_search_partitioned(
         ]
     )
 
-    def _shard_topk(pdf: pd.DataFrame):
-        ids = pdf["vec_id"].to_numpy()
-        mat = np.ascontiguousarray(np.stack(pdf["emb"].to_numpy()).astype(np_dtype))
-        xnorm = (mat.astype(np.float64) ** 2).sum(axis=1).astype(np_dtype)
-        kk = min(k, mat.shape[0])
-        outs = []
-        # chunked GEMM: bounds the distance-matrix working set to
-        # chunk x |shard| so it stays cache/memory friendly
-        for lo in range(0, len(qarr), chunk):
-            qc = qarr[lo : lo + chunk]
-            # ||q - x||^2 = ||q||^2 + ||x||^2 - 2 q.x (one GEMM per chunk)
-            d = qnorm[lo : lo + chunk, None] + xnorm[None, :] - 2.0 * (qc @ mat.T)
-            part = _topk_by_dist_id(d, ids, kk)
-            outs.append(
-                pd.DataFrame(
+    def _shard_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.ascontiguousarray(
+                np.stack(pdf["emb"].to_numpy()).astype(np_dtype)
+            )
+            xnorm = (mat.astype(np.float64) ** 2).sum(axis=1).astype(np_dtype)
+            kk = min(k, mat.shape[0])
+            # chunked GEMM: bounds the distance-matrix working set to
+            # chunk x |shard| so it stays cache/memory friendly
+            for lo in range(0, len(qarr), chunk):
+                qc = qarr[lo : lo + chunk]
+                # ||q - x||^2 = ||q||^2 + ||x||^2 - 2 q.x (one GEMM)
+                d = (
+                    qnorm[lo : lo + chunk, None]
+                    + xnorm[None, :]
+                    - 2.0 * (qc @ mat.T)
+                )
+                part = _topk_by_dist_id(d, ids, kk)
+                yield pd.DataFrame(
                     {
                         "query_id": np.repeat(qids[lo : lo + chunk], kk),
                         "neighbor_id": ids[part.ravel()],
@@ -380,12 +409,8 @@ def exact_search_partitioned(
                         .astype(np.float64),
                     }
                 )
-            )
-        return pd.concat(outs, ignore_index=True)
 
-    per_shard = sharded.groupBy("pid").applyInPandas(
-        lambda pdf: _shard_topk(pdf), schema
-    )
+    per_shard = sharded.select("vec_id", "emb").mapInPandas(_shard_topk, schema)
     w = W.partitionBy("query_id").orderBy("score", "neighbor_id")
     return (
         per_shard.withColumn("rn", F.row_number().over(w))
@@ -429,30 +454,35 @@ def threshold_join_partitioned(
         ]
     )
 
-    def _shard_pairs(pdf: pd.DataFrame):
-        ids = pdf["vec_id"].to_numpy()
-        mat = np.ascontiguousarray(np.stack(pdf["emb"].to_numpy()).astype(np.float64))
-        xnorm = (mat * mat).sum(axis=1)
-        outs = []
-        for lo in range(0, len(qarr), chunk):
-            qc, qn, qi = qarr[lo : lo + chunk], qnorm[lo : lo + chunk], qids[lo : lo + chunk]
-            g = qc @ mat.T
-            if metric == "l2_sq":
-                score = qn[:, None] + xnorm[None, :] - 2.0 * g
-                mask = score < tau
-            else:  # cosine
-                denom = np.sqrt(qn)[:, None] * np.sqrt(xnorm)[None, :]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    score = np.where(denom > 0, g / denom, np.nan)
-                mask = score >= tau
-            if upper_only:
-                mask &= ids[None, :] > qi[:, None]
-            r, c = np.nonzero(mask)
-            outs.append(
-                pd.DataFrame(
+    def _shard_pairs(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.ascontiguousarray(
+                np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            )
+            xnorm = (mat * mat).sum(axis=1)
+            for lo in range(0, len(qarr), chunk):
+                qc, qn, qi = (
+                    qarr[lo : lo + chunk],
+                    qnorm[lo : lo + chunk],
+                    qids[lo : lo + chunk],
+                )
+                g = qc @ mat.T
+                if metric == "l2_sq":
+                    score = qn[:, None] + xnorm[None, :] - 2.0 * g
+                    mask = score < tau
+                else:  # cosine
+                    denom = np.sqrt(qn)[:, None] * np.sqrt(xnorm)[None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        score = np.where(denom > 0, g / denom, np.nan)
+                    mask = score >= tau
+                if upper_only:
+                    mask &= ids[None, :] > qi[:, None]
+                r, c = np.nonzero(mask)
+                yield pd.DataFrame(
                     {"query_id": qi[r], "neighbor_id": ids[c], "score": score[r, c]}
                 )
-            )
-        return pd.concat(outs, ignore_index=True)
 
-    return sharded.groupBy("pid").applyInPandas(lambda p: _shard_pairs(p), schema)
+    return sharded.select("vec_id", "emb").mapInPandas(_shard_pairs, schema)
