@@ -90,7 +90,9 @@ _MIN_CELLS = 4
 _LOCAL_KMEANS_MAX_ELEMS = 50_000_000
 
 SEARCH_SCHEMA_STR = "query_id long, vec_id long, dist_sq double"
-_EDGE_SCHEMA = "query_id long, neighbor_id long, score double"
+_EDGE_SCHEMA = (
+    "query_id long, neighbor_id long, score double, q_pid int, n_pid int"
+)
 _PACK_SCHEMA = (
     "pid int, n long, dim int, prefix string,"
     " cells array<int>, seeds array<array<bigint>>"
@@ -114,11 +116,15 @@ def _symmetrize_cap(nn: DataFrame, m: int) -> DataFrame:
     ONE shuffle (the per-src window); mutual-kNN pairs appear twice
     with the same score and are deduplicated downstream (adjacency
     pack / append merge) rather than paying a second (src, dst)
-    shuffle here. Returns (src, dst, score)."""
+    shuffle here. Each edge carries its src's shard (known at GEMM
+    time) so the adjacency pack groups without a corpus join.
+    Returns (src, dst, score, pid)."""
     fwd = nn.select(F.col("query_id").alias("src"),
-                    F.col("neighbor_id").alias("dst"), "score")
+                    F.col("neighbor_id").alias("dst"), "score",
+                    F.col("q_pid").alias("pid"))
     rev = nn.select(F.col("neighbor_id").alias("src"),
-                    F.col("query_id").alias("dst"), "score")
+                    F.col("query_id").alias("dst"), "score",
+                    F.col("n_pid").alias("pid"))
     both = fwd.unionAll(rev)
     w = W.partitionBy("src").orderBy("score", "dst")
     return (
@@ -500,7 +506,7 @@ class GraphIndex:
                     probe = memb[newm[memb]]
                     if not len(probe):
                         continue
-                    cor_i, cor_m = [], []
+                    cor_i, cor_m, cor_p = [], [], []
                     for g, pg in zip(row.nbrs, row.nbr_pids):
                         if pg not in vmeta:
                             continue
@@ -509,10 +515,12 @@ class GraphIndex:
                         if len(mg):
                             cor_i.append(np.asarray(gids)[mg])
                             cor_m.append(np.asarray(gmat[mg]))
+                            cor_p.append(np.full(len(mg), pg, dtype=np.int32))
                     if not cor_i:
                         continue
                     cor_ids = np.concatenate(cor_i)
                     cor_mat = np.vstack(cor_m)
+                    cor_pid = np.concatenate(cor_p)
                     q = np.ascontiguousarray(np.asarray(mat[probe]))
                     qi = np.asarray(ids)[probe]
                     d = _pair_scores(q, cor_mat, "l2_sq")
@@ -520,15 +528,29 @@ class GraphIndex:
                     part = _topk_by_dist_id(d, cor_ids, kk)
                     qq = np.repeat(qi, kk)
                     nb_ = cor_ids[part.ravel()]
+                    np_ = cor_pid[part.ravel()]
                     ss = np.take_along_axis(d, part, axis=1).ravel()
                     keep = qq != nb_  # drop self-edges
-                    out.append((qq[keep], nb_[keep], ss[keep]))
+                    # both endpoints' shards are known right here, so
+                    # the adjacency pack never needs a corpus join to
+                    # recover them
+                    out.append(
+                        (
+                            qq[keep],
+                            nb_[keep],
+                            ss[keep],
+                            np.full(keep.sum(), pid, dtype=np.int32),
+                            np_[keep],
+                        )
+                    )
                 if out:
                     yield pd.DataFrame(
                         {
                             "query_id": np.concatenate([o[0] for o in out]),
                             "neighbor_id": np.concatenate([o[1] for o in out]),
                             "score": np.concatenate([o[2] for o in out]),
+                            "q_pid": np.concatenate([o[3] for o in out]),
+                            "n_pid": np.concatenate([o[4] for o in out]),
                         }
                     )
 
@@ -568,16 +590,18 @@ class GraphIndex:
         self._pack_vectors(flagged)  # refreshed segments + seeds
         nn = self._edges_from_segments()  # probes = new rows only
         delta = nn.select(
-            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"), "score"
+            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"),
+            "score", F.col("q_pid").alias("pid"),
         )
         rev = nn.select(
-            F.col("neighbor_id").alias("src"), F.col("query_id").alias("dst"), "score"
+            F.col("neighbor_id").alias("src"), F.col("query_id").alias("dst"),
+            "score", F.col("n_pid").alias("pid"),
         )
         merged = (
             self.edges.unionAll(delta)
             .unionAll(rev)
             .groupBy("src", "dst")
-            .agg(F.min("score").alias("score"))
+            .agg(F.min("score").alias("score"), F.first("pid").alias("pid"))
         )
         w = W.partitionBy("src").orderBy("score", "dst")
         self.edges = (
@@ -593,25 +617,17 @@ class GraphIndex:
     def state(self) -> DataFrame:
         """Adjacency segments + search metadata. Builds the padded
         position-mapped adjacency for each shard from the edge table
-        (one join to tag each src with its shard + one groupBy(pid)
-        pass), writes it next to the vector segment, and returns the
-        tiny metadata DataFrame (pid, n, maxdeg, dim, vprefix,
-        aprefix) that search broadcasts. Index bytes live in the
-        segment files — search moves ZERO index data through shuffles
-        or the JVM<->Python boundary."""
+        (edges already carry their src's shard — one groupBy(pid)
+        pass, no corpus join), writes it next to the vector segment,
+        and returns the tiny metadata DataFrame (pid, n, maxdeg, dim,
+        vprefix, aprefix) that search broadcasts. Index bytes live in
+        the segment files — search moves ZERO index data through
+        shuffles or the JVM<->Python boundary."""
         if self._state is None:
             if self.celled is None:
                 raise ValueError("build() first")
             spark = self.celled.sparkSession
-            shard_map = spark.createDataFrame(
-                [(int(c), int(p)) for c, p in enumerate(self.cell_shard)],
-                "cell_id int, pid int",
-            )
-            src_pid = (
-                self.celled.join(F.broadcast(shard_map), "cell_id")
-                .select(F.col("vec_id").alias("src"), "pid")
-            )
-            tagged = self.edges.join(src_pid, "src")
+            tagged = self.edges
             seg_dir = self._seg_dir()
             token = uuid.uuid4().hex[:12]
             vmeta = dict(self._vec_meta)  # pid -> (prefix, n, dim)
