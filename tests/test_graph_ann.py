@@ -115,3 +115,53 @@ def test_empty_query_side(spark, sf_dir, built):
     emb, idx = built
     q = _queries(spark, emb, n=1).filter(F.col("query_id") < 0)
     assert idx.search(q, k=3, n_queries=0).count() == 0
+
+
+def test_multi_shard_path(spark, sf_dir):
+    """Force P > 1 search shards (the 100 TB layout: cells grouped
+    into spatial shards, queries routed to the shards holding their
+    seed cells, graph cut at shard boundaries). The default
+    shard_target_rows never triggers this at test scale, so pin it:
+    recall must survive the boundary cuts, append must land in the
+    right shards, and every shard must actually exist as a segment."""
+    emb = _emb(spark, sf_dir).localCheckpoint(eager=True)
+    idx = GraphIndex(
+        m=8, ef=64, cell_target_rows=40, shard_target_rows=120
+    ).build(emb)
+    # multiple real segments materialized, covering every row
+    assert len(idx._vec_meta) >= 3
+    assert sum(n for _, n, _ in idx._vec_meta.values()) == emb.count()
+    q = _queries(spark, emb)
+    res = idx.search(q, k=5, n_queries=20).toPandas()
+    ex = exact_search_blocked(emb, q, k=5).toPandas()
+    assert _recall(res, ex, 5) >= 0.75  # boundary cuts cost some recall
+    # self-match must survive sharding: a corpus vector's own query
+    # routes to its own shard
+    assert (res.groupby("query_id").dist_sq.min() == 0.0).all()
+    # append under P > 1: new rows join existing shards incrementally
+    delta = emb.filter(F.col("vec_id") % 7 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    idx.append(delta)
+    probe = delta.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    # the appended rows duplicate existing vectors: k=2 must surface
+    # BOTH copies at distance 0, original first ((dist, id) ties)
+    out = idx.search(probe, k=2, n_queries=3).toPandas()
+    assert (out.dist_sq == 0.0).all()
+    for qid, grp in out.groupby("query_id"):
+        assert set(grp.vec_id) == {qid - 1_000_000, qid}
+
+
+def test_deterministic_multi_shard(spark, sf_dir):
+    """Same data + seed => identical edges, independent of shard
+    count context (src/test_hnsw.zig:275-316 consistency analog)."""
+    emb = _emb(spark, sf_dir).localCheckpoint(eager=True)
+    a = GraphIndex(m=8, ef=64, cell_target_rows=40,
+                   shard_target_rows=120).build(emb)
+    b = GraphIndex(m=8, ef=64, cell_target_rows=40,
+                   shard_target_rows=120).build(emb)
+    ea = a.edges.toPandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    eb = b.edges.toPandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert ea[["src", "dst"]].equals(eb[["src", "dst"]])

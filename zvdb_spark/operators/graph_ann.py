@@ -173,15 +173,27 @@ def _beam_search_seeded(
     if budget * 2 >= n:
         # budget touches (nearly) the whole shard: score exhaustively
         # instead — exact, preserving the k > N clamp
-        # (src/test_hnsw.zig:121-125)
-        d = _pair_scores(qm, np.asarray(mat), "l2_sq")
+        # (src/test_hnsw.zig:121-125). Rank with the norm-expansion
+        # GEMM, then RESCORE the selected nb x kk pairs as diff² so
+        # reported distances match the beam path exactly (the GEMM
+        # form loses ~1e-16 to cancellation — a self-match must be
+        # 0.0, not 6.7e-16) and re-sort by the exact (dist, id).
+        mat_arr = np.asarray(mat)
+        d = _pair_scores(qm, mat_arr, "l2_sq")
         kk = min(k, n)
         part = _topk_by_dist_id(d, ids, kk)
+        sel = mat_arr[part]  # (nb, kk, dim) gather
+        diff = sel - qm[:, None, :]
+        dex = np.einsum("ijk,ijk->ij", diff, diff)
+        ids_sel = np.asarray(ids)[part]
+        r = np.repeat(np.arange(nb), kk)
+        fo = np.lexsort((ids_sel.ravel(), dex.ravel(), r)).reshape(nb, kk)
+        col = fo - np.arange(nb)[:, None] * kk
         return pd.DataFrame(
             {
                 "query_id": np.repeat(qids, kk),
-                "vec_id": np.asarray(ids)[part.ravel()],
-                "dist_sq": np.take_along_axis(d, part, axis=1).ravel(),
+                "vec_id": np.take_along_axis(ids_sel, col, axis=1).ravel(),
+                "dist_sq": np.take_along_axis(dex, col, axis=1).ravel(),
             }
         )
     ns = seeds_per_q.shape[1]
