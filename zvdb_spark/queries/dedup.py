@@ -190,14 +190,18 @@ FROM ver WHERE j >= {JACCARD_TAU}
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs via LSH bands, verified by exact Jaccard."""
-    # checkpoint the signature frame: the band self-join and the
-    # verification join would otherwise recompute the md5+shingle
-    # pipeline once per branch (4x)
-    sh = _shingles_spark(spark, sf_dir, 2).localCheckpoint(eager=True)
-    hsh = sh.selectExpr("doc_id", "shingles", _HS_SPARK)
-    sig = hsh.selectExpr("doc_id", "shingles", *_minhash_cols_spark()).localCheckpoint(
-        eager=True
+    # ONE eager checkpoint of (doc_id, shingles, mh0..7): the band
+    # self-join branches (4x) and the two verification joins all read
+    # it, so the shingle+md5 pipeline runs exactly once and the text
+    # is materialized once (round 1 checkpointed twice — shingles
+    # alone, then shingles again beside the signatures)
+    sig = (
+        _shingles_spark(spark, sf_dir, 2)
+        .selectExpr("doc_id", "shingles", _HS_SPARK)
+        .selectExpr("doc_id", "shingles", *_minhash_cols_spark())
+        .localCheckpoint(eager=True)
     )
+    sh = sig.select("doc_id", "shingles")
     bands = None
     for j in range(N_BANDS):
         b = sig.select(
