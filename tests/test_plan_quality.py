@@ -60,3 +60,51 @@ def test_explicit_broadcast_zero_shuffle_joins(spark, sf_dir):
     a = plan_audit(all_queries()["q_join_broadcast"].fn(spark, sf_dir))
     assert a["n_broadcast_joins"] == 2
     assert a["n_sortmerge_joins"] == 0
+
+
+def test_partitioned_knn_single_shuffle(spark, sf_dir):
+    """Batched exact kNN over a pre-partitioned checkpointed corpus:
+    the ONLY Exchange in the plan is the P*k-row merge window — the
+    corpus itself never re-shuffles per search (the round-2 fix for
+    AQE coalescing the shard fan-out into a few tasks)."""
+    from pyspark.sql import functions as F
+
+    import numpy as np
+
+    from zvdb_spark.functions.vector import as_double_array
+    from zvdb_spark.operators.knn import exact_search_partitioned, shard_vectors
+    from zvdb_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    sharded = shard_vectors(emb, 8).localCheckpoint(eager=True)
+    q = np.zeros((4, len(emb.select("emb").head()[0])))
+    a = plan_audit(exact_search_partitioned(sharded, q, k=3, dtype="float64"))
+    assert a["n_exchanges"] == 1, a["plan"]
+    assert a["n_sortmerge_joins"] == 0
+
+
+def test_graph_search_moves_no_index_data(spark, sf_dir):
+    """Graph ANN search plan: index bytes live in mmap segments, so
+    the plan touches only the query DataFrame and the broadcast
+    metadata — exactly two Exchanges (query-block fan-out + final
+    top-k window), a broadcast join for the shard metadata, and no
+    sort-merge join of anything corpus-sized."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.functions.vector import as_double_array
+    from zvdb_spark.operators.graph_ann import GraphIndex
+    from zvdb_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    ).localCheckpoint(eager=True)
+    idx = GraphIndex(m=8, ef=32, cell_target_rows=100).build(emb)
+    q = emb.limit(4).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    a = plan_audit(idx.search(q, k=3, n_queries=4))
+    assert a["n_exchanges"] == 2, a["plan"]
+    assert a["n_broadcast_joins"] >= 1  # shard metadata rides broadcast
+    assert a["n_sortmerge_joins"] == 0
