@@ -72,6 +72,7 @@ from __future__ import annotations
 import math
 import os
 import tempfile
+import time
 import uuid
 
 import numpy as np
@@ -283,6 +284,39 @@ def _save_npy(prefix: str, name: str, arr: np.ndarray) -> None:
     os.replace(tmp, f"{prefix}.{name}.npy")
 
 
+_PURGE_AGE_SECS = 24 * 3600
+
+
+def _unlink_prefixes(prefixes) -> None:
+    """Remove superseded segment files. POSIX-safe under concurrent
+    readers: an mmap holds the inode, so in-flight searches on the
+    old build finish unharmed."""
+    import glob as _glob
+
+    for p in prefixes:
+        for f in _glob.glob(f"{p}.*"):
+            try:
+                os.unlink(f)
+            except OSError:
+                pass
+
+
+def _purge_stale(seg_dir: str, now: float) -> None:
+    """Opportunistic reap of segments older than 24h (dead builds
+    from past sessions). Live indexes re-pack far more often than
+    that; the per-build token keeps names unique."""
+    try:
+        for f in os.listdir(seg_dir):
+            path = os.path.join(seg_dir, f)
+            try:
+                if now - os.path.getmtime(path) > _PURGE_AGE_SECS:
+                    os.unlink(path)
+            except OSError:
+                pass
+    except OSError:
+        pass
+
+
 class GraphIndex:
     """Cell-quantized, incrementally-appendable kNN-graph index with
     seeded beam search over immutable mmap segments. Public shape
@@ -320,6 +354,7 @@ class GraphIndex:
         self.edges: DataFrame | None = None  # (src, dst, score)
         self.n_rows: int = 0
         self._vec_meta: dict[int, tuple[str, int, int]] = {}  # pid->(prefix,n,dim)
+        self._adj_prefixes: list[str] = []
         self._state: DataFrame | None = None
 
     def _seg_dir(self) -> str:
@@ -327,6 +362,7 @@ class GraphIndex:
             tempfile.gettempdir(), "zvdb_graph_idx"
         )
         os.makedirs(d, exist_ok=True)
+        _purge_stale(d, time.time())
         return d
 
     # -- build (R1-R5, bulk) ----------------------------------------
@@ -451,6 +487,7 @@ class GraphIndex:
         meta = (
             nodes.groupBy("pid").applyInPandas(_pack, _PACK_SCHEMA).collect()
         )
+        _unlink_prefixes(p for p, _, _ in self._vec_meta.values())
         self._vec_meta = {r.pid: (r.prefix, r.n, r.dim) for r in meta}
         c = len(cmat)
         seeds = np.full((c, spc), -1, dtype=np.int64)
@@ -699,6 +736,8 @@ class GraphIndex:
                 for p, (prefix, n, dim) in self._vec_meta.items()
                 if p not in have
             ]
+            _unlink_prefixes(self._adj_prefixes)  # superseded build
+            self._adj_prefixes = [r.aprefix for r in rows]
             self._state = spark.createDataFrame(
                 [tuple(r) for r in rows] + fill, _META_SCHEMA
             )
