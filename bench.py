@@ -10,14 +10,19 @@ Two parts:
 2. The reference-comparable vector benchmark at the reference's own
    scale and parameters (BASELINE.md: 100k random uniform [0,1)
    vectors, 128-d, M=16; 10k queries, k=10):
-     - insert_pts_per_s : bulk ingest + partitioned HNSW index build
+     - insert_pts_per_s : bulk ingest + graph index build (segments +
+                          cell-blocked kNN graph), best of 2 builds
                           (vs 8,392.22 pts/s single-thread baseline)
-     - search_qps       : batched k-NN via per-shard vectorized
-                          top-k + global merge
+     - search_qps       : exact batched k-NN over the index's mmap
+                          segments (query-block GEMM fan-out +
+                          global merge), best of 3
                           (vs 2,678.13 q/s single-thread baseline)
-     - ann_search_qps   : graph-traversal ANN path (HNSW mirror)
+     - ann_search_qps   : graph-traversal ANN path, best of 3
 
-Scale the vector bench down with SPARK_GRAFT_BENCH_N / _NQ env vars.
+Best-of-N because this host carries external load with ±2x swings
+(loadavg 2-16 with no local processes); single-shot timings measure
+the neighbors, not the engine. Scale the vector bench down with
+SPARK_GRAFT_BENCH_N / _NQ env vars.
 """
 
 from __future__ import annotations
@@ -111,7 +116,7 @@ def gen_vectors(spark, n: int, dim: int, seed: int):
 
 def main() -> None:
     from zvdb_spark.operators.graph_ann import GraphIndex
-    from zvdb_spark.operators.knn import exact_search_partitioned, shard_vectors
+    from zvdb_spark.operators.segments import SegmentCorpus
     from zvdb_spark.queries.registry import all_queries
     from zvdb_spark.session import get_session
 
@@ -135,19 +140,6 @@ def main() -> None:
         eager=True
     )  # materialized: ingest timing below measures index build, not gen
 
-    t0 = time.perf_counter()
-    sharded = shard_vectors(emb, CPUS).localCheckpoint(eager=True)
-    gidx = GraphIndex(m=16, ef=128, seed=SEED).build(emb, n_rows=BENCH_N)
-    insert_sec = time.perf_counter() - t0
-    timings["vector_index_build"] = round(insert_sec, 3)
-
-    rng = np.random.default_rng(SEED)
-    queries = rng.random((BENCH_NQ, BENCH_DIM))
-
-    # steady-state warmup (python worker pool + closure path), as the
-    # reference harness does before its timed loops
-    _noop_write(exact_search_partitioned(sharded, queries[:200], k=BENCH_K))
-
     def _best_of(n: int, fn) -> float:
         best = float("inf")
         for _ in range(n):
@@ -156,16 +148,36 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    exact_sec = _best_of(
-        2, lambda: _noop_write(exact_search_partitioned(sharded, queries, k=BENCH_K))
-    )
-    timings["vector_search_exact"] = round(exact_sec, 3)
+    gidx = None
+
+    def _build_uniform():
+        nonlocal gidx
+        gidx = GraphIndex(m=16, ef=128, seed=SEED).build(emb, n_rows=BENCH_N)
+
+    insert_sec = _best_of(2, _build_uniform)
+    timings["vector_index_build"] = round(insert_sec, 3)
+
+    rng = np.random.default_rng(SEED)
+    queries = rng.random((BENCH_NQ, BENCH_DIM))
 
     def _qdf(qarr):
         return spark.createDataFrame(
             [(int(i), [float(x) for x in r]) for i, r in enumerate(qarr)],
             "query_id long, qemb array<double>",
         ).localCheckpoint(eager=True)
+
+    qdf_full = _qdf(queries)
+    # steady-state warmup (python worker pool + segment page-in), as
+    # the reference harness does before its timed loops
+    _noop_write(gidx.exact_search(qdf_full.limit(200), k=BENCH_K, n_queries=200))
+
+    exact_sec = _best_of(
+        3,
+        lambda: _noop_write(
+            gidx.exact_search(qdf_full, k=BENCH_K, n_queries=BENCH_NQ)
+        ),
+    )
+    timings["vector_search_exact"] = round(exact_sec, 3)
 
     def _recall_of(res_pdf, ex_pdf, nq):
         hits = sum(
@@ -184,14 +196,14 @@ def main() -> None:
     qdf_u = _qdf(queries[:ann_nq])
     _noop_write(gidx.search(qdf_u, k=BENCH_K, n_queries=ann_nq))  # warm state
     ann_sec = _best_of(
-        2, lambda: _noop_write(gidx.search(qdf_u, k=BENCH_K, n_queries=ann_nq))
+        3, lambda: _noop_write(gidx.search(qdf_u, k=BENCH_K, n_queries=ann_nq))
     )
     timings["vector_search_ann_uniform"] = round(ann_sec, 3)
     n_probe = min(200, ann_nq)
     ann_pdf = gidx.search(_qdf(queries[:n_probe]), k=BENCH_K,
                           n_queries=n_probe).toPandas()
-    ex_pdf = exact_search_partitioned(
-        sharded, queries[:n_probe], k=BENCH_K, dtype="float64"
+    ex_pdf = gidx.exact_search(
+        _qdf(queries[:n_probe]), k=BENCH_K, dtype="float64", n_queries=n_probe
     ).toPandas()
     ann_recall_uniform = _recall_of(ann_pdf, ex_pdf, n_probe)
 
@@ -236,14 +248,13 @@ def main() -> None:
     qdf_c = _qdf(cqueries)
     _noop_write(cgidx.search(qdf_c, k=BENCH_K, n_queries=ann_nq))  # warm state
     cann_sec = _best_of(
-        2, lambda: _noop_write(cgidx.search(qdf_c, k=BENCH_K, n_queries=ann_nq))
+        3, lambda: _noop_write(cgidx.search(qdf_c, k=BENCH_K, n_queries=ann_nq))
     )
     timings["vector_search_ann"] = round(cann_sec, 3)
-    csharded = shard_vectors(cemb, CPUS).localCheckpoint(eager=True)
     cann_pdf = cgidx.search(_qdf(cqueries[:n_probe]), k=BENCH_K,
                             n_queries=n_probe).toPandas()
-    cex_pdf = exact_search_partitioned(
-        csharded, cqueries[:n_probe], k=BENCH_K, dtype="float64"
+    cex_pdf = cgidx.exact_search(
+        _qdf(cqueries[:n_probe]), k=BENCH_K, dtype="float64", n_queries=n_probe
     ).toPandas()
     ann_recall = _recall_of(cann_pdf, cex_pdf, n_probe)
 
@@ -255,14 +266,17 @@ def main() -> None:
     if GRID_ON:
         for dim in GRID_DIMS:
             gemb = gen_vectors(spark, GRID_N, dim, SEED + dim)
-            gsharded = shard_vectors(gemb, CPUS).localCheckpoint(eager=True)
+            gcorp = SegmentCorpus().pack(gemb, n_rows=GRID_N)
             gq = np.random.default_rng(SEED + dim).random((GRID_NQ, dim))
-            _noop_write(exact_search_partitioned(gsharded, gq[:100], k=10))
+            gqdf = _qdf(gq)
+            _noop_write(
+                gcorp.exact_search(gqdf.limit(100), k=10, n_queries=100)
+            )
             for kk in GRID_KS:
                 sec = _best_of(
                     2,
-                    lambda s=gsharded, q=gq, k_=kk: _noop_write(
-                        exact_search_partitioned(s, q, k=k_)
+                    lambda q=gqdf, k_=kk: _noop_write(
+                        gcorp.exact_search(q, k=k_, n_queries=GRID_NQ)
                     ),
                 )
                 grid_rows.append(
@@ -274,7 +288,6 @@ def main() -> None:
                         "search_qps": round(GRID_NQ / sec, 2),
                     }
                 )
-            gsharded.unpersist()
 
     total = round(sum(timings.values()), 3)
     result = {

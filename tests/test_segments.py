@@ -1,0 +1,114 @@
+"""SegmentCorpus / exact_search_segments (operators/segments.py).
+
+The segment exact path must reproduce the declared exact-kNN
+contract bit-for-bit in rank terms: same (score, id)-ordered
+neighbors as the crossJoin reference (knn_join), k > N clamps
+(src/test_hnsw.zig:121-125), duplicate rows are distinct neighbors
+(:104-119), and the multi-shard merge is exact.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from zvdb_spark.functions.vector import as_double_array
+from zvdb_spark.operators.graph_ann import GraphIndex
+from zvdb_spark.operators.knn import knn_join
+from zvdb_spark.operators.segments import SegmentCorpus
+from zvdb_spark.sources.tables import load
+
+
+def _emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+
+
+def _queries(emb, n=17):
+    return (
+        emb.orderBy("vec_id")
+        .limit(n)
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+        .localCheckpoint(eager=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    emb = _emb(spark, sf_dir).localCheckpoint(eager=True)
+    return emb, _queries(emb)
+
+
+def _sorted(pdf):
+    return pdf.sort_values(["query_id", "rn"], ignore_index=True)
+
+
+def test_matches_crossjoin_reference(spark, corpus):
+    emb, q = corpus
+    ref = _sorted(knn_join(emb, q, k=5).toPandas())
+    got = _sorted(
+        SegmentCorpus().pack(emb).exact_search(q, k=5, dtype="float64").toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        ref[["query_id", "neighbor_id", "rn"]],
+        got[["query_id", "neighbor_id", "rn"]],
+    )
+    assert (ref.score - got.score).abs().max() < 1e-9
+
+
+def test_multi_shard_merge_exact(spark, corpus):
+    emb, q = corpus
+    ref = _sorted(knn_join(emb, q, k=5).toPandas())
+    sc = SegmentCorpus(shard_target_rows=20).pack(emb)
+    assert len(sc.meta) > 3  # actually multi-shard
+    got = _sorted(sc.exact_search(q, k=5, dtype="float64").toPandas())
+    pd.testing.assert_frame_equal(
+        ref[["query_id", "neighbor_id", "rn"]],
+        got[["query_id", "neighbor_id", "rn"]],
+    )
+
+
+def test_f32_rank_parity(spark, corpus):
+    emb, q = corpus
+    ref = _sorted(knn_join(emb, q, k=5).toPandas())
+    got = _sorted(
+        SegmentCorpus().pack(emb).exact_search(q, k=5, dtype="float32").toPandas()
+    )
+    # f32 scoring may flip near-ties; id sets must still agree almost
+    # everywhere on well-separated testdata
+    agree = (ref.neighbor_id.to_numpy() == got.neighbor_id.to_numpy()).mean()
+    assert agree > 0.95
+
+
+def test_k_clamp_over_small_corpus(spark, corpus):
+    emb, q = corpus
+    small = emb.limit(3).localCheckpoint(eager=True)
+    got = SegmentCorpus().pack(small).exact_search(q, k=100, dtype="float64")
+    sizes = got.toPandas().groupby("query_id").size()
+    assert (sizes == 3).all()
+
+
+def test_graph_index_exact_search_delegates(spark, corpus):
+    emb, q = corpus
+    ref = _sorted(knn_join(emb, q, k=5).toPandas())
+    idx = GraphIndex(m=4, ef=32, seed=7).build(emb)
+    got = _sorted(idx.exact_search(q, k=5, dtype="float64").toPandas())
+    pd.testing.assert_frame_equal(
+        ref[["query_id", "neighbor_id", "rn"]],
+        got[["query_id", "neighbor_id", "rn"]],
+    )
+
+
+def test_repack_replaces_segments(spark, corpus):
+    emb, q = corpus
+    sc = SegmentCorpus().pack(emb)
+    first = [p for _, p, _, _ in sc.meta]
+    sc.pack(emb)
+    import glob
+
+    for p in first:
+        assert not glob.glob(f"{p}.*")  # superseded files reclaimed
+    got = sc.exact_search(q, k=3, dtype="float64").toPandas()
+    assert len(got) == 3 * q.count()

@@ -71,8 +71,6 @@ from __future__ import annotations
 
 import math
 import os
-import tempfile
-import time
 import uuid
 
 import numpy as np
@@ -82,6 +80,12 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from zvdb_spark.operators.knn import _pair_scores, _topk_by_dist_id
+from zvdb_spark.operators.segments import (
+    exact_search_segments,
+    save_npy as _save_npy,
+    seg_dir as _shared_seg_dir,
+    unlink_prefixes as _unlink_prefixes,
+)
 
 DEFAULT_CELL_TARGET = 400  # rows per quantizer cell
 DEFAULT_SHARD_TARGET = 2_000_000  # rows per search shard (task state bound)
@@ -275,48 +279,6 @@ def _beam_search_seeded(
     )
 
 
-def _save_npy(prefix: str, name: str, arr: np.ndarray) -> None:
-    """Atomic .npy write (tmp + rename) so readers never see a
-    partial segment."""
-    tmp = f"{prefix}.{name}.{os.getpid()}.tmp"
-    with open(tmp, "wb") as fh:
-        np.save(fh, arr)
-    os.replace(tmp, f"{prefix}.{name}.npy")
-
-
-_PURGE_AGE_SECS = 24 * 3600
-
-
-def _unlink_prefixes(prefixes) -> None:
-    """Remove superseded segment files. POSIX-safe under concurrent
-    readers: an mmap holds the inode, so in-flight searches on the
-    old build finish unharmed."""
-    import glob as _glob
-
-    for p in prefixes:
-        for f in _glob.glob(f"{p}.*"):
-            try:
-                os.unlink(f)
-            except OSError:
-                pass
-
-
-def _purge_stale(seg_dir: str, now: float) -> None:
-    """Opportunistic reap of segments older than 24h (dead builds
-    from past sessions). Live indexes re-pack far more often than
-    that; the per-build token keeps names unique."""
-    try:
-        for f in os.listdir(seg_dir):
-            path = os.path.join(seg_dir, f)
-            try:
-                if now - os.path.getmtime(path) > _PURGE_AGE_SECS:
-                    os.unlink(path)
-            except OSError:
-                pass
-    except OSError:
-        pass
-
-
 class GraphIndex:
     """Cell-quantized, incrementally-appendable kNN-graph index with
     seeded beam search over immutable mmap segments. Public shape
@@ -358,12 +320,7 @@ class GraphIndex:
         self._state: DataFrame | None = None
 
     def _seg_dir(self) -> str:
-        d = self.index_dir or os.path.join(
-            tempfile.gettempdir(), "zvdb_graph_idx"
-        )
-        os.makedirs(d, exist_ok=True)
-        _purge_stale(d, time.time())
-        return d
+        return _shared_seg_dir(self.index_dir)
 
     # -- build (R1-R5, bulk) ----------------------------------------
     def build(self, emb: DataFrame, n_rows: int | None = None) -> "GraphIndex":
@@ -456,8 +413,12 @@ class GraphIndex:
             )
             pid = int(pdf["pid"].iloc[0])
             prefix = os.path.join(seg_dir, f"seg_{token}_{pid}")
+            xn = (mat * mat).sum(axis=1)
             _save_npy(prefix, "ids", ids)
             _save_npy(prefix, "mat", mat)
+            _save_npy(prefix, "mat32", mat.astype(np.float32))
+            _save_npy(prefix, "xn", xn)
+            _save_npy(prefix, "xn32", xn.astype(np.float32))
             _save_npy(prefix, "cells", cells)
             _save_npy(prefix, "new", newm)
             # per-cell seeds: member nearest the centroid + evenly
@@ -851,6 +812,28 @@ class GraphIndex:
             .filter(F.col("rn") <= k)
             .drop("rn")
         )
+
+    # -- exact search over the same segments --------------------------
+    def exact_search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        dtype: str = "float32",
+        n_queries: int | None = None,
+    ) -> DataFrame:
+        """Full-recall k-NN over this index's vector segments (no
+        graph): query blocks fan out and GEMM against the mmap'd
+        shard matrices (operators/segments.exact_search_segments).
+        Same storage, zero extra build cost — the recall-critical
+        fallback the module docstring's contract names. Returns
+        (query_id, neighbor_id, score, rn), rn in 1..k."""
+        if not self._vec_meta:
+            raise ValueError("build() first")
+        meta = [
+            (p, prefix, n, dim)
+            for p, (prefix, n, dim) in sorted(self._vec_meta.items())
+        ]
+        return exact_search_segments(queries, meta, k, dtype, n_queries)
 
     # -- misc ---------------------------------------------------------
     @property

@@ -1,0 +1,299 @@
+"""Immutable mmap index segments — the storage layer shared by the
+exact GEMM search path and the graph ANN path (operators/graph_ann).
+
+The reference holds its corpus as per-node heap copies behind one
+mutex (``src/hnsw.zig:24-26``, ``:74``); production vector engines
+instead ship immutable index segments to shared storage and mmap
+them. This module implements that pattern for local[n] / shared-FS
+clusters:
+
+- ``pack``: one groupBy(pid) shuffle writes each shard's (sorted id
+  vector, f64 matrix, f32 matrix) as ``.npy`` files, executor-side,
+  atomic rename. The corpus crosses the JVM<->Python boundary exactly
+  once, at pack time.
+- ``exact_search``: queries stay a DataFrame; query blocks fan out
+  across cores (replicated over shards), each task ``np.load(
+  mmap_mode="r")``s its shard and runs a chunked norm-expansion GEMM
+  top-k; a global window merge carries P*k rows per query — never
+  the corpus. Per-search cost is the query shuffle + the GEMM; the
+  index bytes stay in the shared OS page cache across searches.
+
+Scale posture: shard size bounds task state (``DEFAULT_SHARD_TARGET``
+rows); query-block count bounds task memory on the probe side; both
+grow linearly with cluster size. ``index_dir`` must be host-shared
+storage (NFS/EFS-style) on a multi-node cluster; the tmpdir default
+is correct for local[n].
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+import time
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+DEFAULT_SHARD_TARGET = 2_000_000  # rows per segment (task state bound)
+
+_PURGE_AGE_SECS = 24 * 3600
+
+
+def seg_dir(index_dir: str | None = None) -> str:
+    """Resolve (and lazily create) the segment directory, reaping
+    files older than 24h from dead builds on the way."""
+    d = index_dir or os.path.join(tempfile.gettempdir(), "zvdb_graph_idx")
+    os.makedirs(d, exist_ok=True)
+    purge_stale(d, time.time())
+    return d
+
+
+def save_npy(prefix: str, name: str, arr: np.ndarray) -> None:
+    """Atomic .npy write (tmp + rename) so readers never see a
+    partial segment."""
+    tmp = f"{prefix}.{name}.{os.getpid()}.tmp"
+    with open(tmp, "wb") as fh:
+        np.save(fh, arr)
+    os.replace(tmp, f"{prefix}.{name}.npy")
+
+
+def unlink_prefixes(prefixes) -> None:
+    """Remove superseded segment files. POSIX-safe under concurrent
+    readers: an mmap holds the inode, so in-flight searches on the
+    old build finish unharmed."""
+    import glob as _glob
+
+    for p in prefixes:
+        for f in _glob.glob(f"{p}.*"):
+            try:
+                os.unlink(f)
+            except OSError:
+                pass
+
+
+def purge_stale(d: str, now: float) -> None:
+    """Opportunistic reap of segments older than 24h (dead builds
+    from past sessions). Live indexes re-pack far more often than
+    that; the per-build token keeps names unique."""
+    try:
+        for f in os.listdir(d):
+            path = os.path.join(d, f)
+            try:
+                if now - os.path.getmtime(path) > _PURGE_AGE_SECS:
+                    os.unlink(path)
+            except OSError:
+                pass
+    except OSError:
+        pass
+
+
+_SEARCH_SCHEMA = "query_id long, neighbor_id long, score double"
+_QCHUNK = 128  # query rows per GEMM (bounds the distance matrix)
+_CCHUNK = 1 << 18  # corpus rows per GEMM chunk
+
+
+def exact_search_segments(
+    queries: DataFrame,
+    meta: list[tuple[int, str, int, int]],
+    k: int,
+    dtype: str = "float32",
+    n_queries: int | None = None,
+    query_id: str = "query_id",
+    query_vec: str = "qemb",
+) -> DataFrame:
+    """Exact batched k-NN over packed segments: (query_id,
+    neighbor_id, score, rn), rn in 1..k, ascending (score, id) with
+    exact tie handling — the reference's search contract
+    (``src/hnsw.zig:194-236``; k > N clamps, src/test_hnsw.zig:121-125)
+    at full recall.
+
+    ``meta`` rows are (pid, prefix, n, dim) — driver-side scalars,
+    like the reference's entry-point state. f32 default matches the
+    reference's element type (its benchmarks run f32 vectors);
+    pass "float64" for bitwise-f64 ground truth.
+    """
+    spark = queries.sparkSession
+    if not meta:
+        return spark.createDataFrame([], _SEARCH_SCHEMA + ", rn int")
+    np_dtype = np.dtype(dtype)
+    f32 = np_dtype == np.float32
+    mat_name, xn_name = ("mat32", "xn32") if f32 else ("mat", "xn")
+    vmeta = {int(p): (pref, int(n)) for p, pref, n, _ in meta}
+    if n_queries is None:
+        n_queries = queries.count()
+    par = spark.sparkContext.defaultParallelism
+    # ~64 queries per task: fine blocks smooth stragglers (work
+    # stealing under mixed load); segments are mmapped + norms
+    # precomputed, so extra blocks carry no per-task state cost
+    n_tasks = max(1, min(4 * par, -(-n_queries * len(vmeta) // 64)))
+
+    from zvdb_spark.operators.knn import _topk_by_dist_id
+
+    def _task(batches):
+        cache: dict[int, tuple] = {}
+
+        def seg(pid: int):
+            if pid not in cache:
+                pref, _ = vmeta[pid]
+                ids = np.load(f"{pref}.ids.npy", mmap_mode="r")
+                mat = np.load(f"{pref}.{mat_name}.npy", mmap_mode="r")
+                xn = np.load(f"{pref}.{xn_name}.npy", mmap_mode="r")
+                cache[pid] = (np.asarray(ids), mat, xn)
+            return cache[pid]
+
+        for bpdf in batches:
+            for pid_any, qpdf in bpdf.groupby("pid", sort=True):
+                ids, mat, xn = seg(int(pid_any))
+                n = len(ids)
+                if not n:
+                    continue
+                qids_all = qpdf[query_id].to_numpy()
+                qm_all = np.ascontiguousarray(
+                    np.stack(qpdf[query_vec].to_numpy()).astype(np_dtype)
+                )
+                qn_all = (
+                    qm_all.astype(np.float64) ** 2
+                ).sum(axis=1).astype(np_dtype)
+                kk = min(k, n)
+                for lo in range(0, len(qids_all), _QCHUNK):
+                    qm = qm_all[lo : lo + _QCHUNK]
+                    qn = qn_all[lo : lo + _QCHUNK]
+                    qids = qids_all[lo : lo + _QCHUNK]
+                    # corpus-chunked GEMM top-k: keep kk candidates
+                    # per chunk, then resolve exactly across chunks —
+                    # any global top-k member is top-k in its chunk
+                    c_ids, c_d = [], []
+                    for clo in range(0, n, _CCHUNK):
+                        cm = np.ascontiguousarray(mat[clo : clo + _CCHUNK])
+                        cid = ids[clo : clo + _CCHUNK]
+                        d = (
+                            qn[:, None]
+                            + xn[clo : clo + _CCHUNK][None, :]
+                            - 2.0 * (qm @ cm.T)
+                        )
+                        ck = min(kk, len(cid))
+                        part = _topk_by_dist_id(d, cid, ck)
+                        c_ids.append(cid[part])
+                        c_d.append(np.take_along_axis(d, part, axis=1))
+                    cand_i = np.concatenate(c_ids, axis=1)
+                    cand_d = np.concatenate(c_d, axis=1).astype(np.float64)
+                    if cand_i.shape[1] > kk:
+                        # per-row lexsort: exact (d, id) resolve across
+                        # the per-chunk winners
+                        sel = np.empty((len(qids), kk), dtype=np.int64)
+                        for r in range(len(qids)):
+                            o = np.lexsort((cand_i[r], cand_d[r]))[:kk]
+                            sel[r] = o
+                        cand_i = np.take_along_axis(cand_i, sel, axis=1)
+                        cand_d = np.take_along_axis(cand_d, sel, axis=1)
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.repeat(qids, cand_i.shape[1]),
+                            "neighbor_id": cand_i.ravel(),
+                            "score": cand_d.ravel(),
+                        }
+                    )
+
+    pid_df = spark.createDataFrame(
+        [(int(p),) for p in sorted(vmeta)], "pid int"
+    )
+    fanned = (
+        queries.select(query_id, query_vec)
+        .crossJoin(F.broadcast(pid_df))
+        .repartition(n_tasks)  # round-robin: AQE-respected fan-out
+    )
+    per_shard = fanned.mapInPandas(_task, _SEARCH_SCHEMA)
+    w = W.partitionBy("query_id").orderBy("score", "neighbor_id")
+    return (
+        per_shard.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+class SegmentCorpus:
+    """Pack a (vec_id, emb) DataFrame into immutable mmap segments and
+    search them exactly. The exact-path twin of GraphIndex: same
+    storage layer, no graph — full recall, GEMM-bound.
+
+    Replaces the reference's in-memory node map + linear probe
+    (``src/hnsw.zig:45``, ``:194-236``) with shared-nothing shards:
+    build is one shuffle + linear IO; search cost is P*k rows of
+    shuffle per query batch.
+    """
+
+    def __init__(
+        self,
+        shard_target_rows: int = DEFAULT_SHARD_TARGET,
+        index_dir: str | None = None,
+    ) -> None:
+        self.shard_target_rows = shard_target_rows
+        self.index_dir = index_dir
+        self.meta: list[tuple[int, str, int, int]] = []
+        self.n_rows = 0
+
+    def pack(
+        self,
+        emb: DataFrame,
+        n_rows: int | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "emb",
+    ) -> "SegmentCorpus":
+        if n_rows is None:
+            n_rows = emb.count()
+        self.n_rows = n_rows
+        n_shards = max(1, math.ceil(n_rows / self.shard_target_rows))
+        d = seg_dir(self.index_dir)
+        token = uuid.uuid4().hex[:12]
+
+        def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("vec_id", ignore_index=True)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.ascontiguousarray(
+                np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            )
+            pid = int(pdf["pid"].iloc[0])
+            prefix = os.path.join(d, f"xseg_{token}_{pid}")
+            xn = (mat * mat).sum(axis=1)
+            save_npy(prefix, "ids", ids)
+            save_npy(prefix, "mat", mat)
+            save_npy(prefix, "mat32", mat.astype(np.float32))
+            save_npy(prefix, "xn", xn)
+            save_npy(prefix, "xn32", xn.astype(np.float32))
+            return pd.DataFrame(
+                [(pid, prefix, len(ids), mat.shape[1])],
+                columns=["pid", "prefix", "n", "dim"],
+            )
+
+        rows = (
+            emb.select(
+                F.col(id_col).cast("long").alias("vec_id"),
+                F.col(vec_col).alias("emb"),
+                (F.crc32(F.col(id_col).cast("string")) % n_shards)
+                .cast("int")
+                .alias("pid"),
+            )
+            .groupBy("pid")
+            .applyInPandas(_pack, "pid int, prefix string, n long, dim int")
+            .collect()
+        )
+        unlink_prefixes(p for _, p, _, _ in self.meta)
+        self.meta = [(r.pid, r.prefix, r.n, r.dim) for r in rows]
+        return self
+
+    def exact_search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        dtype: str = "float32",
+        n_queries: int | None = None,
+        query_id: str = "query_id",
+        query_vec: str = "qemb",
+    ) -> DataFrame:
+        return exact_search_segments(
+            queries, self.meta, k, dtype, n_queries, query_id, query_vec
+        )
