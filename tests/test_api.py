@@ -11,7 +11,7 @@ from zvdb_spark.sources.tables import load
 @pytest.fixture(scope="module")
 def idx(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    return VectorIndex(spark, m=16, n_partitions=4).insert_batch(emb).build()
+    return VectorIndex(spark, m=16).insert_batch(emb).build()
 
 
 def test_count_matches_inserts(idx, spark, sf_dir):
@@ -54,7 +54,7 @@ def test_incremental_append(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     half1 = emb.filter("vec_id % 2 = 0")
     half2 = emb.filter("vec_id % 2 = 1")
-    idx2 = VectorIndex(spark, n_partitions=4).insert_batch(half1)
+    idx2 = VectorIndex(spark).insert_batch(half1)
     n1 = idx2.count()
     idx2.insert_batch(half2)
     assert idx2.count() == n1 + half2.count() == emb.count()

@@ -147,7 +147,7 @@ def test_vector_index_schema_uniform(spark):
     from zvdb_spark.api import VectorIndex
 
     cols = ["query_id", "neighbor_id", "score", "rn"]
-    idx = VectorIndex(spark, n_partitions=2, seed=7)
+    idx = VectorIndex(spark, seed=7)
     assert idx.search([0.0, 0.0], k=3).columns == cols
 
     rng = np.random.default_rng(0)

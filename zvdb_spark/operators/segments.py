@@ -95,6 +95,26 @@ def purge_stale(d: str, now: float) -> None:
 _SEARCH_SCHEMA = "query_id long, neighbor_id long, score double"
 _QCHUNK = 128  # query rows per GEMM (bounds the distance matrix)
 _CCHUNK = 1 << 18  # corpus rows per GEMM chunk
+_GROUP_TARGET = 2_000_000  # segment rows bundled per query-replica group
+
+
+def _group_segments(
+    meta: list[tuple[int, str, int, int]], target: int
+) -> list[list[tuple[int, str, int, int]]]:
+    """Bundle segments into groups of ~target rows (first-fit over
+    size-sorted segments). Queries replicate once per GROUP, not per
+    segment, so many small graph shards don't multiply the query
+    shuffle or shrink the GEMMs; at scale the group grid is the
+    block-nested-loop shape (replication = total_rows / target)."""
+    groups: list[tuple[int, list]] = []
+    for seg in sorted(meta, key=lambda s: -s[2]):
+        for i, (rows, members) in enumerate(groups):
+            if rows + seg[2] <= target:
+                groups[i] = (rows + seg[2], members + [seg])
+                break
+        else:
+            groups.append((seg[2], [seg]))
+    return [members for _, members in groups]
 
 
 def exact_search_segments(
@@ -123,34 +143,33 @@ def exact_search_segments(
     np_dtype = np.dtype(dtype)
     f32 = np_dtype == np.float32
     mat_name, xn_name = ("mat32", "xn32") if f32 else ("mat", "xn")
-    vmeta = {int(p): (pref, int(n)) for p, pref, n, _ in meta}
+    groups = _group_segments(meta, _GROUP_TARGET)
     if n_queries is None:
         n_queries = queries.count()
     par = spark.sparkContext.defaultParallelism
     # ~64 queries per task: fine blocks smooth stragglers (work
     # stealing under mixed load); segments are mmapped + norms
     # precomputed, so extra blocks carry no per-task state cost
-    n_tasks = max(1, min(4 * par, -(-n_queries * len(vmeta) // 64)))
+    n_tasks = max(1, min(4 * par, -(-n_queries * len(groups) // 64)))
 
     from zvdb_spark.operators.knn import _topk_by_dist_id
 
     def _task(batches):
-        cache: dict[int, tuple] = {}
+        cache: dict[str, tuple] = {}
 
-        def seg(pid: int):
-            if pid not in cache:
-                pref, _ = vmeta[pid]
+        def seg(pref: str):
+            if pref not in cache:
                 ids = np.load(f"{pref}.ids.npy", mmap_mode="r")
                 mat = np.load(f"{pref}.{mat_name}.npy", mmap_mode="r")
                 xn = np.load(f"{pref}.{xn_name}.npy", mmap_mode="r")
-                cache[pid] = (np.asarray(ids), mat, xn)
-            return cache[pid]
+                cache[pref] = (np.asarray(ids), mat, xn)
+            return cache[pref]
 
         for bpdf in batches:
-            for pid_any, qpdf in bpdf.groupby("pid", sort=True):
-                ids, mat, xn = seg(int(pid_any))
-                n = len(ids)
-                if not n:
+            for gid_any, qpdf in bpdf.groupby("gid", sort=True):
+                segs = groups[int(gid_any)]
+                g_rows = sum(s[2] for s in segs)
+                if not g_rows:
                     continue
                 qids_all = qpdf[query_id].to_numpy()
                 qm_all = np.ascontiguousarray(
@@ -159,27 +178,30 @@ def exact_search_segments(
                 qn_all = (
                     qm_all.astype(np.float64) ** 2
                 ).sum(axis=1).astype(np_dtype)
-                kk = min(k, n)
+                kk = min(k, g_rows)
                 for lo in range(0, len(qids_all), _QCHUNK):
                     qm = qm_all[lo : lo + _QCHUNK]
                     qn = qn_all[lo : lo + _QCHUNK]
                     qids = qids_all[lo : lo + _QCHUNK]
-                    # corpus-chunked GEMM top-k: keep kk candidates
-                    # per chunk, then resolve exactly across chunks —
-                    # any global top-k member is top-k in its chunk
+                    # every segment of the group is GEMMed in corpus
+                    # chunks; kk candidates kept per chunk, resolved
+                    # exactly across chunks at the end — any global
+                    # top-k member is top-k in its chunk
                     c_ids, c_d = [], []
-                    for clo in range(0, n, _CCHUNK):
-                        cm = np.ascontiguousarray(mat[clo : clo + _CCHUNK])
-                        cid = ids[clo : clo + _CCHUNK]
-                        d = (
-                            qn[:, None]
-                            + xn[clo : clo + _CCHUNK][None, :]
-                            - 2.0 * (qm @ cm.T)
-                        )
-                        ck = min(kk, len(cid))
-                        part = _topk_by_dist_id(d, cid, ck)
-                        c_ids.append(cid[part])
-                        c_d.append(np.take_along_axis(d, part, axis=1))
+                    for _, pref, n_seg, _dim in segs:
+                        ids, mat, xn = seg(pref)
+                        for clo in range(0, n_seg, _CCHUNK):
+                            cm = np.ascontiguousarray(mat[clo : clo + _CCHUNK])
+                            cid = ids[clo : clo + _CCHUNK]
+                            d = (
+                                qn[:, None]
+                                + xn[clo : clo + _CCHUNK][None, :]
+                                - 2.0 * (qm @ cm.T)
+                            )
+                            ck = min(kk, len(cid))
+                            part = _topk_by_dist_id(d, cid, ck)
+                            c_ids.append(cid[part])
+                            c_d.append(np.take_along_axis(d, part, axis=1))
                     cand_i = np.concatenate(c_ids, axis=1)
                     cand_d = np.concatenate(c_d, axis=1).astype(np.float64)
                     if cand_i.shape[1] > kk:
@@ -199,12 +221,12 @@ def exact_search_segments(
                         }
                     )
 
-    pid_df = spark.createDataFrame(
-        [(int(p),) for p in sorted(vmeta)], "pid int"
+    gid_df = spark.createDataFrame(
+        [(int(g),) for g in range(len(groups))], "gid int"
     )
     fanned = (
         queries.select(query_id, query_vec)
-        .crossJoin(F.broadcast(pid_df))
+        .crossJoin(F.broadcast(gid_df))
         .repartition(n_tasks)  # round-robin: AQE-respected fan-out
     )
     per_shard = fanned.mapInPandas(_task, _SEARCH_SCHEMA)
