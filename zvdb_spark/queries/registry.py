@@ -106,6 +106,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_hnsw_ann",
     "q_stream_demo_tumbling",
     "q_stream_demo_foreachbatch",
+    "q_stream_demo_index_ingest",
     "q_agg_approx_distinct",
     "q_kmeans_quantizer",
     "q_multimodal_frames",

@@ -187,3 +187,16 @@ def q_stream_demo_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zvdb_spark.streaming.jobs import run_foreachbatch_ingest_demo
 
     return run_foreachbatch_ingest_demo(spark, sf_dir)
+
+
+@register("q_stream_demo_index_ingest", oracle=None, tags=("streaming", "demo"))
+def q_stream_demo_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental INDEX ingest: embedding micro-batches
+    build then append into a live GraphIndex (the reference's
+    incremental insert, src/hnsw.zig:73-117, under Structured
+    Streaming), with the row-conservation invariant of the Concurrent
+    Access test (src/test_hnsw.zig:154-209) asserted before the final
+    index is searched. Rows-only check."""
+    from zvdb_spark.streaming.jobs import run_streaming_index_ingest_demo
+
+    return run_streaming_index_ingest_demo(spark, sf_dir)

@@ -146,3 +146,68 @@ def run_foreachbatch_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         F.sum("sum_value").cast("double").alias("sum_value"),
     )
+
+
+def run_streaming_index_ingest_demo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming incremental INDEX ingest: embedding micro-batches
+    stream into a live GraphIndex — the first batch bulk-builds, every
+    later batch goes through ``GraphIndex.append`` (per-new-point
+    connect + local re-prune, the reference's incremental ``insert``,
+    src/hnsw.zig:73-117) — never a rebuild. After the stream drains,
+    the row-conservation invariant of the reference's Concurrent
+    Access test (src/test_hnsw.zig:154-209) is asserted and the final
+    index is searched; the returned top-k frame is the rows-only
+    check surface.
+    """
+    import tempfile
+
+    from zvdb_spark.functions.vector import as_double_array
+    from zvdb_spark.operators.graph_ann import GraphIndex
+    from zvdb_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    # landing directory: several files so availableNow +
+    # maxFilesPerTrigger=1 yields genuinely separate micro-batches
+    land = tempfile.mkdtemp(prefix="zvdb_ingest_land_")
+    emb.repartition(4).write.mode("overwrite").parquet(land)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    holder: dict[str, GraphIndex] = {}
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)
+        if batch.isEmpty():
+            return
+        if "idx" not in holder:
+            holder["idx"] = GraphIndex(m=8, ef=64, seed=7).build(batch)
+        else:
+            holder["idx"].append(batch)
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_bounded(q)
+    idx = holder["idx"]
+    n_expected = emb.count()
+    if idx.n_rows != n_expected:
+        raise AssertionError(
+            f"row conservation violated: index has {idx.n_rows} rows, "
+            f"stream delivered {n_expected}"
+        )
+    probes = (
+        emb.orderBy("vec_id")
+        .limit(10)
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+        .localCheckpoint(eager=True)
+    )
+    return idx.search(probes, k=5, n_queries=10)
