@@ -108,3 +108,31 @@ def test_graph_search_moves_no_index_data(spark, sf_dir):
     assert a["n_exchanges"] == 2, a["plan"]
     assert a["n_broadcast_joins"] >= 1  # shard metadata rides broadcast
     assert a["n_sortmerge_joins"] == 0
+
+
+def test_segment_exact_search_moves_no_corpus(spark, sf_dir):
+    """Segment exact search plan: the corpus lives in mmap segments,
+    so the plan contains only the query side — one round-robin
+    Exchange fanning query blocks out, one hash Exchange for the
+    global top-k window, a broadcast of the group-id list, and no
+    join or scan of anything corpus-sized."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.functions.vector import as_double_array
+    from zvdb_spark.operators.segments import SegmentCorpus
+    from zvdb_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    corp = SegmentCorpus(shard_target_rows=100).pack(emb)
+    q = emb.limit(4).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    ).localCheckpoint(eager=True)
+    a = plan_audit(corp.exact_search(q, k=3, n_queries=4))
+    # query-block fan-out, plus the top-k window's hash exchange when
+    # the fan-out spans >1 partition (a single partition already
+    # satisfies the window's distribution)
+    assert a["n_exchanges"] <= 2, a["plan"]
+    assert a["n_sortmerge_joins"] == 0
+    assert "BroadcastNestedLoopJoin" in a["plan"]  # gid list broadcast
