@@ -86,22 +86,33 @@ def q_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- shingles
 
-def _shingles_spark(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
+def _shingles_spark(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 2,
+    only_ids: DataFrame | None = None,
+) -> DataFrame:
     """doc_id + distinct n-word shingle array, pure HOF (no explode).
 
     Docs with fewer than n tokens get an empty shingle array (guarded:
     an unguarded ``sequence(1, size(tok)-n+1)`` yields a DESCENDING
     sequence for short docs and element_at then throws). Matches the
     DuckDB twin, where ``range()`` returns empty for the same inputs.
+
+    ``only_ids`` (a (doc_id) DataFrame) prunes the corpus BEFORE the
+    shingle transform — the broadcast join runs under the projection,
+    so shingles are computed only for surviving rows (used by the
+    minhash verify stage on its candidate set).
     """
     # The docs parquet is a single small file -> one input partition;
     # everything downstream (per-shingle md5, signature aggs) would run
     # single-threaded without this spread. One cheap shuffle of raw
     # text parallelizes the whole hash pipeline across the cluster.
-    d = (
-        load(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", F.split("text", " ").alias("tok"))
+    d = load(spark, sf_dir, "documents")
+    if only_ids is not None:
+        d = d.join(F.broadcast(only_ids.select("doc_id")), "doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("tok")
     )
     parts = ", ".join(f"element_at(tok, i + {j})" for j in range(n))
     return d.select(
@@ -190,27 +201,33 @@ FROM ver WHERE j >= {JACCARD_TAU}
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs via LSH bands, verified by exact Jaccard."""
-    # ONE eager checkpoint of (doc_id, shingles, mh0..7): the band
-    # self-join branches (4x) and the two verification joins all read
-    # it, so the shingle+md5 pipeline runs exactly once and the text
-    # is materialized once (round 1 checkpointed twice — shingles
-    # alone, then shingles again beside the signatures)
+    # ONE eager checkpoint of (doc_id, mh0..7) — 8 ints per doc, tiny:
+    # both band-join sides read it. The shingle arrays themselves are
+    # NEVER materialized corpus-wide; the verify stage recomputes them
+    # only for the candidate set (pruned broadcast join), which is the
+    # posture that holds at 100 TB — signatures are the index,
+    # documents re-read on demand.
     sig = (
         _shingles_spark(spark, sf_dir, 2)
         .selectExpr("doc_id", "shingles", _HS_SPARK)
-        .selectExpr("doc_id", "shingles", *_minhash_cols_spark())
+        .selectExpr("doc_id", *_minhash_cols_spark())
         .localCheckpoint(eager=True)
     )
-    sh = sig.select("doc_id", "shingles")
-    bands = None
-    for j in range(N_BANDS):
-        b = sig.select(
-            "doc_id",
-            F.lit(j).alias("band_idx"),
-            F.col(f"mh{2 * j}").alias("x"),
-            F.col(f"mh{2 * j + 1}").alias("y"),
-        )
-        bands = b if bands is None else bands.unionAll(b)
+    # one explode instead of an N_BANDS-way union: each join side
+    # scans the checkpoint once, not once per band
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.col(f"mh{2 * j}").alias("x"),
+                F.col(f"mh{2 * j + 1}").alias("y"),
+            )
+            for j in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_arr).alias("b")).select(
+        "doc_id", "b.band_idx", "b.x", "b.y"
+    )
     a = bands.select(
         F.col("doc_id").alias("ia"), "band_idx", "x", "y"
     )
@@ -222,7 +239,14 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ia") < F.col("ib"))
         .select("ia", "ib")
         .distinct()
+        .localCheckpoint(eager=True)  # tiny pair list, read 3x below
     )
+    ids = (
+        cand.select(F.col("ia").alias("doc_id"))
+        .unionAll(cand.select(F.col("ib").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingles_spark(spark, sf_dir, 2, only_ids=ids)
     sa = sh.select(F.col("doc_id").alias("ia"), F.col("shingles").alias("sha"))
     sb = sh.select(F.col("doc_id").alias("ib"), F.col("shingles").alias("shb"))
     jac = F.size(F.array_intersect("sha", "shb")) * F.lit(1.0) / F.size(
