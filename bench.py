@@ -203,6 +203,15 @@ def main() -> None:
         _qdf(queries[:n_probe]), k=BENCH_K, dtype="float64", n_queries=n_probe
     ).toPandas()
     ann_recall_uniform = _recall_of(ann_pdf, ex_pdf, n_probe)
+    # the timed exact path runs f32 (the reference's element type);
+    # measure its recall against the f64 ground truth so the
+    # published qps and recall describe the SAME code path
+    ex32_pdf = gidx.exact_search(
+        _qdf(queries[:n_probe]), k=BENCH_K, dtype="float32", n_queries=n_probe
+    ).toPandas()
+    exact_f32_recall = _recall_of(
+        ex32_pdf.rename(columns={"neighbor_id": "vec_id"}), ex_pdf, n_probe
+    )
 
     # ANN on a clustered corpus (seeded Gaussian mixture — the
     # structure real embedding corpora have; this is where a graph
@@ -295,6 +304,7 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "insert_pts_per_s": round(BENCH_N / insert_sec, 2),
         "search_qps": round(BENCH_NQ / exact_sec, 2),
+        "search_f32_recall_vs_f64": round(exact_f32_recall, 4),
         "ann_search_qps": round(ann_nq / cann_sec, 2),
         "ann_recall_at_k": round(ann_recall, 3),
         "ann_bench_distribution": "clustered (seeded Gaussian mixture, "

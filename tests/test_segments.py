@@ -101,14 +101,49 @@ def test_graph_index_exact_search_delegates(spark, corpus):
     )
 
 
-def test_repack_replaces_segments(spark, corpus):
+def test_repack_retires_then_reaps_segments(spark, corpus):
+    import glob
+    import time
+
+    from zvdb_spark.operators import segments as S
+
     emb, q = corpus
     sc = SegmentCorpus().pack(emb)
     first = [p for _, p, _, _ in sc.meta]
     sc.pack(emb)
-    import glob
-
+    # superseded files survive a grace window (already-returned lazy
+    # DataFrames must stay re-executable), then the reap unlinks them
     for p in first:
-        assert not glob.glob(f"{p}.*")  # superseded files reclaimed
+        assert glob.glob(f"{p}.*")
+    S.reap_retired(now=time.time() + S._RETIRE_GRACE_SECS + 1)
+    for p in first:
+        assert not glob.glob(f"{p}.*")
     got = sc.exact_search(q, k=3, dtype="float64").toPandas()
     assert len(got) == 3 * q.count()
+
+
+def test_duplicate_vectors_exact_ties_and_zero_self_distance(spark, corpus):
+    """Duplicate points are distinct rows (src/test_hnsw.zig:104-119):
+    with every vector duplicated under shifted ids, ranks must follow
+    the exact (distance, id) contract — self-match and its twin both
+    at score EXACTLY 0.0 — matching the crossJoin reference."""
+    emb, q = corpus
+    n = emb.count()
+    doubled = emb.unionAll(
+        emb.select((F.col("vec_id") + n).alias("vec_id"), "emb")
+    ).localCheckpoint(eager=True)
+    ref = _sorted(knn_join(doubled, q, k=4).toPandas())
+    got = _sorted(
+        SegmentCorpus(shard_target_rows=50)
+        .pack(doubled)
+        .exact_search(q, k=4, dtype="float64")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        ref[["query_id", "neighbor_id", "rn"]],
+        got[["query_id", "neighbor_id", "rn"]],
+    )
+    self_rows = got[got.rn == 1]
+    assert (self_rows.score == 0.0).all()  # exactly zero, not 1e-16
+    twin_rows = got[got.rn == 2]
+    assert (twin_rows.score == 0.0).all()

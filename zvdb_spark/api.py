@@ -83,7 +83,12 @@ class VectorIndex:
         insert_batch calls append incrementally instead of
         invalidating). One build serves both paths: the graph for ANN
         search and its mmap vector segments for exact search — no
-        second copy of the corpus exists anywhere."""
+        second copy of the corpus exists anywhere. The graph edges are
+        built eagerly even for exact-only callers: that is the
+        reference's own contract (insert always builds the graph,
+        src/hnsw.zig:73-117); exact-only pipelines that want to skip
+        the edge cost should use operators/segments.SegmentCorpus
+        directly."""
         if self._vectors is None:
             raise ValueError("insert_batch first: index is empty")
         self._graph = GraphIndex(m=self.m, seed=self.seed).build(self._vectors)

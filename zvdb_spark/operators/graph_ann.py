@@ -82,9 +82,10 @@ from pyspark.sql import functions as F
 from zvdb_spark.operators.knn import _pair_scores, _topk_by_dist_id
 from zvdb_spark.operators.segments import (
     exact_search_segments,
+    retire_prefixes as _retire_prefixes,
     save_npy as _save_npy,
     seg_dir as _shared_seg_dir,
-    unlink_prefixes as _unlink_prefixes,
+    touch_prefixes as _touch_prefixes,
 )
 
 DEFAULT_CELL_TARGET = 400  # rows per quantizer cell
@@ -459,7 +460,7 @@ class GraphIndex:
         meta = (
             nodes.groupBy("pid").applyInPandas(_pack, _PACK_SCHEMA).collect()
         )
-        _unlink_prefixes(p for p, _, _ in self._vec_meta.values())
+        _retire_prefixes(p for p, _, _ in self._vec_meta.values())
         self._vec_meta = {r.pid: (r.prefix, r.n, r.dim) for r in meta}
         c = len(cmat)
         seeds = np.full((c, spc), -1, dtype=np.int64)
@@ -584,15 +585,48 @@ class GraphIndex:
         # independent cell.
         return work.repartition(ntasks).mapInPandas(_task, _EDGE_SCHEMA)
 
+    def _celled_from_segments(self) -> DataFrame:
+        """(cell_id, vec_id, emb) read back from the packed segments —
+        the authoritative snapshot of what the index actually holds.
+        append() consumes THIS rather than re-evaluating the original
+        input plan, so packed rows, edges, and n_rows can never
+        diverge even if the input DataFrame were nondeterministic."""
+        spark = self.celled.sparkSession
+        meta = [
+            (int(p), prefix)
+            for p, (prefix, _, _) in sorted(self._vec_meta.items())
+        ]
+        mdf = spark.createDataFrame(meta, "pid int, prefix string").repartition(
+            max(len(meta), 1)
+        )
+
+        def _read(batches):
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    ids = np.load(f"{r.prefix}.ids.npy")
+                    mat = np.load(f"{r.prefix}.mat.npy")
+                    cells = np.load(f"{r.prefix}.cells.npy")
+                    yield pd.DataFrame(
+                        {
+                            "cell_id": cells.astype(np.int32),
+                            "vec_id": ids,
+                            "emb": list(mat),
+                        }
+                    )
+
+        return mdf.mapInPandas(_read, "cell_id int, vec_id long, emb array<double>")
+
     # -- append (R2, incremental) -----------------------------------
     def append(self, emb_new: DataFrame) -> "GraphIndex":
         """Insert a batch into the EXISTING index without a rebuild:
         quantizer frozen, new rows search their M nearest within their
         cell neighborhood (cost |new| x R x cell rows), connect
         bidirectionally, degree re-cap — src/hnsw.zig:73-117 as a
-        batch delta. Segments re-pack (linear IO under a fresh token —
-        immutable files, concurrent searches keep their old ones);
-        the graph GEMM runs only for the new rows."""
+        batch delta. Old rows come from the segments themselves (one
+        linear read — never a re-evaluation of the original input);
+        segments re-pack under a fresh token (immutable files,
+        concurrent searches keep their old ones) and the graph GEMM
+        runs only for the new rows."""
         from zvdb_spark.operators.kmeans import assign_cells
 
         if self.celled is None:
@@ -602,13 +636,12 @@ class GraphIndex:
             .select("cell_id", "vec_id", "emb")
             .localCheckpoint(eager=True)
         )
-        all_celled = self.celled.unionAll(new_celled).localCheckpoint(eager=True)
-        flagged = self.celled.withColumn("is_new", F.lit(False)).unionAll(
-            new_celled.withColumn("is_new", F.lit(True))
-        )
-        self.celled = all_celled
+        flagged = self._celled_from_segments().withColumn(
+            "is_new", F.lit(False)
+        ).unionAll(new_celled.withColumn("is_new", F.lit(True)))
         self.n_rows += new_celled.count()
         self._pack_vectors(flagged)  # refreshed segments + seeds
+        self.celled = self._celled_from_segments()
         nn = self._edges_from_segments()  # probes = new rows only
         delta = nn.select(
             F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"),
@@ -708,7 +741,7 @@ class GraphIndex:
                 for p, (prefix, n, dim) in self._vec_meta.items()
                 if p not in have
             ]
-            _unlink_prefixes(self._adj_prefixes)  # superseded build
+            _retire_prefixes(self._adj_prefixes)  # superseded build
             self._adj_prefixes = [r.aprefix for r in rows]
             self._state = spark.createDataFrame(
                 [tuple(r) for r in rows] + fill, _META_SCHEMA
@@ -733,6 +766,11 @@ class GraphIndex:
         the ef-bounded beam — independent of index size."""
         ef = ef or self.ef
         state = self.state()
+        # live index: refresh segment mtimes so the dead-build purge
+        # never reaps files a long-lived index still reads
+        _touch_prefixes(
+            [p for p, _, _ in self._vec_meta.values()] + self._adj_prefixes
+        )
         if n_qblocks is None:
             nq = n_queries if n_queries is not None else queries.count()
             # ~32 queries per beam batch: small enough to fan out

@@ -42,6 +42,46 @@ from pyspark.sql import functions as F
 DEFAULT_SHARD_TARGET = 2_000_000  # rows per segment (task state bound)
 
 _PURGE_AGE_SECS = 24 * 3600
+_RETIRE_GRACE_SECS = 600
+
+# superseded builds awaiting reclaim: (retired_at, prefix). A repack
+# RETIRES its predecessor instead of unlinking it so that already-
+# returned lazy DataFrames stay re-executable (Spark may legally
+# re-run a stage) for a grace window; the next pack reaps anything
+# past the grace.
+_retired: list[tuple[float, str]] = []
+
+
+def retire_prefixes(prefixes) -> None:
+    now = time.time()
+    _retired.extend((now, p) for p in prefixes)
+
+
+def reap_retired(now: float | None = None) -> None:
+    """Unlink retired segment files whose grace window has passed.
+    POSIX-safe under concurrent readers: an open mmap holds the
+    inode, so in-flight tasks on the old build finish unharmed."""
+    now = time.time() if now is None else now
+    keep: list[tuple[float, str]] = []
+    for t, p in _retired:
+        if now - t > _RETIRE_GRACE_SECS:
+            unlink_prefixes([p])
+        else:
+            keep.append((t, p))
+    _retired[:] = keep
+
+
+def touch_prefixes(prefixes) -> None:
+    """Refresh segment mtimes so the 24h dead-build purge never reaps
+    a live index's files — every search touches its own segments."""
+    import glob as _glob
+
+    for p in prefixes:
+        for f in _glob.glob(f"{p}.*"):
+            try:
+                os.utime(f)
+            except OSError:
+                pass
 
 
 def seg_dir(index_dir: str | None = None) -> str:
@@ -50,6 +90,7 @@ def seg_dir(index_dir: str | None = None) -> str:
     d = index_dir or os.path.join(tempfile.gettempdir(), "zvdb_graph_idx")
     os.makedirs(d, exist_ok=True)
     purge_stale(d, time.time())
+    reap_retired()
     return d
 
 
@@ -140,6 +181,7 @@ def exact_search_segments(
     spark = queries.sparkSession
     if not meta:
         return spark.createDataFrame([], _SEARCH_SCHEMA + ", rn int")
+    touch_prefixes(p for _, p, _, _ in meta)  # live index: never purged
     np_dtype = np.dtype(dtype)
     f32 = np_dtype == np.float32
     mat_name, xn_name = ("mat32", "xn32") if f32 else ("mat", "xn")
@@ -184,10 +226,15 @@ def exact_search_segments(
                     qn = qn_all[lo : lo + _QCHUNK]
                     qids = qids_all[lo : lo + _QCHUNK]
                     # every segment of the group is GEMMed in corpus
-                    # chunks; kk candidates kept per chunk, resolved
-                    # exactly across chunks at the end — any global
-                    # top-k member is top-k in its chunk
+                    # chunks; kk candidates kept per chunk, RESCORED
+                    # as exact diff-squared (the norm-expansion GEMM
+                    # loses ~1e-16 to cancellation — a self-match must
+                    # be 0.0, not 6.7e-16, and ties must resolve by
+                    # the true (distance, id) order), then resolved
+                    # exactly across chunks — any global top-k member
+                    # is top-k in its chunk
                     c_ids, c_d = [], []
+                    qm64 = qm.astype(np.float64)
                     for _, pref, n_seg, _dim in segs:
                         ids, mat, xn = seg(pref)
                         for clo in range(0, n_seg, _CCHUNK):
@@ -200,19 +247,23 @@ def exact_search_segments(
                             )
                             ck = min(kk, len(cid))
                             part = _topk_by_dist_id(d, cid, ck)
+                            sel = np.asarray(cm)[part].astype(np.float64)
+                            diff = sel - qm64[:, None, :]
+                            dex = np.einsum("ijk,ijk->ij", diff, diff)
                             c_ids.append(cid[part])
-                            c_d.append(np.take_along_axis(d, part, axis=1))
+                            c_d.append(dex)
                     cand_i = np.concatenate(c_ids, axis=1)
-                    cand_d = np.concatenate(c_d, axis=1).astype(np.float64)
-                    if cand_i.shape[1] > kk:
-                        # per-row lexsort: exact (d, id) resolve across
-                        # the per-chunk winners
-                        sel = np.empty((len(qids), kk), dtype=np.int64)
-                        for r in range(len(qids)):
-                            o = np.lexsort((cand_i[r], cand_d[r]))[:kk]
-                            sel[r] = o
-                        cand_i = np.take_along_axis(cand_i, sel, axis=1)
-                        cand_d = np.take_along_axis(cand_d, sel, axis=1)
+                    cand_d = np.concatenate(c_d, axis=1)
+                    # per-row lexsort: exact (d, id) resolve over the
+                    # rescored per-chunk winners (also re-sorts the
+                    # single-chunk case, whose GEMM-order selection
+                    # may disagree with the rescored order on ties)
+                    sel = np.empty((len(qids), kk), dtype=np.int64)
+                    for r in range(len(qids)):
+                        o = np.lexsort((cand_i[r], cand_d[r]))[:kk]
+                        sel[r] = o
+                    cand_i = np.take_along_axis(cand_i, sel, axis=1)
+                    cand_d = np.take_along_axis(cand_d, sel, axis=1)
                     yield pd.DataFrame(
                         {
                             "query_id": np.repeat(qids, cand_i.shape[1]),
@@ -303,7 +354,7 @@ class SegmentCorpus:
             .applyInPandas(_pack, "pid int, prefix string, n long, dim int")
             .collect()
         )
-        unlink_prefixes(p for _, p, _, _ in self.meta)
+        retire_prefixes(p for _, p, _, _ in self.meta)
         self.meta = [(r.pid, r.prefix, r.n, r.dim) for r in rows]
         return self
 

@@ -197,7 +197,11 @@ def run_streaming_index_ingest_demo(
         .start()
     )
     _await_bounded(q)
-    idx = holder["idx"]
+    idx = holder.get("idx")
+    if idx is None:
+        raise ValueError(
+            "stream delivered no rows to ingest — no index was built"
+        )
     n_expected = emb.count()
     if idx.n_rows != n_expected:
         raise AssertionError(
