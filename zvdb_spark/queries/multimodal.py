@@ -99,14 +99,37 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_frames", oracle=None, tags=("multimodal",))
+@register(
+    "q_multimodal_frames",
+    # byte-exact twin of the mapInPandas sampler: DuckDB cannot slice
+    # BLOBs directly, so slice the hex encoding (2 chars/byte) and
+    # zero-pad — '00' per padding byte == rpad '0' in whole bytes
+    oracle="""
+SELECT d.doc_id AS media_id,
+       CAST(f.frame_idx AS INT) AS frame_idx,
+       CAST(16 AS BIGINT) AS frame_bytes,
+       upper(rpad(substring(
+           hex(encode(d.text)),
+           CAST((f.frame_idx * greatest(octet_length(encode(d.text)), 1)) // 4
+                AS BIGINT) * 2 + 1,
+           32), 32, '0')) AS frame_hex
+FROM documents d
+CROSS JOIN (SELECT unnest(range(4)) AS frame_idx) f
+""",
+    tags=("multimodal",),
+)
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling (1:N flatMap through Arrow): 4 fixed-size frames
-    per payload. Rows-only check; invariants (4 rows per media, fixed
-    frame size) are pytest-enforced."""
+    """Frame sampling (1:N flatMap through Arrow): 4 fixed-size
+    evenly-offset frames per payload, zero-padded at the tail. The
+    frame CONTENT is oracle-checked via its hex encoding, so the
+    1:N Arrow flatMap itself — offsets, padding, row fan-out — is
+    verified byte-exactly, not just counted."""
     from zvdb_spark.operators.multimodal import sample_frames
 
     media = documents_as_media(load(spark, sf_dir, "documents"))
     return sample_frames(media, n_frames=4, frame_size=16).select(
-        "media_id", "frame_idx", F.octet_length("frame").alias("frame_bytes")
+        "media_id",
+        "frame_idx",
+        F.octet_length("frame").alias("frame_bytes"),
+        F.upper(F.hex("frame")).alias("frame_hex"),
     )

@@ -100,16 +100,15 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_multimodal_features",
     "q_multimodal_stats",
     "q_multimodal_resize",
-    # position 50: real Structured Streaming execution (rows-only)
-    "q_stream_demo_session",
+    "q_multimodal_frames",
     # -- past the driver cap: rows-only-by-design extras, pytest-covered
+    "q_stream_demo_session",
     "q_hnsw_ann",
     "q_stream_demo_tumbling",
     "q_stream_demo_foreachbatch",
     "q_stream_demo_index_ingest",
     "q_agg_approx_distinct",
     "q_kmeans_quantizer",
-    "q_multimodal_frames",
 )
 
 
