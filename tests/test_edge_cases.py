@@ -23,6 +23,7 @@ def test_shingles_short_docs(spark, tmp_path):
             "text": ["one", "two words", "", "a b c"],
             "source": ["t"] * 4,
             "lang": ["en"] * 4,
+            "n_chars": [3, 9, 0, 5],
         }
     )
     d = str(tmp_path / "docs")

@@ -1,0 +1,44 @@
+"""Loader schema-drift guard.
+
+Round 2 regressed 9/50 driver queries because the events fixture moved
+from nanos-as-long to TIMESTAMP(MICROS) and the loader assumed the old
+encoding. These tests pin the contract: ``load`` normalizes every
+table to the dtypes in ``EXPECTED_SCHEMAS`` and diagnoses drift with a
+named error, whatever the fixture stores.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from zvdb_spark.sources.tables import EXPECTED_SCHEMAS, TABLES, load
+
+
+def test_all_tables_load_with_expected_dtypes(spark, sf_dir):
+    for name in TABLES:
+        df = load(spark, sf_dir, name)
+        actual = dict(df.dtypes)
+        for col, ok in EXPECTED_SCHEMAS[name].items():
+            assert col in actual, f"{name}.{col} missing"
+            assert actual[col] in ok, (
+                f"{name}.{col}: got {actual[col]}, expected one of {ok}"
+            )
+
+
+def test_events_ts_is_timestamp_in_plausible_range(spark, sf_dir):
+    """The round-2 silent failure mode: ts decoded with the wrong epoch
+    unit lands everything in January 1970. Pin a plausible range."""
+    ev = load(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    row = ev.selectExpr("min(ts) AS lo", "max(ts) AS hi").first()
+    assert row.lo is not None
+    assert row.lo.year >= 2000, f"events.ts decoded wrong: min={row.lo}"
+    assert row.hi.year <= 2100, f"events.ts decoded wrong: max={row.hi}"
+    assert isinstance(row.lo, datetime.datetime)
+
+
+def test_unknown_table_raises(spark, sf_dir):
+    with pytest.raises(KeyError):
+        load(spark, sf_dir, "nope")

@@ -30,26 +30,159 @@ TABLES = (
 DIM_TABLES = ("region", "nation", "supplier")
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table as a DataFrame (schema from footers).
+# Expected column dtypes after load() normalization. Values are sets of
+# acceptable Spark simpleString dtypes — fixtures have drifted between
+# rounds (events.ts was nanos-as-long, now TIMESTAMP(MICROS)), so the
+# loader diagnoses drift with a named error instead of failing later
+# inside some query's analysis.
+EXPECTED_SCHEMAS: dict[str, dict[str, set[str]]] = {
+    "region": {"r_regionkey": {"int"}, "r_name": {"string"}},
+    "nation": {
+        "n_nationkey": {"int"},
+        "n_name": {"string"},
+        "n_regionkey": {"int"},
+    },
+    "customer": {
+        "c_custkey": {"bigint"},
+        "c_name": {"string"},
+        "c_nationkey": {"int"},
+        "c_acctbal": {"double"},
+        "c_mktsegment": {"string"},
+    },
+    "supplier": {
+        "s_suppkey": {"bigint"},
+        "s_name": {"string"},
+        "s_nationkey": {"int"},
+        "s_acctbal": {"double"},
+    },
+    "part": {
+        "p_partkey": {"bigint"},
+        "p_name": {"string"},
+        "p_brand": {"string"},
+        "p_type": {"string"},
+        "p_size": {"int"},
+        "p_retailprice": {"double"},
+    },
+    "orders": {
+        "o_orderkey": {"bigint"},
+        "o_custkey": {"bigint"},
+        "o_orderstatus": {"string"},
+        "o_totalprice": {"double"},
+        "o_orderdate": {"timestamp_ntz", "timestamp", "date"},
+        "o_orderpriority": {"string"},
+    },
+    "lineitem": {
+        "l_orderkey": {"bigint"},
+        "l_partkey": {"bigint"},
+        "l_suppkey": {"bigint"},
+        "l_linenumber": {"int"},
+        "l_quantity": {"double"},
+        "l_extendedprice": {"double"},
+        "l_discount": {"double"},
+        "l_tax": {"double"},
+        "l_returnflag": {"string"},
+        "l_linestatus": {"string"},
+        "l_shipdate": {"timestamp_ntz", "timestamp", "date"},
+    },
+    "events": {
+        "event_id": {"bigint"},
+        "ts": {"timestamp"},  # after normalization below
+        "user_id": {"bigint"},
+        "event_type": {"string"},
+        "value": {"double"},
+        "props": {"string"},
+    },
+    "documents": {
+        "doc_id": {"bigint"},
+        "text": {"string"},
+        "lang": {"string"},
+        "source": {"string"},
+        "n_chars": {"bigint"},
+    },
+    "embeddings": {
+        "vec_id": {"bigint"},
+        "embedding": {"array<float>", "array<double>"},
+        "label": {"int"},
+    },
+}
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). We read it
-    as raw long nanoseconds (``spark.sql.legacy.parquet.nanosAsLong``)
-    and truncate to microsecond TIMESTAMP with integer division —
-    bit-identical to DuckDB's ``ts::TIMESTAMP`` ns->us truncation, so
-    oracle parity holds. (Double division would lose precision at
-    1.7e18 ns; ``div`` stays in long arithmetic.)
+
+def _check_schema(name: str, df: DataFrame) -> None:
+    """Fail fast, naming the table/column/dtype, when the fixture drifts."""
+    expected = EXPECTED_SCHEMAS[name]
+    actual = dict(df.dtypes)
+    for col, ok in expected.items():
+        got = actual.get(col)
+        if got is None:
+            raise ValueError(
+                f"table {name!r}: expected column {col!r} missing; "
+                f"present: {sorted(actual)}"
+            )
+        if got not in ok:
+            raise ValueError(
+                f"table {name!r}: column {col!r} has dtype {got!r}, "
+                f"expected one of {sorted(ok)} — the testdata fixture "
+                f"changed; update sources/tables.py normalization"
+            )
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read events.parquet across fixture encodings of ``ts``.
+
+    The fixture has stored ``ts`` two ways across rounds:
+
+    * TIMESTAMP(MICROS) (current) — Spark 4.x reads it natively as
+      TIMESTAMP_NTZ; we cast to TIMESTAMP (session TZ is pinned UTC in
+      session.py, so the cast is a re-tag, not a shift) because
+      downstream ``unix_micros``/window ops require TIMESTAMP and the
+      DuckDB oracle reads the same bytes as TIMESTAMP.
+    * TIMESTAMP(NANOS) — Spark's reader rejects it outright
+      (PARQUET_TYPE_ILLEGAL) unless read as raw long ns
+      (``spark.sql.legacy.parquet.nanosAsLong``); we then truncate
+      ns->us in long arithmetic (``div``, not ``/`` — double division
+      loses precision at 1.7e18 ns), bit-identical to DuckDB's
+      ``ts::TIMESTAMP`` truncation.
+
+    We branch on the dtype Spark actually reads, never on an assumed
+    fixture encoding — the round-2 regression was exactly that
+    assumption going stale.
+    """
+    try:
+        df = spark.read.parquet(path)
+    except Exception as exc:  # nanos fixture: retry with nanosAsLong
+        msg = str(exc)
+        if "NANOS" not in msg.upper() and "ILLEGAL" not in msg.upper():
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":  # raw long nanoseconds (nanosAsLong path)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":  # TIMESTAMP(MICROS), Spark 4.x native read
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif dt != "timestamp":
+        raise ValueError(
+            f"table 'events': column 'ts' read as {dt!r}; expected one of "
+            f"bigint / timestamp_ntz / timestamp — unknown fixture encoding"
+        )
+    return df
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame (schema from footers),
+    normalizing ``events.ts`` to TIMESTAMP regardless of how the
+    fixture encodes it, and asserting the expected schema so fixture
+    drift fails with a named diagnostic instead of a mid-analysis
+    DATATYPE_MISMATCH nine queries deep.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = _read_events(spark, f"{sf_dir}/{name}.parquet")
+    else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _check_schema(name, df)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -20,31 +20,38 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns since epoch (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Streaming read of events with ``ts`` normalized to TIMESTAMP.
+
+    The stream schema is taken from the parquet footers via the batch
+    reader (readStream needs an explicit schema; hard-coding one is how
+    round 2 silently shipped January-1970 windows when the fixture
+    moved from nanos-as-long to TIMESTAMP(MICROS)). The same dtype
+    branch as sources/tables.py then applies — raw long ns gets the
+    div-1000 truncation, TIMESTAMP_NTZ gets a re-tag cast (session TZ
+    is pinned UTC).
+    """
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # FileStreamSource requires a directory; point at sf_dir and glob
     # the single events file (on a cluster this would be the landing
     # directory receiving new files).
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dt = dict(raw.dtypes).get("ts")
+    if dt == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif dt != "timestamp":
+        raise ValueError(
+            f"events stream: 'ts' read as {dt!r}; expected bigint / "
+            f"timestamp_ntz / timestamp"
+        )
+    return raw
 
 
 DEMO_TIMEOUT_S = 180.0
@@ -62,6 +69,20 @@ def _await_bounded(q, timeout_s: float = DEMO_TIMEOUT_S) -> None:
     finally:
         if q.isActive:
             q.stop()
+
+
+def _assert_windows_in_range(df: DataFrame, col: str) -> DataFrame:
+    """Guard against silent epoch bugs: a misread ``ts`` encoding lands
+    every window in January 1970 while a rows-only check still passes
+    (this happened in round 2). The memory sink is already
+    materialized, so the min() here is a cheap local scan."""
+    lo = df.agg(F.min(col)).first()[0]
+    if lo is not None and str(lo) < "2000":
+        raise AssertionError(
+            f"streaming demo windows start at {lo!r} — 'ts' was decoded "
+            f"with the wrong epoch unit (see sources/tables.py)"
+        )
+    return df
 
 
 def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
@@ -91,7 +112,9 @@ def run_streaming_tumbling_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return _run_to_memory(agg, "complete")
+    return _assert_windows_in_range(
+        _run_to_memory(agg, "complete"), "win_start"
+    )
 
 
 def run_streaming_session_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,7 +133,9 @@ def run_streaming_session_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return _run_to_memory(agg, "complete")
+    return _assert_windows_in_range(
+        _run_to_memory(agg, "complete"), "session_start"
+    )
 
 
 def run_foreachbatch_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
