@@ -65,3 +65,16 @@ def test_cosine_zero_norm_null(spark):
         [([0.0, 0.0], [1.0, 1.0])], "a array<double>, b array<double>"
     )
     assert df.select(cosine_sim("a", "b")).head()[0] is None
+
+
+def test_auto_grid_uses_supplied_counts_without_scanning():
+    """When cardinalities are supplied, _auto_grid must not touch the
+    DataFrames at all (None stands in: any access would raise) — the
+    count() fallback costs two full scans per call at 100 TB."""
+    from zvdb_spark.operators.knn import _auto_grid
+
+    n_shards, n_blocks = _auto_grid(
+        None, None, None, None, n_corpus=5000, n_probes=100
+    )
+    assert n_shards == 3  # ceil(5000/2048)
+    assert n_blocks == 1

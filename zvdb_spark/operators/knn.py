@@ -212,11 +212,21 @@ _MAX_GRID = 256
 
 
 def _auto_grid(corpus: DataFrame, probes: DataFrame,
-               n_shards: int | None, n_blocks: int | None) -> tuple[int, int]:
+               n_shards: int | None, n_blocks: int | None,
+               n_corpus: int | None = None,
+               n_probes: int | None = None) -> tuple[int, int]:
+    """Pick the (shards x blocks) GEMM grid from row counts. Callers
+    that know their cardinalities (e.g. from parquet footer metadata,
+    sources/tables.py:table_row_count) pass them via
+    ``n_corpus``/``n_probes`` — the ``count()`` fallback costs two
+    extra Spark jobs per call, which at 100 TB means two extra full
+    scans before any real work."""
     if n_shards is None:
-        n_shards = min(_MAX_GRID, max(1, -(-corpus.count() // _TARGET_CELL_ROWS)))
+        rows = n_corpus if n_corpus is not None else corpus.count()
+        n_shards = min(_MAX_GRID, max(1, -(-rows // _TARGET_CELL_ROWS)))
     if n_blocks is None:
-        n_blocks = min(_MAX_GRID, max(1, -(-probes.count() // _TARGET_CELL_ROWS)))
+        rows = n_probes if n_probes is not None else probes.count()
+        n_blocks = min(_MAX_GRID, max(1, -(-rows // _TARGET_CELL_ROWS)))
     return n_shards, n_blocks
 
 
@@ -231,6 +241,8 @@ def exact_search_blocked(
     corpus_vec: str = "emb",
     query_id: str = "query_id",
     query_vec: str = "qemb",
+    n_corpus: int | None = None,
+    n_probes: int | None = None,
 ) -> DataFrame:
     """Exact batched k-NN where the probe side is a DataFrame: each
     (probe-block x corpus-shard) cell computes a GEMM top-k with exact
@@ -241,7 +253,9 @@ def exact_search_blocked(
     import numpy as np
     import pandas as pd
 
-    n_shards, n_blocks = _auto_grid(corpus, probes, n_shards, n_blocks)
+    n_shards, n_blocks = _auto_grid(
+        corpus, probes, n_shards, n_blocks, n_corpus, n_probes
+    )
     asc = metric == "l2_sq"
 
     def _cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
@@ -293,6 +307,8 @@ def threshold_join_blocked(
     corpus_vec: str = "emb",
     query_id: str = "query_id",
     query_vec: str = "qemb",
+    n_corpus: int | None = None,
+    n_probes: int | None = None,
 ) -> DataFrame:
     """All-pairs similarity join under a threshold with the probe side
     as a DataFrame (same block x shard fan-out as
@@ -304,7 +320,9 @@ def threshold_join_blocked(
     import numpy as np
     import pandas as pd
 
-    n_shards, n_blocks = _auto_grid(corpus, probes, n_shards, n_blocks)
+    n_shards, n_blocks = _auto_grid(
+        corpus, probes, n_shards, n_blocks, n_corpus, n_probes
+    )
 
     def _cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(qpdf) or not len(cpdf):

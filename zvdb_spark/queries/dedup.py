@@ -457,15 +457,18 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate-pruned variant for scale composes the LSH band
     pattern with the same verifier."""
     from zvdb_spark.operators.knn import threshold_join_blocked
+    from zvdb_spark.sources.tables import table_row_count
 
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("emb")
     )
+    n = table_row_count(sf_dir, "embeddings")  # footer read, no scan job
     probes = e.select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
     return threshold_join_blocked(
-        e, probes, tau=COSINE_TAU, metric="cosine", upper_only=True
+        e, probes, tau=COSINE_TAU, metric="cosine", upper_only=True,
+        n_corpus=n, n_probes=n,
     ).select(
         F.col("query_id").alias("id_a"),
         F.col("neighbor_id").alias("id_b"),

@@ -128,12 +128,16 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     HOF kernel vanishes under round(4)).
     """
     from zvdb_spark.operators.knn import exact_search_blocked
+    from zvdb_spark.sources.tables import table_row_count
 
     e = _emb(spark, sf_dir)
+    n = table_row_count(sf_dir, "embeddings")  # footer read, no scan job
     probes = e.select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
-    return exact_search_blocked(e, probes, k=BATCH_K).select(
+    return exact_search_blocked(
+        e, probes, k=BATCH_K, n_corpus=n, n_probes=n
+    ).select(
         "query_id",
         "neighbor_id",
         F.round("score", 4).alias("dist_sq"),
@@ -208,13 +212,16 @@ def q_sim_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates with the LSH band pattern (q_dedup_minhash).
     """
     from zvdb_spark.operators.knn import threshold_join_blocked
+    from zvdb_spark.sources.tables import table_row_count
 
     e = _emb(spark, sf_dir)
+    n = table_row_count(sf_dir, "embeddings")  # footer read, no scan job
     probes = e.select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
     return threshold_join_blocked(
-        e, probes, tau=SIM_TAU, metric="l2_sq", upper_only=True
+        e, probes, tau=SIM_TAU, metric="l2_sq", upper_only=True,
+        n_corpus=n, n_probes=n,
     ).select(
         F.col("query_id").alias("id_a"),
         F.col("neighbor_id").alias("id_b"),
@@ -246,14 +253,17 @@ def q_dedup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_sim_join_threshold.
     """
     from zvdb_spark.operators.knn import threshold_join_blocked
+    from zvdb_spark.sources.tables import table_row_count
 
     e = _emb(spark, sf_dir)
+    n = table_row_count(sf_dir, "embeddings")  # footer read, no scan job
     probes = e.select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
     return (
         threshold_join_blocked(
-            e, probes, tau=SIM_TAU, metric="l2_sq", upper_only=False
+            e, probes, tau=SIM_TAU, metric="l2_sq", upper_only=False,
+            n_corpus=n, n_probes=n,
         )
         .groupBy(F.col("query_id").alias("vec_id"))
         .agg(

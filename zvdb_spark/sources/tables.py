@@ -185,6 +185,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from the parquet footer metadata — a driver-side
+    file-header read, zero Spark jobs. Callers that size operator grids
+    by cardinality (operators/knn.py:_auto_grid) use this instead of
+    ``df.count()``, which at 100 TB is a full extra scan per call. On a
+    cluster the same metadata read is what the parquet footer cache /
+    catalog statistics serve."""
+    import pyarrow.parquet as pq
+
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 
