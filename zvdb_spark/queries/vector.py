@@ -325,18 +325,20 @@ def q_vector_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (
   SELECT vec_id,
          embedding::DOUBLE[] AS emb_f,
+         list_transform(embedding::DOUBLE[], x -> x / 3.0) AS emb_d,
          list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS emb_i
   FROM embeddings
 ),
-q AS (SELECT emb_f AS qemb_f, emb_i AS qemb_i FROM e WHERE vec_id = {QUERY_VEC_ID}),
+q AS (SELECT emb_f AS qemb_f, emb_d AS qemb_d, emb_i AS qemb_i FROM e WHERE vec_id = {QUERY_VEC_ID}),
 d AS (
   SELECT e.vec_id,
          CAST(list_sum(list_transform(list_zip(e.emb_i, q.qemb_i),
               x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) AS d_i32,
-         {_DD.format(a="e.emb_f", b="q.qemb_f")} AS d_f
+         {_DD.format(a="e.emb_f", b="q.qemb_f")} AS d_f,
+         {_DD.format(a="e.emb_d", b="q.qemb_d")} AS d_d
   FROM e, q
 )
-SELECT vec_id, d_i32, round(d_f, 4) AS dist_sq_f32
+SELECT vec_id, d_i32, round(d_f, 4) AS dist_sq_f32, round(d_d, 4) AS dist_sq_f64
 FROM d ORDER BY d_i32, vec_id LIMIT {KNN_K}
 """,
     tags=("vector", "eltypes"),
@@ -344,25 +346,32 @@ FROM d ORDER BY d_i32, vec_id LIMIT {KNN_K}
 def q_knn_eltypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Element-type parity, end to end: the reference instantiates its
     generic index over f32 / f64 / i32 (``src/test_hnsw.zig:239-273``).
-    This query runs k-NN over a derived INTEGER vector column
-    (fixed-point quantization, floor(x*1000)) with an exact integer
-    squared-L2 kernel — ranking on the integer distance — alongside
-    the float32-storage distance (cast to double; f32 values are
-    exactly representable, so both engines agree bitwise).
+    This query runs k-NN with all three element types side by side:
 
-    Both engines quantize from the same doubles, so the integer path
-    is exactly reproducible — no float rounding anywhere in the
-    ranking key."""
+    * i64-quantized (fixed-point, floor(x*1000)) with an exact integer
+      squared-L2 kernel — the ranking key, reproducible bit-for-bit;
+    * f32 storage distance (cast to double; f32 values are exactly
+      representable, so both engines agree bitwise);
+    * a true f64 path over values derived as x/3.0 — NOT representable
+      in f32, so the kernel genuinely runs at double precision (IEEE
+      division is deterministic, so Spark and DuckDB derive identical
+      doubles).
+    """
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         as_double_array("embedding").alias("emb_f"),
+        F.expr(
+            "transform(cast(embedding as array<double>), x -> x / 3.0d)"
+        ).alias("emb_d"),
         F.expr(
             "transform(cast(embedding as array<double>),"
             " x -> cast(floor(x * 1000) as bigint))"
         ).alias("emb_i"),
     )
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("emb_f").alias("qemb_f"), F.col("emb_i").alias("qemb_i")
+        F.col("emb_f").alias("qemb_f"),
+        F.col("emb_d").alias("qemb_d"),
+        F.col("emb_i").alias("qemb_i"),
     )
     d_i = F.expr(
         "aggregate(zip_with(emb_i, qemb_i, (x, y) -> (x-y)*(x-y)),"
@@ -374,8 +383,14 @@ def q_knn_eltypes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             d_i.cast("bigint").alias("d_i32"),
             dist_sq("emb_f", "qemb_f").alias("d_f"),
+            dist_sq("emb_d", "qemb_d").alias("d_d"),
         )
         .orderBy("d_i32", "vec_id")
         .limit(KNN_K)
-        .select("vec_id", "d_i32", F.round("d_f", 4).alias("dist_sq_f32"))
+        .select(
+            "vec_id",
+            "d_i32",
+            F.round("d_f", 4).alias("dist_sq_f32"),
+            F.round("d_d", 4).alias("dist_sq_f64"),
+        )
     )
