@@ -109,6 +109,48 @@ _META_SCHEMA = (
 )
 
 
+def _write_segment(
+    prefix: str,
+    ids: np.ndarray,
+    mat: np.ndarray,
+    cells: np.ndarray,
+    newm: np.ndarray,
+    cmat: np.ndarray,
+    spc: int,
+) -> tuple[list[int], list[list[int]]]:
+    """Write one shard's vector segment files (id-sorted input) and
+    return its per-cell seeds: member nearest the centroid + evenly
+    spaced members (covers multi-cluster cells). Shared by the bulk
+    pack and the append delta-merge."""
+    n = len(ids)
+    xn = (mat * mat).sum(axis=1)
+    _save_npy(prefix, "ids", ids)
+    _save_npy(prefix, "mat", mat)
+    _save_npy(prefix, "mat32", mat.astype(np.float32))
+    _save_npy(prefix, "xn", xn)
+    _save_npy(prefix, "xn32", xn.astype(np.float32))
+    _save_npy(prefix, "cells", cells)
+    _save_npy(prefix, "new", newm)
+    order = np.argsort(cells, kind="stable")
+    cs = cells[order]
+    uniq, starts = np.unique(cs, return_index=True)
+    starts = np.append(starts, n)
+    out_cells, out_seeds = [], []
+    for i, c in enumerate(uniq):
+        memb = order[starts[i]:starts[i + 1]]
+        dc = ((mat[memb] - cmat[c]) ** 2).sum(1)
+        near = memb[np.lexsort((ids[memb], dc))[0]]
+        picks = [int(ids[near])]
+        step = max(len(memb) // spc, 1)
+        for j in range(step - 1, len(memb), step):
+            sid = int(ids[memb[j]])
+            if sid not in picks and len(picks) < spc:
+                picks.append(sid)
+        out_cells.append(int(c))
+        out_seeds.append(picks)
+    return out_cells, out_seeds
+
+
 def _cell_neighbors(centroids: np.ndarray, r: int) -> np.ndarray:
     """(C, r) nearest-cell lists by centroid distance (cell itself
     first) — driver-side metadata, C x C distances on k x dim floats."""
@@ -425,33 +467,9 @@ class GraphIndex:
             )
             pid = int(pdf["pid"].iloc[0])
             prefix = os.path.join(seg_dir, f"seg_{token}_{pid}")
-            xn = (mat * mat).sum(axis=1)
-            _save_npy(prefix, "ids", ids)
-            _save_npy(prefix, "mat", mat)
-            _save_npy(prefix, "mat32", mat.astype(np.float32))
-            _save_npy(prefix, "xn", xn)
-            _save_npy(prefix, "xn32", xn.astype(np.float32))
-            _save_npy(prefix, "cells", cells)
-            _save_npy(prefix, "new", newm)
-            # per-cell seeds: member nearest the centroid + evenly
-            # spaced members (covers multi-cluster cells)
-            order = np.argsort(cells, kind="stable")
-            cs = cells[order]
-            uniq, starts = np.unique(cs, return_index=True)
-            starts = np.append(starts, n)
-            out_cells, out_seeds = [], []
-            for i, c in enumerate(uniq):
-                memb = order[starts[i]:starts[i + 1]]
-                dc = ((mat[memb] - cmat[c]) ** 2).sum(1)
-                near = memb[np.lexsort((ids[memb], dc))[0]]
-                picks = [int(ids[near])]
-                step = max(len(memb) // spc, 1)
-                for j in range(step - 1, len(memb), step):
-                    sid = int(ids[memb[j]])
-                    if sid not in picks and len(picks) < spc:
-                        picks.append(sid)
-                out_cells.append(int(c))
-                out_seeds.append(picks)
+            out_cells, out_seeds = _write_segment(
+                prefix, ids, mat, cells, newm, cmat, spc
+            )
             return pd.DataFrame(
                 [(pid, n, dim, prefix, out_cells, out_seeds)],
                 columns=["pid", "n", "dim", "prefix", "cells", "seeds"],
@@ -470,20 +488,108 @@ class GraphIndex:
                     seeds[cell, j] = s
         self.cell_seeds = seeds
 
-    def _edges_from_segments(self) -> DataFrame:
+    def _pack_vectors_delta(self, new_celled: DataFrame) -> None:
+        """Merge ONLY the delta into the per-shard segments: the new
+        rows (not the corpus) shuffle by pid; each touched shard's
+        task mmaps its existing arrays, merge-inserts the delta in id
+        order, and writes fresh files under a new token (immutable —
+        concurrent searches keep the old ones). Untouched shards keep
+        their files verbatim. Cost is O(touched-shard bytes) local
+        I/O plus a delta-sized shuffle — the full corpus never crosses
+        the JVM<->Python boundary again, which is what makes append
+        cheaper than rebuild at any corpus size."""
+        spark = new_celled.sparkSession
+        shard_map = spark.createDataFrame(
+            [(int(c), int(p)) for c, p in enumerate(self.cell_shard)],
+            "cell_id int, pid int",
+        )
+        nodes = new_celled.join(F.broadcast(shard_map), "cell_id").select(
+            "pid", "cell_id", "vec_id", "emb"
+        )
+        seg_dir = self._seg_dir()
+        token = uuid.uuid4().hex[:12]
+        cmat = self.centroids
+        spc = self.seeds_per_cell
+        vmeta = dict(self._vec_meta)  # pid -> (prefix, n, dim)
+
+        def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("vec_id", ignore_index=True)
+            pid = int(pdf["pid"].iloc[0])
+            nids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nmat = np.ascontiguousarray(
+                np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            )
+            ncells = pdf["cell_id"].to_numpy(dtype=np.int32)
+            if pid in vmeta:
+                old_prefix = vmeta[pid][0]
+                oids = np.load(f"{old_prefix}.ids.npy")
+                omat = np.asarray(np.load(f"{old_prefix}.mat.npy", mmap_mode="r"))
+                ocells = np.load(f"{old_prefix}.cells.npy")
+                ids = np.concatenate([oids, nids])
+                mat = np.vstack([omat, nmat])
+                cells = np.concatenate([ocells, ncells])
+                newm = np.concatenate(
+                    [
+                        np.zeros(len(oids), dtype=bool),
+                        np.ones(len(nids), dtype=bool),
+                    ]
+                )
+                order = np.argsort(ids, kind="stable")
+                ids, mat = ids[order], np.ascontiguousarray(mat[order])
+                cells, newm = cells[order], newm[order]
+            else:  # first rows ever routed to this shard
+                ids, mat, cells = nids, nmat, ncells
+                newm = np.ones(len(nids), dtype=bool)
+            prefix = os.path.join(seg_dir, f"seg_{token}_{pid}")
+            out_cells, out_seeds = _write_segment(
+                prefix, ids, mat, cells, newm, cmat, spc
+            )
+            return pd.DataFrame(
+                [(pid, len(ids), mat.shape[1], prefix, out_cells, out_seeds)],
+                columns=["pid", "n", "dim", "prefix", "cells", "seeds"],
+            )
+
+        meta = (
+            nodes.groupBy("pid").applyInPandas(_merge, _PACK_SCHEMA).collect()
+        )
+        touched = {r.pid for r in meta}
+        _retire_prefixes(
+            p for pid, (p, _, _) in self._vec_meta.items() if pid in touched
+        )
+        for r in meta:
+            self._vec_meta[r.pid] = (r.prefix, r.n, r.dim)
+        # seeds: refresh only the cells the touched shards reported;
+        # everything else keeps its existing entry
+        for r in meta:
+            for cell, sds in zip(r.cells, r.seeds):
+                row = np.full(spc, -1, dtype=np.int64)
+                for j, s in enumerate(sds[:spc]):
+                    row[j] = s
+                self.cell_seeds[cell] = row
+
+    def _edges_from_segments(
+        self, cells: list[int] | None = None
+    ) -> DataFrame:
         """Directed approximate M-NN edges, cell-blocked: every probe
         row (new mask in the segment) searches its ``m`` nearest among
         the members of its ``r_build`` nearest cells. The work unit is
         a CELL: a C-row driver-made work list (cell, its neighbor
         cells, their shards) fans out to tasks that mmap the vector
         segments — the corpus itself never shuffles; only the N x M
-        edge rows flow back. Cost ~R/C of the exact N² GEMM."""
+        edge rows flow back. Cost ~R/C of the exact N² GEMM.
+        ``cells`` restricts the work list (append passes only the
+        cells that received new rows — GEMM cost scales with the
+        delta, not the corpus)."""
         spark = self.celled.sparkSession
         nbr = _cell_neighbors(self.centroids, self.r_build)
         cell_pid = self.cell_shard
         vmeta = {p: v[0] for p, v in self._vec_meta.items()}  # pid -> prefix
         m = self.m
-        ntasks = max(1, min(spark.sparkContext.defaultParallelism * 4, len(nbr)))
+        cell_list = list(range(len(nbr))) if cells is None else cells
+        ntasks = max(
+            1,
+            min(spark.sparkContext.defaultParallelism * 4, len(cell_list)),
+        )
         work = spark.createDataFrame(
             [
                 (
@@ -491,7 +597,7 @@ class GraphIndex:
                     [int(g) for g in nbr[c]],
                     [int(cell_pid[g]) for g in nbr[c]],
                 )
-                for c in range(len(nbr))
+                for c in cell_list
             ],
             "cell int, nbrs array<int>, nbr_pids array<int>",
         )
@@ -636,13 +742,19 @@ class GraphIndex:
             .select("cell_id", "vec_id", "emb")
             .localCheckpoint(eager=True)
         )
-        flagged = self._celled_from_segments().withColumn(
-            "is_new", F.lit(False)
-        ).unionAll(new_celled.withColumn("is_new", F.lit(True)))
-        self.n_rows += new_celled.count()
-        self._pack_vectors(flagged)  # refreshed segments + seeds
+        n_new = new_celled.count()
+        if n_new == 0:
+            return self
+        self.n_rows += n_new
+        # cells that received new rows — C-bounded metadata, drives
+        # both the delta pack and the delta-sized GEMM work list
+        new_cells = [
+            int(r.cell_id)
+            for r in new_celled.select("cell_id").distinct().collect()
+        ]
+        self._pack_vectors_delta(new_celled)  # touched shards only
         self.celled = self._celled_from_segments()
-        nn = self._edges_from_segments()  # probes = new rows only
+        nn = self._edges_from_segments(cells=new_cells)  # new rows probe
         delta = nn.select(
             F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"),
             "score", F.col("q_pid").alias("pid"),
@@ -651,19 +763,33 @@ class GraphIndex:
             F.col("neighbor_id").alias("src"), F.col("query_id").alias("dst"),
             "score", F.col("n_pid").alias("pid"),
         )
+        # Degree re-cap touches ONLY srcs the delta connects to (new
+        # nodes + their reverse endpoints) — the reference's
+        # shrinkConnections runs on exactly the two endpoints of each
+        # new edge (src/hnsw.zig:135-140), never the whole graph. A
+        # full-table window here cost more than the rebuild it was
+        # supposed to beat; untouched srcs' adjacency lists are already
+        # capped and pass through untouched.
+        # new_edges is delta-sized (|new| x 2M rows) — checkpoint it
+        # once, otherwise the edge GEMM re-executes for each of the
+        # three consumers below (semi-join broadcast, anti-join
+        # broadcast, union).
+        new_edges = delta.unionAll(rev).localCheckpoint(eager=True)
+        touched = new_edges.select("src").distinct()
         merged = (
-            self.edges.unionAll(delta)
-            .unionAll(rev)
+            self.edges.join(F.broadcast(touched), "src", "left_semi")
+            .unionAll(new_edges)
             .groupBy("src", "dst")
             .agg(F.min("score").alias("score"), F.first("pid").alias("pid"))
         )
         w = W.partitionBy("src").orderBy("score", "dst")
-        self.edges = (
+        recapped = (
             merged.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 2 * self.m)
             .drop("rn")
-            .localCheckpoint(eager=True)
         )
+        untouched = self.edges.join(F.broadcast(touched), "src", "left_anti")
+        self.edges = untouched.unionAll(recapped).localCheckpoint(eager=True)
         self._state = None
         return self
 
