@@ -111,6 +111,28 @@ def test_append_matches_rebuild(spark, sf_dir):
     assert set(res.vec_id) == set(res.query_id)
 
 
+def test_double_append_row_conservation_and_reachability(spark, sf_dir):
+    """Two successive appends: the delta-pack rewrites each touched
+    shard's new-row mask, and the edge work list covers only cells
+    receiving rows — a stale mask from an EARLIER append must never
+    re-probe (or hide) rows in a later one. Row conservation and
+    distance-0 self-reachability for BOTH deltas pin that."""
+    emb = _emb(spark, sf_dir).localCheckpoint(eager=True)
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    d1 = emb.filter(F.col("vec_id") % 3 == 1)
+    d2 = emb.filter(F.col("vec_id") % 3 == 2)
+    idx = GraphIndex(m=8, ef=64).build(base).append(d1).append(d2)
+    assert idx.sharded.count() == emb.count()
+    assert idx.n_rows == emb.count()
+    for delta in (d1, d2):
+        probe = delta.orderBy("vec_id").limit(3).select(
+            F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+        )
+        res = idx.search(probe, k=1, n_queries=3).toPandas()
+        assert (res.dist_sq == 0.0).all()
+        assert set(res.vec_id) == set(res.query_id)
+
+
 def test_empty_query_side(spark, sf_dir, built):
     emb, idx = built
     q = _queries(spark, emb, n=1).filter(F.col("query_id") < 0)
