@@ -742,16 +742,15 @@ class GraphIndex:
             .select("cell_id", "vec_id", "emb")
             .localCheckpoint(eager=True)
         )
-        n_new = new_celled.count()
+        # one job serves both the row count and the touched-cell list
+        # (C-bounded metadata that drives the delta pack and the
+        # delta-sized GEMM work list)
+        cell_counts = new_celled.groupBy("cell_id").count().collect()
+        n_new = sum(r["count"] for r in cell_counts)
         if n_new == 0:
             return self
         self.n_rows += n_new
-        # cells that received new rows — C-bounded metadata, drives
-        # both the delta pack and the delta-sized GEMM work list
-        new_cells = [
-            int(r.cell_id)
-            for r in new_celled.select("cell_id").distinct().collect()
-        ]
+        new_cells = [int(r.cell_id) for r in cell_counts]
         self._pack_vectors_delta(new_celled)  # touched shards only
         self.celled = self._celled_from_segments()
         nn = self._edges_from_segments(cells=new_cells)  # new rows probe
