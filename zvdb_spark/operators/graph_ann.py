@@ -609,7 +609,12 @@ class GraphIndex:
                 if pid not in cache:
                     pref = vmeta[pid]
                     ids = np.load(f"{pref}.ids.npy", mmap_mode="r")
-                    mat = np.load(f"{pref}.mat.npy", mmap_mode="r")
+                    # f32 matrices: edge scores only RANK candidates
+                    # (the graph keeps ids, search rescans real
+                    # vectors), so the build GEMM runs at half the
+                    # memory traffic and ~2x the FLOP rate of f64;
+                    # f32 arithmetic is still deterministic
+                    mat = np.load(f"{pref}.mat32.npy", mmap_mode="r")
                     cells = np.load(f"{pref}.cells.npy")
                     newm = np.load(f"{pref}.new.npy")
                     order = np.argsort(cells, kind="stable")
