@@ -213,6 +213,9 @@ def main() -> None:
         insert_sec = _best_of(2, lambda: gidx.build(emb, n_rows=BENCH_N))
         timings["vector_index_build"] = round(insert_sec, 3)
         result["insert_pts_per_s"] = round(BENCH_N / insert_sec, 2)
+        # structure stat behind search_routed: >= 0.6 routes to the
+        # exact path (uniform corpora — this one)
+        result["structure_ratio_uniform"] = round(gidx.structure_ratio, 3)
         state["gidx"] = gidx
 
     def _bench_exact():
@@ -311,6 +314,10 @@ def main() -> None:
         cgidx = GraphIndex(m=16, ef=128, seed=SEED).build(cemb, n_rows=BENCH_N)
         timings["vector_index_build_clustered"] = round(
             time.perf_counter() - t0, 3
+        )
+        # < 0.6: search_routed keeps the graph beam for this corpus
+        result["structure_ratio_clustered"] = round(
+            cgidx.structure_ratio, 3
         )
         state["cgidx"] = cgidx
         centers = np.random.default_rng(SEED + 1).random((n_clust, BENCH_DIM))

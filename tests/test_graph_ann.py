@@ -133,6 +133,41 @@ def test_double_append_row_conservation_and_reachability(spark, sf_dir):
         assert set(res.vec_id) == set(res.query_id)
 
 
+def test_structure_routing(spark, sf_dir):
+    """search_routed picks the path the corpus actually supports:
+    uniform high-dim data (distance concentration — the graph's
+    documented adversarial case) must serve the full-recall exact
+    GEMM; the testdata embeddings (structured) take the graph beam.
+    Both return the same (query_id, vec_id, dist_sq) contract."""
+    import numpy as np
+
+    emb = _emb(spark, sf_dir).localCheckpoint(eager=True)
+    rng = np.random.default_rng(7)
+    uni = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in rng.random(16)])
+            for i in range(2000)
+        ],
+        "vec_id long, emb array<double>",
+    ).localCheckpoint(eager=True)
+    uidx = GraphIndex(m=8, ef=64).build(uni, n_rows=2000)
+    assert uidx.structure_ratio >= uidx.ROUTE_THRESHOLD
+    q = uni.orderBy("vec_id").limit(20).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    ).localCheckpoint(eager=True)
+    routed = uidx.search_routed(q, k=5, n_queries=20).toPandas()
+    assert list(routed.columns) == ["query_id", "vec_id", "dist_sq"]
+    ex = uidx.exact_search(q, k=5, dtype="float64", n_queries=20).toPandas()
+    hits = sum(
+        len(
+            set(routed[routed.query_id == qq].vec_id)
+            & set(ex[ex.query_id == qq].neighbor_id)
+        )
+        for qq in range(20)
+    )
+    assert hits == 20 * 5  # exact path: full recall on uniform data
+
+
 def test_empty_query_side(spark, sf_dir, built):
     emb, idx = built
     q = _queries(spark, emb, n=1).filter(F.col("query_id") < 0)

@@ -183,6 +183,30 @@ def _symmetrize_cap(nn: DataFrame, m: int) -> DataFrame:
     )
 
 
+def _structure_ratio(smat: np.ndarray, centroids: np.ndarray) -> float:
+    """Corpus-structure statistic from quantizer metadata: mean
+    nearest-centroid distance of a sample over mean pairwise centroid
+    distance. Clustered corpora score low (tight cells, spread
+    centers); uniform high-dim data scores high (distance
+    concentration leaves the quantizer nothing to separate — measured
+    0.26 clustered vs 1.91 uniform at 128-d/20k). Driver-side
+    O(S·C·dim); no table data involved."""
+    d = (
+        (smat * smat).sum(1)[:, None]
+        + (centroids * centroids).sum(1)[None, :]
+        - 2.0 * (smat @ centroids.T)
+    )
+    d_within = np.sqrt(np.maximum(d.min(1), 0.0)).mean()
+    cd = (
+        (centroids * centroids).sum(1)[:, None]
+        + (centroids * centroids).sum(1)[None, :]
+        - 2.0 * (centroids @ centroids.T)
+    )
+    iu = np.triu_indices(len(centroids), 1)
+    d_between = np.sqrt(np.maximum(cd[iu], 0.0)).mean() if len(iu[0]) else 0.0
+    return float(d_within / max(d_between, 1e-12))
+
+
 def _kmeans_local(sample: np.ndarray, k: int, n_iter: int) -> np.ndarray:
     """Seeded Lloyd's on a driver-local sample (same algorithm as
     operators/kmeans.kmeans_fit: init = first k rows in id order,
@@ -353,6 +377,7 @@ class GraphIndex:
         # index metadata (driver-side, size O(C x dim) — the scalar
         # state analog of the reference's entry_point/max_level)
         self.centroids: np.ndarray | None = None
+        self.structure_ratio: float | None = None  # see _structure_ratio
         self.cell_shard: np.ndarray | None = None  # (C,) cell -> pid
         self.cell_seeds: np.ndarray | None = None  # (C, spc) vec_ids, -1 pad
         # index data (DataFrames + segment files)
@@ -382,10 +407,17 @@ class GraphIndex:
             spdf = sample.select("vec_id", "emb").orderBy("vec_id").toPandas()
             smat = np.stack(spdf["emb"].to_numpy()).astype(np.float64)
             self.centroids = _kmeans_local(smat, c_cells, n_iter=4)
+            self.structure_ratio = _structure_ratio(smat, self.centroids)
         else:
             self.centroids = kmeans_fit(
                 sample, k=c_cells, n_iter=4, id_col="vec_id", vec_col="emb"
             )
+            spdf = (
+                sample.select("emb").orderBy(F.rand(self.seed)).limit(2000)
+                .toPandas()
+            )
+            smat = np.stack(spdf["emb"].to_numpy()).astype(np.float64)
+            self.structure_ratio = _structure_ratio(smat, self.centroids)
         # kept LAZY: build's only consumer is the pack shuffle (one
         # pass); materializing a second full copy of the corpus here
         # bought nothing. append() re-derives assignments for old rows
@@ -1013,6 +1045,39 @@ class GraphIndex:
             for p, (prefix, n, dim) in sorted(self._vec_meta.items())
         ]
         return exact_search_segments(queries, meta, k, dtype, n_queries)
+
+    # -- structure-aware routing --------------------------------------
+    # Threshold between the two regimes measured at 128-d:
+    # clustered (Gaussian mixture, sigma 0.08) 0.26, uniform 1.91;
+    # the gap is wide, so the cut sits comfortably between.
+    ROUTE_THRESHOLD = 0.6
+
+    def search_routed(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_queries: int | None = None,
+    ) -> DataFrame:
+        """Route by MEASURED corpus structure instead of hoping: the
+        graph index only prunes when the quantizer found real clusters
+        (distance concentration on uniform high-dim data leaves the
+        layer-0 graph no gradient to follow — the reference has the
+        same failure mode, it just never measures it). If the build's
+        structure ratio says unstructured, serve the full-recall exact
+        GEMM over the same segments; otherwise the ef-bounded graph
+        beam. Same (query_id, vec_id, dist_sq) contract either way."""
+        if (
+            self.structure_ratio is None
+            or self.structure_ratio >= self.ROUTE_THRESHOLD
+        ):
+            return self.exact_search(
+                queries, k=k, n_queries=n_queries
+            ).select(
+                "query_id",
+                F.col("neighbor_id").alias("vec_id"),
+                F.col("score").alias("dist_sq"),
+            )
+        return self.search(queries, k=k, n_queries=n_queries)
 
     # -- misc ---------------------------------------------------------
     @property
