@@ -57,9 +57,15 @@ GRID_ON = os.environ.get("SPARK_GRAFT_BENCH_GRID", "1") != "0"
 GRID_N = int(os.environ.get("SPARK_GRAFT_BENCH_GRID_N", "20000"))
 GRID_NQ = int(os.environ.get("SPARK_GRAFT_BENCH_GRID_NQ", "2000"))
 GRID_DIMS = [int(d) for d in os.environ.get(
-    "SPARK_GRAFT_BENCH_GRID_DIMS", "512,768,1024").split(",")]
+    "SPARK_GRAFT_BENCH_GRID_DIMS", "128,512,768,1024").split(",")]
 GRID_KS = [int(k) for k in os.environ.get(
-    "SPARK_GRAFT_BENCH_GRID_KS", "25,50,100").split(",")]
+    "SPARK_GRAFT_BENCH_GRID_KS", "10,25,50,100").split(",")]
+# recall-vs-ef sweep (clustered ANN) + search-parallelism ladder
+# (mirrors benchmarks/multi_threaded_benchmarks.zig:8 threads {2,4,8})
+EF_SWEEP = [int(e) for e in os.environ.get(
+    "SPARK_GRAFT_BENCH_EF_SWEEP", "32,64,128,256").split(",")]
+PAR_SWEEP = [int(p) for p in os.environ.get(
+    "SPARK_GRAFT_BENCH_PAR_SWEEP", "2,4,8,16,32").split(",")]
 
 HEADLINE = [
     "q_knn_exact",
@@ -213,6 +219,18 @@ def main() -> None:
         insert_sec = _best_of(2, lambda: gidx.build(emb, n_rows=BENCH_N))
         timings["vector_index_build"] = round(insert_sec, 3)
         result["insert_pts_per_s"] = round(BENCH_N / insert_sec, 2)
+        # adjacency pack (state()) timed separately: build() ends with
+        # packed vector segments + checkpointed edge list; the pack
+        # turns that into the searchable position-mapped adjacency.
+        # insert_pts_per_s keeps the r1-r3 definition (build only);
+        # insert_pts_per_s_searchable is the end-to-end number.
+        t0 = time.perf_counter()
+        gidx.state()
+        pack_sec = time.perf_counter() - t0
+        timings["vector_index_adj_pack"] = round(pack_sec, 3)
+        result["insert_pts_per_s_searchable"] = round(
+            BENCH_N / (insert_sec + pack_sec), 2
+        )
         # structure stat behind search_routed: >= 0.6 routes to the
         # exact path (uniform corpora — this one)
         result["structure_ratio_uniform"] = round(gidx.structure_ratio, 3)
@@ -343,9 +361,66 @@ def main() -> None:
             _qdf(cqueries[:n_probe]), k=BENCH_K, dtype="float64",
             n_queries=n_probe,
         ).toPandas()
+        state["cex_pdf"] = cex_pdf
         result["ann_recall_at_k"] = round(
             _recall_of(cann_pdf, cex_pdf, n_probe), 3
         )
+
+    def _bench_ef_sweep():
+        # (ef, recall, qps) triples: recall 0.94 is a point on a
+        # curve, not a single configuration — the reference's
+        # published-number discipline (benchmarks/benchmark.md:102-113)
+        cgidx = state["cgidx"]
+        cqueries = state["cqueries"]
+        cex_pdf = state["cex_pdf"]
+        qdf_c = _qdf(cqueries)
+        qp = _qdf(cqueries[:n_probe])
+        sweep = []
+        for ef in EF_SWEEP:
+            # best-of-2: this host carries external load with ±2x
+            # swings; single-shot sweep points measured the neighbors
+            sec = _best_of(
+                2,
+                lambda e=ef: _noop_write(
+                    cgidx.search(qdf_c, k=BENCH_K, ef=e, n_queries=ann_nq)
+                ),
+            )
+            r_pdf = cgidx.search(
+                qp, k=BENCH_K, ef=ef, n_queries=n_probe
+            ).toPandas()
+            sweep.append(
+                {
+                    "ef": ef,
+                    "recall": round(_recall_of(r_pdf, cex_pdf, n_probe), 3),
+                    "qps": round(ann_nq / sec, 2),
+                }
+            )
+        result["ann_ef_sweep"] = sweep
+
+    def _bench_parallelism():
+        # Search-parallelism ladder (the thread-scaling analog of
+        # benchmarks/multi_threaded_benchmarks.zig:8, threads {2,4,8}):
+        # n_qblocks is the number of concurrent beam tasks — the
+        # direct rebuttal of the reference's "slower with more
+        # threads" pathology (benchmarks/benchmark.md:3-8). Monotone
+        # rising qps = the shared-nothing mmap design actually scales.
+        cgidx = state["cgidx"]
+        cqueries = state["cqueries"]
+        qdf_c = _qdf(cqueries)
+        ladder = []
+        for par in PAR_SWEEP:
+            sec = _best_of(
+                2,
+                lambda p=par: _noop_write(
+                    cgidx.search(
+                        qdf_c, k=BENCH_K, n_queries=ann_nq, n_qblocks=p
+                    )
+                ),
+            )
+            ladder.append(
+                {"parallelism": par, "qps": round(ann_nq / sec, 2)}
+            )
+        result["search_qps_by_parallelism"] = ladder
 
     def _bench_incremental_append():
         # The reference's insert is incremental (src/hnsw.zig:73-117):
@@ -360,8 +435,14 @@ def main() -> None:
         demb = _gen_clustered(
             spark, delta_n, BENCH_DIM, SEED + 1, id_offset=BENCH_N
         ).localCheckpoint(eager=True)
+        # Timed through state(): the index is SEARCHABLE when the
+        # timer stops — append's dirty-shard adjacency re-pack counts,
+        # exactly like the rebuild timing below includes its full
+        # pack. (cgidx's pre-append state is already materialized by
+        # the searches above, as on a live index.)
         t0 = time.perf_counter()
         cgidx.append(demb)
+        cgidx.state()
         append_sec = time.perf_counter() - t0
         timings["vector_index_append_10pct"] = round(append_sec, 3)
         result["append_pts_per_s"] = round(delta_n / append_sec, 2)
@@ -379,6 +460,7 @@ def main() -> None:
         ridx = GraphIndex(m=16, ef=128, seed=SEED)
         t0 = time.perf_counter()
         ridx.build(full, n_rows=BENCH_N + delta_n)
+        ridx.state()  # same searchable-when-done boundary as append
         rebuild_sec = time.perf_counter() - t0
         timings["vector_index_rebuild_full"] = round(rebuild_sec, 3)
         result["rebuild_pts_per_s"] = round(
@@ -425,6 +507,8 @@ def main() -> None:
         _section("vector_search_exact", _bench_exact)
         _section("vector_search_ann_uniform", _bench_ann_uniform)
     if _section("vector_search_ann_clustered", _bench_ann_clustered):
+        _section("ann_ef_sweep", _bench_ef_sweep)
+        _section("search_parallelism", _bench_parallelism)
         _section("vector_index_append", _bench_incremental_append)
     if GRID_ON:
         _section("grid", _bench_grid)

@@ -28,9 +28,13 @@ measured well:
   and the R-1 nearest cells (fraction ~R/C of the exact N² work).
   The work unit is a CELL — a tiny driver-made work list fans cells
   out to tasks that mmap the segments and GEMM; only the resulting
-  edge list (N x M skinny rows) flows through Spark. Edges are then
-  symmetrized and degree-capped at 2M by one window — the
-  distributed connect + shrink (``src/hnsw.zig:119-170``).
+  edge list (N x M skinny rows) flows through Spark. Edges are
+  symmetrized, deduplicated and degree-capped at 2M inside the
+  per-shard adjacency pack — the distributed connect + shrink
+  (``src/hnsw.zig:119-170``) — and each shard stores its capped
+  edge list as an immutable ``.npy`` segment next to its vectors,
+  so an append can re-cap a shard WITHOUT ever re-reading the rest
+  of the graph (cap is monotone: cap(cap(A) ∪ B) = cap(A ∪ B)).
 - **search**: a query seeds its beam from ``seeds_per_cell`` entry
   nodes of its ``nseed`` nearest cells, then runs a batched
   best-first beam inside an applyInPandas task over the QUERY side
@@ -40,8 +44,15 @@ measured well:
   within their cell neighborhood (cost |new| x R x cell, never a
   rebuild), connect bidirectionally, local re-prune — the
   reference's incremental ``insert``. Segments are immutable:
-  append re-packs (linear IO, no graph recompute) under a fresh
-  token; a concurrent search keeps reading its old files.
+  append re-packs ONLY the touched shards (linear IO over the
+  delta's shards, no graph recompute) under a fresh token; a
+  concurrent search keeps reading its old files. Every stage is
+  delta-cost end-to-end: the delta pack returns the row count and
+  touched-cell list in the same job, the edge GEMM runs only for
+  cells that received rows, the delta edges are the only thing
+  checkpointed (never the full edge table), and the adjacency
+  re-pack at ``state()`` time touches only DIRTY shards — untouched
+  shards keep their ``.adj.npy`` / ``.e*.npy`` files verbatim.
 
 Measured basis (scripts/proto_ann.py + full-scale runs, 100k x
 128-d, k=10): on a clustered corpus (mixture of Gaussians — the
@@ -82,6 +93,7 @@ from pyspark.sql import functions as F
 from zvdb_spark.operators.knn import _pair_scores, _topk_by_dist_id
 from zvdb_spark.operators.segments import (
     exact_search_segments,
+    no_aqe_coalesce as _no_aqe_coalesce,
     retire_prefixes as _retire_prefixes,
     save_npy as _save_npy,
     seg_dir as _shared_seg_dir,
@@ -104,9 +116,14 @@ _PACK_SCHEMA = (
     "pid int, n long, dim int, prefix string,"
     " cells array<int>, seeds array<array<bigint>>"
 )
+# delta pack also reports the new rows' count + cells so append needs
+# no separate count job
+_PACK_DELTA_SCHEMA = _PACK_SCHEMA + ", newcells array<int>, n_new long"
 _META_SCHEMA = (
     "pid int, n long, maxdeg int, dim int, vprefix string, aprefix string"
 )
+_META_E_SCHEMA = _META_SCHEMA + ", eprefix string"
+_PENDING_SCHEMA = "src long, dst long, score double, pid int"
 
 
 def _write_segment(
@@ -159,14 +176,15 @@ def _cell_neighbors(centroids: np.ndarray, r: int) -> np.ndarray:
     return np.argsort(cd, axis=1, kind="stable")[:, : min(r, len(centroids))]
 
 
-def _symmetrize_cap(nn: DataFrame, m: int) -> DataFrame:
-    """Bidirectional edges + degree cap 2M by (distance, id) — the
-    distributed connect + shrinkConnections (src/hnsw.zig:119-170).
-    ONE shuffle (the per-src window); mutual-kNN pairs appear twice
-    with the same score and are deduplicated downstream (adjacency
-    pack / append merge) rather than paying a second (src, dst)
-    shuffle here. Each edge carries its src's shard (known at GEMM
-    time) so the adjacency pack groups without a corpus join.
+def _symmetrize(nn: DataFrame) -> DataFrame:
+    """Bidirectional edges — the connect half of the reference's
+    connect + shrinkConnections (src/hnsw.zig:119-170). NO shuffle:
+    the degree cap, dedupe and shrink all happen inside the per-shard
+    adjacency pack (``state``), which needs a groupBy(pid) shuffle
+    anyway — a separate per-src window here was one full extra
+    shuffle of the edge table for nothing. Each edge carries its
+    SRC's shard (both endpoints' shards are known at GEMM time) so
+    the pack groups without a corpus join.
     Returns (src, dst, score, pid)."""
     fwd = nn.select(F.col("query_id").alias("src"),
                     F.col("neighbor_id").alias("dst"), "score",
@@ -174,13 +192,7 @@ def _symmetrize_cap(nn: DataFrame, m: int) -> DataFrame:
     rev = nn.select(F.col("neighbor_id").alias("src"),
                     F.col("query_id").alias("dst"), "score",
                     F.col("n_pid").alias("pid"))
-    both = fwd.unionAll(rev)
-    w = W.partitionBy("src").orderBy("score", "dst")
-    return (
-        both.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 2 * m)
-        .drop("rn")
-    )
+    return fwd.unionAll(rev)
 
 
 def _structure_ratio(smat: np.ndarray, centroids: np.ndarray) -> float:
@@ -382,10 +394,25 @@ class GraphIndex:
         self.cell_seeds: np.ndarray | None = None  # (C, spc) vec_ids, -1 pad
         # index data (DataFrames + segment files)
         self.celled: DataFrame | None = None  # (cell_id, vec_id, emb)
-        self.edges: DataFrame | None = None  # (src, dst, score)
         self.n_rows: int = 0
         self._vec_meta: dict[int, tuple[str, int, int]] = {}  # pid->(prefix,n,dim)
-        self._adj_prefixes: list[str] = []
+        # per-shard adjacency metadata: pid -> (n, maxdeg, dim,
+        # vprefix, aprefix); aprefix "" = edgeless (seeds-only) shard
+        self._adj_meta: dict[int, tuple[int, int, int, str, str]] = {}
+        # per-shard CAPPED edge segment: pid -> prefix ("" = no edges).
+        # Stored in id space (incl. cross-shard dsts) so a later
+        # append can merge + re-cap one shard in isolation.
+        self._edge_meta: dict[int, str] = {}
+        # delta edges awaiting adjacency pack and the shards they
+        # dirty; _dirty None = full pack. The pending plan is LAZY
+        # (the edge GEMM runs inside state()'s pack shuffle — no
+        # separate materialization job); _pending_lazy marks that, so
+        # the one case that could re-read retired segment files (a
+        # second append re-packing the files the first append's GEMM
+        # reads) checkpoints it just-in-time.
+        self._pending_edges: DataFrame | None = None
+        self._pending_lazy: bool = False
+        self._dirty: set[int] | None = None
         self._state: DataFrame | None = None
 
     def _seg_dir(self) -> str:
@@ -418,6 +445,14 @@ class GraphIndex:
             )
             smat = np.stack(spdf["emb"].to_numpy()).astype(np.float64)
             self.structure_ratio = _structure_ratio(smat, self.centroids)
+        # sampled cell sizes — the weights that keep search shards
+        # BALANCED BY ROWS in _assign_shards (clustered corpora fill
+        # cells very unevenly; sampling error is fine, skew is not)
+        cn_ = (self.centroids * self.centroids).sum(1)
+        cell_sample_counts = np.bincount(
+            (cn_[None, :] - 2.0 * (smat @ self.centroids.T)).argmin(1),
+            minlength=len(self.centroids),
+        )
         # kept LAZY: build's only consumer is the pack shuffle (one
         # pass); materializing a second full copy of the corpus here
         # bought nothing. append() re-derives assignments for old rows
@@ -425,22 +460,42 @@ class GraphIndex:
         self.celled = assign_cells(emb, self.centroids, "vec_id", "emb").select(
             "cell_id", "vec_id", "emb"
         )
-        self._assign_shards()
+        self._assign_shards(cell_weights=cell_sample_counts)
         self._pack_vectors(self.celled)
         nn = self._edges_from_segments()
-        self.edges = _symmetrize_cap(nn, self.m).localCheckpoint(eager=True)
+        _retire_prefixes(p for p in self._edge_meta.values() if p)
+        _retire_prefixes(a for *_, a in self._adj_meta.values() if a)
+        self._adj_meta = {}
+        self._edge_meta = {}
+        # LAZY: the edge GEMM streams straight into state()'s pack
+        # shuffle — no intermediate materialization of the N x 2(M+1)
+        # edge table (GEMM + shuffle + pack pipeline as ONE job)
+        self._pending_edges = _symmetrize(nn)
+        self._pending_lazy = True
+        self._dirty = None  # full adjacency pack pending
         self._state = None
         return self
 
-    def _assign_shards(self) -> None:
-        """Group cells into P search shards via k-means over the
-        centroid matrix (driver-side, C x dim). P is the larger of the
-        task-state bound (rows / shard_target_rows) and a parallelism
-        floor (cores, bounded by _MIN_SHARD_ROWS-sized shards):
-        pack/edge/adjacency work parallelizes per shard, and measured
-        recall is flat in P because shards cluster whole cells —
-        neighbor cells stay co-sharded, so few graph edges are cut
-        (100k x 128-d clustered: P=1 vs P=25 both recall 0.944)."""
+    def _assign_shards(self, cell_weights: np.ndarray | None = None) -> None:
+        """Group cells into P search shards by RECURSIVE WEIGHTED
+        BISECTION of the centroid cloud (driver-side, C x dim): split
+        the heaviest shard along its widest axis at the weighted
+        median until P shards exist. Weights are sampled cell sizes,
+        so shards are balanced by ROWS (±sampling error), and each
+        shard is an axis-aligned box, so neighbor cells usually stay
+        co-sharded (few graph edges cut; routing covers the faces).
+
+        Replaces a k-means over centroids that collapsed on clustered
+        corpora — measured at 100k x 128-d: 220 of 250 cells (90% of
+        rows) in ONE shard, because centroid distances concentrate in
+        high dim. A 90% shard serializes every pack/merge behind one
+        task here and is a straggler/OOM executor at 100 TB; balance
+        is the property that must hold at 1000x, so it is weighted,
+        not hoped for.
+
+        P is the larger of the task-state bound (rows /
+        shard_target_rows) and a parallelism floor (cores, bounded by
+        _MIN_SHARD_ROWS-sized shards)."""
         c = len(self.centroids)
         n_shards = max(1, math.ceil(self.n_rows / self.shard_target_rows))
         par = self.celled.sparkSession.sparkContext.defaultParallelism
@@ -450,16 +505,30 @@ class GraphIndex:
             self.cell_shard = np.zeros(c, dtype=np.int64)
             return
         cmat = self.centroids
-        rng = np.random.default_rng(self.seed)
-        centers = cmat[rng.choice(c, n_shards, replace=False)]
-        for _ in range(8):
-            d = (centers * centers).sum(1)[None, :] - 2.0 * (cmat @ centers.T)
-            a = d.argmin(1)
-            for j in range(n_shards):
-                msk = a == j
-                if msk.any():
-                    centers[j] = cmat[msk].mean(0)
-        self.cell_shard = a.astype(np.int64)
+        w = (
+            np.ones(c, dtype=np.float64)
+            if cell_weights is None
+            else cell_weights.astype(np.float64) + 1.0
+        )
+        shards: list[np.ndarray] = [np.arange(c)]
+        while len(shards) < n_shards:
+            sizes = [
+                w[s].sum() if len(s) > 1 else -1.0 for s in shards
+            ]
+            i = int(np.argmax(sizes))
+            if sizes[i] < 0:  # nothing splittable left
+                break
+            s = shards.pop(i)
+            axis = int(np.argmax(cmat[s].var(axis=0)))
+            order = s[np.argsort(cmat[s, axis], kind="stable")]
+            cum = np.cumsum(w[order])
+            cut = int(np.searchsorted(cum, cum[-1] / 2.0)) + 1
+            cut = min(max(cut, 1), len(order) - 1)
+            shards.append(order[:cut])
+            shards.append(order[cut:])
+        self.cell_shard = np.zeros(c, dtype=np.int64)
+        for p, s in enumerate(shards):
+            self.cell_shard[s] = p
 
     def _pack_vectors(self, celled: DataFrame) -> None:
         """Write the per-shard VECTOR segments (ids sorted, embedding
@@ -507,9 +576,12 @@ class GraphIndex:
                 columns=["pid", "n", "dim", "prefix", "cells", "seeds"],
             )
 
-        meta = (
-            nodes.groupBy("pid").applyInPandas(_pack, _PACK_SCHEMA).collect()
-        )
+        with _no_aqe_coalesce(spark):
+            meta = (
+                nodes.groupBy("pid")
+                .applyInPandas(_pack, _PACK_SCHEMA)
+                .collect()
+            )
         _retire_prefixes(p for p, _, _ in self._vec_meta.values())
         self._vec_meta = {r.pid: (r.prefix, r.n, r.dim) for r in meta}
         c = len(cmat)
@@ -520,7 +592,9 @@ class GraphIndex:
                     seeds[cell, j] = s
         self.cell_seeds = seeds
 
-    def _pack_vectors_delta(self, new_celled: DataFrame) -> None:
+    def _pack_vectors_delta(
+        self, new_celled: DataFrame
+    ) -> tuple[int, list[int], set[int]]:
         """Merge ONLY the delta into the per-shard segments: the new
         rows (not the corpus) shuffle by pid; each touched shard's
         task mmaps its existing arrays, merge-inserts the delta in id
@@ -529,7 +603,10 @@ class GraphIndex:
         their files verbatim. Cost is O(touched-shard bytes) local
         I/O plus a delta-sized shuffle — the full corpus never crosses
         the JVM<->Python boundary again, which is what makes append
-        cheaper than rebuild at any corpus size."""
+        cheaper than rebuild at any corpus size.
+
+        Returns (n_new, new_cells, touched_pids) from the SAME job —
+        append needs no separate count/groupBy pass."""
         spark = new_celled.sparkSession
         shard_map = spark.createDataFrame(
             [(int(c), int(p)) for c, p in enumerate(self.cell_shard)],
@@ -577,13 +654,25 @@ class GraphIndex:
                 prefix, ids, mat, cells, newm, cmat, spc
             )
             return pd.DataFrame(
-                [(pid, len(ids), mat.shape[1], prefix, out_cells, out_seeds)],
-                columns=["pid", "n", "dim", "prefix", "cells", "seeds"],
+                [
+                    (
+                        pid, len(ids), mat.shape[1], prefix, out_cells,
+                        out_seeds,
+                        [int(x) for x in np.unique(ncells)], len(nids),
+                    )
+                ],
+                columns=[
+                    "pid", "n", "dim", "prefix", "cells", "seeds",
+                    "newcells", "n_new",
+                ],
             )
 
-        meta = (
-            nodes.groupBy("pid").applyInPandas(_merge, _PACK_SCHEMA).collect()
-        )
+        with _no_aqe_coalesce(spark):
+            meta = (
+                nodes.groupBy("pid")
+                .applyInPandas(_merge, _PACK_DELTA_SCHEMA)
+                .collect()
+            )
         touched = {r.pid for r in meta}
         _retire_prefixes(
             p for pid, (p, _, _) in self._vec_meta.items() if pid in touched
@@ -598,6 +687,9 @@ class GraphIndex:
                 for j, s in enumerate(sds[:spc]):
                     row[j] = s
                 self.cell_seeds[cell] = row
+        n_new = sum(r.n_new for r in meta)
+        new_cells = sorted({int(c) for r in meta for c in r.newcells})
+        return n_new, new_cells, {int(r.pid) for r in meta}
 
     def _edges_from_segments(
         self, cells: list[int] | None = None
@@ -774,141 +866,280 @@ class GraphIndex:
 
         if self.celled is None:
             raise ValueError("build() first")
+        # a pending LAZY edge plan reads the current segment files;
+        # this append is about to re-pack (and retire) some of them —
+        # materialize it first (only the append→append-without-search
+        # path pays this; append→search folds it into state())
+        if self._pending_edges is not None and self._pending_lazy:
+            self._pending_edges = self._pending_edges.localCheckpoint(
+                eager=True
+            )
+            self._pending_lazy = False
+        # checkpointed so the pack's file-writing side effects can
+        # never observe two evaluations of a nondeterministic input
         new_celled = (
             assign_cells(emb_new, self.centroids, "vec_id", "emb")
             .select("cell_id", "vec_id", "emb")
             .localCheckpoint(eager=True)
         )
-        # one job serves both the row count and the touched-cell list
-        # (C-bounded metadata that drives the delta pack and the
-        # delta-sized GEMM work list)
-        cell_counts = new_celled.groupBy("cell_id").count().collect()
-        n_new = sum(r["count"] for r in cell_counts)
+        # ONE job packs the delta AND returns the row count + touched
+        # cells + touched shards (C-bounded metadata)
+        n_new, new_cells, touched_pids = self._pack_vectors_delta(new_celled)
         if n_new == 0:
             return self
         self.n_rows += n_new
-        new_cells = [int(r.cell_id) for r in cell_counts]
-        self._pack_vectors_delta(new_celled)  # touched shards only
+        # lazy snapshot of what the segments now hold (consumed only
+        # if someone reads .sharded / .celled — never an append job)
         self.celled = self._celled_from_segments()
+        # Dirty shards = shards that got rows + shards any delta edge
+        # can land in (reverse edges point at neighbors, and build
+        # candidates only come from the r_build nearest cells of a
+        # touched cell) — driver-side metadata math, no job. state()
+        # re-packs ONLY these; the reference's shrinkConnections
+        # likewise touches only the endpoints of new edges
+        # (src/hnsw.zig:135-140), never the whole graph.
+        nbr = _cell_neighbors(self.centroids, self.r_build)
+        dirty = set(touched_pids)
+        for c in new_cells:
+            dirty.add(int(self.cell_shard[c]))
+            for g in nbr[c]:
+                dirty.add(int(self.cell_shard[g]))
         nn = self._edges_from_segments(cells=new_cells)  # new rows probe
-        delta = nn.select(
-            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"),
-            "score", F.col("q_pid").alias("pid"),
-        )
-        rev = nn.select(
-            F.col("neighbor_id").alias("src"), F.col("query_id").alias("dst"),
-            "score", F.col("n_pid").alias("pid"),
-        )
-        # Degree re-cap touches ONLY srcs the delta connects to (new
-        # nodes + their reverse endpoints) — the reference's
-        # shrinkConnections runs on exactly the two endpoints of each
-        # new edge (src/hnsw.zig:135-140), never the whole graph. A
-        # full-table window here cost more than the rebuild it was
-        # supposed to beat; untouched srcs' adjacency lists are already
-        # capped and pass through untouched.
-        # new_edges is delta-sized (|new| x 2M rows) — checkpoint it
-        # once, otherwise the edge GEMM re-executes for each of the
-        # three consumers below (semi-join broadcast, anti-join
-        # broadcast, union).
-        new_edges = delta.unionAll(rev).localCheckpoint(eager=True)
-        touched = new_edges.select("src").distinct()
-        merged = (
-            self.edges.join(F.broadcast(touched), "src", "left_semi")
-            .unionAll(new_edges)
-            .groupBy("src", "dst")
-            .agg(F.min("score").alias("score"), F.first("pid").alias("pid"))
-        )
-        w = W.partitionBy("src").orderBy("score", "dst")
-        recapped = (
-            merged.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 2 * self.m)
-            .drop("rn")
-        )
-        untouched = self.edges.join(F.broadcast(touched), "src", "left_anti")
-        self.edges = untouched.unionAll(recapped).localCheckpoint(eager=True)
+        # delta-sized (|new| x 2(M+1) rows) LAZY edge plan: the GEMM
+        # runs inside state()'s pack shuffle (one job, no separate
+        # materialization). The FULL edge table is never touched here
+        # — that is what makes append delta-cost.
+        delta_edges = _symmetrize(nn)
+        if self._pending_edges is None:
+            self._pending_edges = delta_edges
+        else:
+            self._pending_edges = self._pending_edges.unionAll(delta_edges)
+        self._pending_lazy = True
+        if self._dirty is not None:
+            self._dirty |= dirty
         self._state = None
         return self
 
     # -- search (R7) -------------------------------------------------
     def state(self) -> DataFrame:
         """Adjacency segments + search metadata. Builds the padded
-        position-mapped adjacency for each shard from the edge table
-        (edges already carry their src's shard — one groupBy(pid)
-        pass, no corpus join), writes it next to the vector segment,
-        and returns the tiny metadata DataFrame (pid, n, maxdeg, dim,
-        vprefix, aprefix) that search broadcasts. Index bytes live in
-        the segment files — search moves ZERO index data through
-        shuffles or the JVM<->Python boundary."""
-        if self._state is None:
-            if self.celled is None:
-                raise ValueError("build() first")
-            spark = self.celled.sparkSession
-            tagged = self.edges
+        position-mapped adjacency for each DIRTY shard by merging the
+        shard's stored capped edge segment with the pending delta
+        edges (edges already carry their src's shard — one
+        cogroup-by-pid pass over the DELTA, no corpus join and no
+        full-edge-table scan), writes adjacency + refreshed capped
+        edges next to the vector segment, and returns the tiny
+        metadata DataFrame (pid, n, maxdeg, dim, vprefix, aprefix)
+        that search broadcasts. After a build everything is dirty
+        (first full pack); after an append only the shards the delta
+        touched are — untouched shards keep their files verbatim, so
+        the re-pack cost scales with the DELTA's neighborhood, not
+        the corpus. Index bytes live in the segment files — search
+        moves ZERO index data through shuffles or the JVM<->Python
+        boundary."""
+        if self._state is not None:
+            return self._state
+        if self.celled is None:
+            raise ValueError("build() first")
+        spark = self.celled.sparkSession
+        full = self._dirty is None or not self._adj_meta
+        dirty = sorted(
+            self._vec_meta
+            if full
+            else (p for p in self._dirty if p in self._vec_meta)
+        )
+        if dirty:
+            # one-sided groupBy instead of a cogroup: a sentinel row
+            # (src == dst == -1, impossible for a real edge — self-
+            # edges are dropped at GEMM time) per dirty shard
+            # guarantees every dirty pid yields a group even with no
+            # delta edges, at the cost of |dirty| rows instead of a
+            # second shuffled side
+            sent = spark.createDataFrame(
+                [(-1, -1, 0.0, int(p)) for p in dirty], _PENDING_SCHEMA
+            )
+            pending = (
+                sent
+                if self._pending_edges is None
+                else self._pending_edges.unionAll(sent)
+            )
             seg_dir = self._seg_dir()
             token = uuid.uuid4().hex[:12]
             vmeta = dict(self._vec_meta)  # pid -> (prefix, n, dim)
+            emeta = (
+                {} if full
+                else {p: e for p, e in self._edge_meta.items() if e}
+            )
             two_m = 2 * self.m
+            empty_meta = pd.DataFrame(
+                columns=[
+                    "pid", "n", "maxdeg", "dim", "vprefix", "aprefix",
+                    "eprefix",
+                ]
+            )
 
-            def _adj(pdf: pd.DataFrame) -> pd.DataFrame:
-                pid = int(pdf["pid"].iloc[0])
-                vprefix, n, dim = vmeta[pid]
+            def _adj_merge(epdf):
+                pid = int(epdf["pid"].iloc[0])
+                if pid not in vmeta:
+                    return empty_meta
+                vprefix, _, dim = vmeta[pid]
                 ids = np.load(f"{vprefix}.ids.npy")
                 n = len(ids)
-                src = pdf["src"].to_numpy(dtype=np.int64)
-                dst = pdf["dst"].to_numpy(dtype=np.int64)
-                sc = pdf["score"].to_numpy(dtype=np.float64)
-                sp = np.minimum(np.searchsorted(ids, src), n - 1)
-                dp = np.minimum(np.searchsorted(ids, dst), n - 1)
-                # src always local (tagged by shard); dst may live in
-                # another shard — cut at the boundary, routing
-                # compensates
-                ok = (ids[sp] == src) & (ids[dp] == dst)
-                sp, dp, sc = sp[ok], dp[ok], sc[ok]
-                order = np.lexsort((dp, sc, sp))
-                sp, dp, sc = sp[order], dp[order], sc[order]
-                # dedupe (src, dst): mutual-kNN pairs arrive twice
-                key = sp * np.int64(n + 1) + dp
-                srt = np.argsort(key, kind="stable")
-                ksrt = key[srt]
-                first = np.ones(len(ksrt), dtype=bool)
-                first[1:] = ksrt[1:] != ksrt[:-1]
-                keep_idx = np.sort(srt[first])
-                sp, dp, sc = sp[keep_idx], dp[keep_idx], sc[keep_idx]
-                # per-src rank (already sorted by (sp, score, dp))
-                starts = np.searchsorted(sp, np.arange(n + 1))
-                rank = np.arange(len(sp)) - starts[sp]
-                cap = rank < two_m
-                sp, dp, rank = sp[cap], dp[cap], rank[cap]
-                deg = np.bincount(sp, minlength=n)
-                maxdeg = max(int(deg.max()) if len(deg) else 0, 1)
-                adj_m = np.full((n + 1, maxdeg), n, dtype=np.int64)
-                adj_m[sp, rank] = dp
-                aprefix = os.path.join(seg_dir, f"adj_{token}_{pid}")
-                _save_npy(aprefix, "adj", adj_m)
+                e_src = epdf["src"].to_numpy(dtype=np.int64)
+                e_dst = epdf["dst"].to_numpy(dtype=np.int64)
+                real = e_src != e_dst  # drop sentinel rows
+                parts = []
+                ep = emeta.get(pid)
+                if ep:  # this shard's previous capped edges (id space)
+                    parts.append(
+                        (
+                            np.load(f"{ep}.esrc.npy"),
+                            np.load(f"{ep}.edst.npy"),
+                            np.load(f"{ep}.escore.npy"),
+                        )
+                    )
+                if real.any():
+                    parts.append(
+                        (
+                            e_src[real],
+                            e_dst[real],
+                            epdf["score"].to_numpy(dtype=np.float64)[real],
+                        )
+                    )
+                if parts:
+                    src = np.concatenate([p[0] for p in parts])
+                    dst = np.concatenate([p[1] for p in parts])
+                    sc = np.concatenate([p[2] for p in parts])
+                else:
+                    src = np.empty(0, np.int64)
+                    dst = np.empty(0, np.int64)
+                    sc = np.empty(0, np.float64)
+                # (src, score, dst) order, then dedupe (src, dst):
+                # mutual-kNN pairs arrive twice; a delta may re-find a
+                # stored edge (equal score — distances are
+                # deterministic)
+                order = np.lexsort((dst, sc, src))
+                src, dst, sc = src[order], dst[order], sc[order]
+                srt = np.lexsort((dst, src))
+                s2, d2 = src[srt], dst[srt]
+                first = np.ones(len(srt), dtype=bool)
+                first[1:] = (s2[1:] != s2[:-1]) | (d2[1:] != d2[:-1])
+                keep = np.sort(srt[first])
+                src, dst, sc = src[keep], dst[keep], sc[keep]
+                # degree cap 2M by (score, dst) per src — the shrink
+                # (src/hnsw.zig:135-170). Cap is monotone
+                # (cap(cap(A) ∪ B) = cap(A ∪ B)), so capping here and
+                # STORING the capped set gives the same graph as
+                # capping the full edge history every time.
+                chg = np.ones(len(src), dtype=bool)
+                chg[1:] = src[1:] != src[:-1]
+                grp_start = np.maximum.accumulate(
+                    np.where(chg, np.arange(len(src)), 0)
+                )
+                cap = (np.arange(len(src)) - grp_start) < two_m
+                src, dst, sc = src[cap], dst[cap], sc[cap]
+                if len(src):
+                    eprefix = os.path.join(seg_dir, f"edg_{token}_{pid}")
+                    _save_npy(eprefix, "esrc", src)
+                    _save_npy(eprefix, "edst", dst)
+                    _save_npy(eprefix, "escore", sc)
+                else:
+                    eprefix = ""
+                # adjacency: local dsts only (src always local —
+                # tagged by shard; a cross-shard dst is cut at the
+                # boundary, routing compensates)
+                sp = np.minimum(np.searchsorted(ids, src), max(n - 1, 0))
+                dp = np.minimum(np.searchsorted(ids, dst), max(n - 1, 0))
+                if n:
+                    ok = (ids[sp] == src) & (ids[dp] == dst)
+                else:
+                    ok = np.zeros(0, dtype=bool)
+                sp, dp = sp[ok], dp[ok]
+                if len(sp):
+                    starts = np.searchsorted(sp, np.arange(n + 1))
+                    rank = np.arange(len(sp)) - starts[sp]
+                    deg = np.bincount(sp, minlength=n)
+                    maxdeg = max(int(deg.max()), 1)
+                    adj_m = np.full((n + 1, maxdeg), n, dtype=np.int64)
+                    adj_m[sp, rank] = dp
+                    aprefix = os.path.join(seg_dir, f"adj_{token}_{pid}")
+                    _save_npy(aprefix, "adj", adj_m)
+                else:  # edgeless shard: searchable via seeds only
+                    maxdeg = 1
+                    aprefix = ""
                 return pd.DataFrame(
-                    [(pid, n, maxdeg, dim, vprefix, aprefix)],
+                    [(pid, n, maxdeg, dim, vprefix, aprefix, eprefix)],
                     columns=[
                         "pid", "n", "maxdeg", "dim", "vprefix", "aprefix",
+                        "eprefix",
                     ],
                 )
 
-            rows = (
-                tagged.groupBy("pid").applyInPandas(_adj, _META_SCHEMA).collect()
+            with _no_aqe_coalesce(spark):
+                rows = (
+                    pending.groupBy("pid")
+                    .applyInPandas(_adj_merge, _META_E_SCHEMA)
+                    .collect()
+                )
+            # retire the dirty shards' superseded files (grace-period
+            # unlink: in-flight searches on the old state finish fine)
+            _retire_prefixes(
+                self._adj_meta[p][4]
+                for p in dirty
+                if p in self._adj_meta and self._adj_meta[p][4]
             )
-            have = {r.pid for r in rows}
-            # shards with vectors but no edges (e.g. isolated single
-            # nodes) stay searchable via seeds: empty adjacency
-            fill = [
-                (int(p), int(n), 1, int(dim), prefix, "")
-                for p, (prefix, n, dim) in self._vec_meta.items()
-                if p not in have
-            ]
-            _retire_prefixes(self._adj_prefixes)  # superseded build
-            self._adj_prefixes = [r.aprefix for r in rows]
-            self._state = spark.createDataFrame(
-                [tuple(r) for r in rows] + fill, _META_SCHEMA
+            _retire_prefixes(
+                e for p in dirty if (e := self._edge_meta.get(p))
             )
+            for r in rows:
+                self._adj_meta[r.pid] = (
+                    r.n, r.maxdeg, r.dim, r.vprefix, r.aprefix
+                )
+                self._edge_meta[r.pid] = r.eprefix
+        self._dirty = set()
+        self._pending_edges = None
+        self._pending_lazy = False
+        self._state = spark.createDataFrame(
+            [
+                (p, n, md, dim, vp, ap)
+                for p, (n, md, dim, vp, ap) in sorted(self._adj_meta.items())
+            ],
+            _META_SCHEMA,
+        )
         return self._state
+
+    @property
+    def edges(self) -> DataFrame | None:
+        """The capped graph edges (src, dst, score, pid), read back
+        lazily from the per-shard edge segments (materializes any
+        pending adjacency pack first). Diagnostic / test surface —
+        search never consumes this; it reads the ``.adj.npy`` files
+        directly."""
+        if self.celled is None:
+            return None
+        self.state()
+        spark = self.celled.sparkSession
+        meta = [(p, e) for p, e in sorted(self._edge_meta.items()) if e]
+        if not meta:
+            return spark.createDataFrame([], _PENDING_SCHEMA)
+        mdf = spark.createDataFrame(
+            meta, "pid int, prefix string"
+        ).repartition(len(meta))
+
+        def _read(batches):
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    src = np.load(f"{r.prefix}.esrc.npy")
+                    yield pd.DataFrame(
+                        {
+                            "src": src,
+                            "dst": np.load(f"{r.prefix}.edst.npy"),
+                            "score": np.load(f"{r.prefix}.escore.npy"),
+                            "pid": np.full(len(src), r.pid, dtype=np.int32),
+                        }
+                    )
+
+        return mdf.mapInPandas(_read, _PENDING_SCHEMA)
 
     def search(
         self,
@@ -929,9 +1160,13 @@ class GraphIndex:
         ef = ef or self.ef
         state = self.state()
         # live index: refresh segment mtimes so the dead-build purge
-        # never reaps files a long-lived index still reads
+        # never reaps files a long-lived index still reads (vector,
+        # adjacency AND stored-edge segments — the last are re-read by
+        # the next append's merge)
         _touch_prefixes(
-            [p for p, _, _ in self._vec_meta.values()] + self._adj_prefixes
+            [p for p, _, _ in self._vec_meta.values()]
+            + [a for *_, a in self._adj_meta.values() if a]
+            + [e for e in self._edge_meta.values() if e]
         )
         if n_qblocks is None:
             nq = n_queries if n_queries is not None else queries.count()

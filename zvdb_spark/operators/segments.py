@@ -32,6 +32,7 @@ import os
 import tempfile
 import time
 import uuid
+from contextlib import contextmanager
 
 import numpy as np
 import pandas as pd
@@ -50,6 +51,29 @@ _RETIRE_GRACE_SECS = 600
 # re-run a stage) for a grace window; the next pack reaps anything
 # past the grace.
 _retired: list[tuple[float, str]] = []
+
+
+@contextmanager
+def no_aqe_coalesce(spark):
+    """Disable AQE partition coalescing for the enclosed action. The
+    per-shard pack jobs group by pid — a handful of groups whose
+    shuffle is a few MB, which AQE's advisory size would coalesce
+    into ONE task, serializing every shard's numpy merge behind a
+    single core (measured: the adjacency re-pack of 12 shards ran
+    ~4x slower coalesced). Session-wide conf flip, restored in
+    finally — safe in a single-driver engine; concurrent jobs in the
+    same session would briefly skip coalescing, which only costs
+    them some empty tasks."""
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:  # noqa: BLE001 — unset -> Spark default
+        prev = "true"
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def retire_prefixes(prefixes) -> None:
@@ -342,18 +366,19 @@ class SegmentCorpus:
                 columns=["pid", "prefix", "n", "dim"],
             )
 
-        rows = (
-            emb.select(
-                F.col(id_col).cast("long").alias("vec_id"),
-                F.col(vec_col).alias("emb"),
-                (F.crc32(F.col(id_col).cast("string")) % n_shards)
-                .cast("int")
-                .alias("pid"),
+        with no_aqe_coalesce(emb.sparkSession):
+            rows = (
+                emb.select(
+                    F.col(id_col).cast("long").alias("vec_id"),
+                    F.col(vec_col).alias("emb"),
+                    (F.crc32(F.col(id_col).cast("string")) % n_shards)
+                    .cast("int")
+                    .alias("pid"),
+                )
+                .groupBy("pid")
+                .applyInPandas(_pack, "pid int, prefix string, n long, dim int")
+                .collect()
             )
-            .groupBy("pid")
-            .applyInPandas(_pack, "pid int, prefix string, n long, dim int")
-            .collect()
-        )
         retire_prefixes(p for _, p, _, _ in self.meta)
         self.meta = [(r.pid, r.prefix, r.n, r.dim) for r in rows]
         return self
