@@ -109,6 +109,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_stream_demo_index_ingest",
     "q_agg_approx_distinct",
     "q_kmeans_quantizer",
+    "q_dedup_embedding_lsh",
 )
 
 
