@@ -168,6 +168,50 @@ def test_structure_routing(spark, sf_dir):
     assert hits == 20 * 5  # exact path: full recall on uniform data
 
 
+@pytest.mark.parametrize("dim", [64, 256])
+def test_structure_routing_across_dims(spark, dim):
+    """The routing cut must hold away from its original 128-d
+    calibration: at each dim, a uniform corpus must measure above
+    ROUTE_THRESHOLD and serve the EXACT path (full recall by
+    construction — f64, parity with exact_search), and a clustered
+    corpus must measure below it and keep graph recall ≥ 0.9."""
+    n, ncl, k = 3000, 30, 5
+    rng = np.random.default_rng(100 + dim)
+    centers = rng.random((ncl, dim))
+    cl = centers[rng.integers(0, ncl, n)] + 0.08 * rng.standard_normal(
+        (n, dim)
+    )
+    uni = rng.random((n, dim))
+    for kind, mat in (("clustered", cl), ("uniform", uni)):
+        df = spark.createDataFrame(
+            [(int(i), [float(x) for x in row]) for i, row in enumerate(mat)],
+            "vec_id long, emb array<double>",
+        ).localCheckpoint(eager=True)
+        idx = GraphIndex(
+            m=8, ef=64, seed=7, cell_target_rows=100
+        ).build(df, n_rows=n)
+        if kind == "uniform":
+            assert idx.structure_ratio >= idx.ROUTE_THRESHOLD, (
+                dim, idx.structure_ratio,
+            )
+        else:
+            assert idx.structure_ratio < idx.ROUTE_THRESHOLD, (
+                dim, idx.structure_ratio,
+            )
+        q = df.orderBy("vec_id").limit(20).select(
+            F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+        ).localCheckpoint(eager=True)
+        routed = idx.search_routed(q, k=k, n_queries=20).toPandas()
+        ex = idx.exact_search(
+            q, k=k, dtype="float64", n_queries=20
+        ).toPandas()
+        r = _recall(routed, ex, k)
+        if kind == "uniform":
+            assert r == 1.0, (dim, r)  # exact path: parity
+        else:
+            assert r >= 0.9, (dim, r)
+
+
 def test_empty_query_side(spark, sf_dir, built):
     emb, idx = built
     q = _queries(spark, emb, n=1).filter(F.col("query_id") < 0)

@@ -110,6 +110,24 @@ def test_graph_search_moves_no_index_data(spark, sf_dir):
     assert a["n_sortmerge_joins"] == 0
 
 
+def test_window_frame_runs_on_aggregate(spark, sf_dir):
+    """q_window_frame's global (unpartitioned) windows are safe ONLY
+    because they run over the day-level AGGREGATE — a frame bounded by
+    the calendar, invariant to data scale — never over raw orders. In
+    the printed tree (parents first) the Window node must therefore
+    sit ABOVE the HashAggregate; a refactor that pushed the window
+    below the groupBy would flip that order and become a silent
+    scale-killer (a total-order sort of the fact table)."""
+    from zvdb_spark.plans import explain_str
+    from zvdb_spark.queries.registry import all_queries
+
+    simple = explain_str(
+        all_queries()["q_window_frame"].fn(spark, sf_dir), "simple"
+    )
+    assert "Window" in simple and "HashAggregate" in simple
+    assert simple.index("Window") < simple.index("HashAggregate"), simple
+
+
 def test_segment_exact_search_moves_no_corpus(spark, sf_dir):
     """Segment exact search plan: the corpus lives in mmap segments,
     so the plan contains only the query side — one round-robin

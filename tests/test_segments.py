@@ -147,3 +147,46 @@ def test_duplicate_vectors_exact_ties_and_zero_self_distance(spark, corpus):
     assert (self_rows.score == 0.0).all()  # exactly zero, not 1e-16
     twin_rows = got[got.rn == 2]
     assert (twin_rows.score == 0.0).all()
+
+
+def test_two_live_indexes_share_index_dir_without_reaping_each_other(
+    spark, sf_dir, tmp_path
+):
+    """Multi-round segment hygiene: two live indexes in ONE index_dir,
+    interleaved build/append/search, then a FORCED grace-expiry reap —
+    only superseded (retired) files may be unlinked, never the other
+    index's live segments. Both indexes must still answer self-match
+    queries at distance 0 after the reap."""
+    import time as _time
+
+    from zvdb_spark.operators import segments as seg
+
+    d = str(tmp_path / "shared_idx")
+    emb = _emb(spark, sf_dir).localCheckpoint(eager=True)
+    base_a = emb.filter(F.col("vec_id") % 2 == 0)
+    base_b = emb.filter(F.col("vec_id") % 2 == 1)
+    a = GraphIndex(m=8, ef=64, index_dir=d).build(base_a)
+    b = GraphIndex(m=8, ef=64, index_dir=d).build(base_b)
+    # interleave: append to a (retires a's superseded files), search b,
+    # append to b, search a — each index's retirements must only ever
+    # name its own superseded prefixes
+    delta_a = base_b.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    a.append(delta_a)
+    delta_b = base_a.withColumn("vec_id", F.col("vec_id") + 2_000_000)
+    b.append(delta_b)
+
+    def _self_match(idx, src):
+        probe = src.orderBy("vec_id").limit(3).select(
+            F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+        )
+        res = idx.search(probe, k=1, n_queries=3).toPandas()
+        assert (res.dist_sq == 0.0).all()
+        assert set(res.vec_id) == set(res.query_id)
+
+    _self_match(a, delta_a)
+    _self_match(b, base_b)
+    # force every pending retirement past its grace window and reap
+    seg.reap_retired(now=_time.time() + seg._RETIRE_GRACE_SECS + 60)
+    # live segments must have survived the reap on BOTH indexes
+    _self_match(a, base_a)
+    _self_match(b, delta_b)

@@ -42,3 +42,24 @@ def test_events_ts_is_timestamp_in_plausible_range(spark, sf_dir):
 def test_unknown_table_raises(spark, sf_dir):
     with pytest.raises(KeyError):
         load(spark, sf_dir, "nope")
+
+
+def test_table_row_count_single_file_and_directory(sf_dir, tmp_path):
+    """Footer-only row counts must survive the fixture becoming a
+    directory-partitioned dataset (what spark.read.parquet — and
+    therefore load() — already accepts silently)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zvdb_spark.sources.tables import table_row_count
+
+    single = table_row_count(sf_dir, "events")
+    assert single > 0
+    # synthesize a directory-shaped 'events' fixture from two slices
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    half = len(t) // 2
+    pq.write_table(t.slice(0, half), d / "part-0.parquet")
+    pq.write_table(t.slice(half), d / "part-1.parquet")
+    assert table_row_count(str(tmp_path), "events") == single

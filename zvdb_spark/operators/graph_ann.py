@@ -1282,10 +1282,22 @@ class GraphIndex:
         return exact_search_segments(queries, meta, k, dtype, n_queries)
 
     # -- structure-aware routing --------------------------------------
-    # Threshold between the two regimes measured at 128-d:
-    # clustered (Gaussian mixture, sigma 0.08) 0.26, uniform 1.91;
-    # the gap is wide, so the cut sits comfortably between.
-    ROUTE_THRESHOLD = 0.6
+    # Threshold between the two regimes, measured ACROSS DIMS (8k-row
+    # Gaussian mixture sigma 0.08 vs uniform, k-means quantizer):
+    #
+    #   dim       16     128    512    1024
+    #   clustered 0.46   0.59   0.58   0.59
+    #   uniform   1.08   2.33   3.03   2.95
+    #
+    # (at 100k rows / 200 clusters the clustered ratio drops to 0.26.)
+    # The clustered side plateaus near 0.59 while uniform never drops
+    # below ~1.08, so one dim-independent cut at the geometric
+    # midpoint (~0.8) separates the regimes at every measured dim —
+    # the earlier 0.6 cut, calibrated only at 128-d/100k, sat within
+    # noise of the clustered plateau. Corpora with genuinely looser
+    # clusters score above the cut and route exact, which is correct:
+    # loose clusters are ALSO where the graph's recall decays.
+    ROUTE_THRESHOLD = 0.8
 
     def search_routed(
         self,
@@ -1305,8 +1317,11 @@ class GraphIndex:
             self.structure_ratio is None
             or self.structure_ratio >= self.ROUTE_THRESHOLD
         ):
+            # f64: this path's CONTRACT is full recall (that is why the
+            # query routed here), so it must not inherit the f32 speed
+            # default — the bench's own search_f32_recall_vs_f64 < 1.0
             return self.exact_search(
-                queries, k=k, n_queries=n_queries
+                queries, k=k, dtype="float64", n_queries=n_queries
             ).select(
                 "query_id",
                 F.col("neighbor_id").alias("vec_id"),

@@ -116,6 +116,13 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"))
     )
+    # SCALE PIN: these windows are UNPARTITIONED by necessity (a global
+    # time series has a total order), which is safe ONLY because they
+    # run over `daily` — the day-level AGGREGATE, bounded by the
+    # calendar (#days, invariant to data scale), never over `orders`.
+    # A refactor that moved the window below the groupBy would be a
+    # silent scale-killer; tests/test_plan_quality.py::
+    # test_window_frame_runs_on_aggregate pins the WindowExec input.
     w_range = W.orderBy("day_num").rangeBetween(-6, 0)
     w_rows = W.orderBy("day_num").rowsBetween(W.unboundedPreceding, 0)
     rev_dec = F.col("revenue").cast("decimal(18,4)")

@@ -126,6 +126,36 @@ def _check_schema(name: str, df: DataFrame) -> None:
             )
 
 
+def read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the TIMESTAMP(NANOS) retry: Spark's
+    reader rejects nanos outright (PARQUET_TYPE_ILLEGAL) unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set, in which case the
+    column comes back as raw long ns for the caller to normalize.
+
+    Shared by the batch loader AND the streaming schema read
+    (streaming/jobs.py) — the stream previously did a plain
+    ``spark.read.parquet`` for its schema, so on a nanos fixture it
+    raised before its own bigint branch could ever run.
+
+    SESSION-WIDE SIDE EFFECT, by design: the conf stays set after the
+    fallback fires, because the returned DataFrame is lazy — its scan
+    (and any re-execution) still needs the flag at action time, so a
+    try/finally reset here would break the very read it enabled. The
+    consequence is that a LATER read of some unrelated nanos parquet in
+    the same session returns bigint instead of failing loudly; every
+    engine loader normalizes via dtype branching (never assumes), so
+    inside this package that is handled, and EXPECTED_SCHEMAS still
+    catches drift by name."""
+    try:
+        return spark.read.parquet(path)
+    except Exception as exc:  # nanos fixture: retry with nanosAsLong
+        msg = str(exc)
+        if "NANOS" not in msg.upper() and "ILLEGAL" not in msg.upper():
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+
+
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
     """Read events.parquet across fixture encodings of ``ts``.
 
@@ -147,14 +177,7 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     fixture encoding — the round-2 regression was exactly that
     assumption going stale.
     """
-    try:
-        df = spark.read.parquet(path)
-    except Exception as exc:  # nanos fixture: retry with nanosAsLong
-        msg = str(exc)
-        if "NANOS" not in msg.upper() and "ILLEGAL" not in msg.upper():
-            raise
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+    df = read_parquet_nanos_safe(spark, path)
     dt = dict(df.dtypes).get("ts")
     if dt == "bigint":  # raw long nanoseconds (nanosAsLong path)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -192,11 +215,21 @@ def table_row_count(sf_dir: str, name: str) -> int:
     ``df.count()``, which at 100 TB is a full extra scan per call. On a
     cluster the same metadata read is what the parquet footer cache /
     catalog statistics serve."""
+    import os
+
     import pyarrow.parquet as pq
 
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        # directory-partitioned dataset (what these tables become at
+        # 100 TB): sum per-file footer counts — still metadata-only
+        return sum(
+            f.metadata.num_rows
+            for f in pq.ParquetDataset(path).fragments
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

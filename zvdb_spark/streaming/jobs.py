@@ -27,12 +27,19 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The stream schema is taken from the parquet footers via the batch
     reader (readStream needs an explicit schema; hard-coding one is how
     round 2 silently shipped January-1970 windows when the fixture
-    moved from nanos-as-long to TIMESTAMP(MICROS)). The same dtype
-    branch as sources/tables.py then applies — raw long ns gets the
-    div-1000 truncation, TIMESTAMP_NTZ gets a re-tag cast (session TZ
-    is pinned UTC).
+    moved from nanos-as-long to TIMESTAMP(MICROS)). The schema read
+    goes through the SAME nanos-retry helper as the batch loader
+    (sources/tables.read_parquet_nanos_safe) — a plain read raises
+    PARQUET_TYPE_ILLEGAL on a nanos fixture before the bigint branch
+    below could ever run. The same dtype branch as sources/tables.py
+    then applies — raw long ns gets the div-1000 truncation,
+    TIMESTAMP_NTZ gets a re-tag cast (session TZ is pinned UTC).
     """
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from zvdb_spark.sources.tables import read_parquet_nanos_safe
+
+    batch_schema = read_parquet_nanos_safe(
+        spark, f"{sf_dir}/events.parquet"
+    ).schema
     # FileStreamSource requires a directory; point at sf_dir and glob
     # the single events file (on a cluster this would be the landing
     # directory receiving new files).
