@@ -439,11 +439,20 @@ def main() -> None:
         # timer stops — append's dirty-shard adjacency re-pack counts,
         # exactly like the rebuild timing below includes its full
         # pack. (cgidx's pre-append state is already materialized by
-        # the searches above, as on a live index.)
+        # the searches above, as on a live index.) append mutates, so
+        # best-of-2 needs a FRESH build for the second sample — build
+        # is cheap enough now that an un-noised append number is worth
+        # it (measured isolated 3.96 s vs 7.7 s mid-load-spike).
         t0 = time.perf_counter()
         cgidx.append(demb)
         cgidx.state()
         append_sec = time.perf_counter() - t0
+        c2 = GraphIndex(m=16, ef=128, seed=SEED).build(cemb, n_rows=BENCH_N)
+        c2.state()
+        t0 = time.perf_counter()
+        c2.append(demb)
+        c2.state()
+        append_sec = min(append_sec, time.perf_counter() - t0)
         timings["vector_index_append_10pct"] = round(append_sec, 3)
         result["append_pts_per_s"] = round(delta_n / append_sec, 2)
         qp = _qdf(cqueries[:n_probe])
@@ -458,10 +467,12 @@ def main() -> None:
         # append-vs-rebuild comparison
         full = cemb.unionByName(demb).localCheckpoint(eager=True)
         ridx = GraphIndex(m=16, ef=128, seed=SEED)
-        t0 = time.perf_counter()
-        ridx.build(full, n_rows=BENCH_N + delta_n)
-        ridx.state()  # same searchable-when-done boundary as append
-        rebuild_sec = time.perf_counter() - t0
+
+        def _one_rebuild():
+            ridx.build(full, n_rows=BENCH_N + delta_n)
+            ridx.state()  # same searchable-when-done boundary as append
+
+        rebuild_sec = _best_of(2, _one_rebuild)
         timings["vector_index_rebuild_full"] = round(rebuild_sec, 3)
         result["rebuild_pts_per_s"] = round(
             (BENCH_N + delta_n) / rebuild_sec, 2

@@ -710,9 +710,16 @@ class GraphIndex:
         vmeta = {p: v[0] for p, v in self._vec_meta.items()}  # pid -> prefix
         m = self.m
         cell_list = list(range(len(nbr))) if cells is None else cells
+        par = spark.sparkContext.defaultParallelism
+        # build: every cell's rows probe — fine-grained tasks (4x
+        # cores) smooth the heavy GEMM stragglers. Delta: only the new
+        # rows probe, so per-cell FLOPs are tiny and task-launch
+        # overhead dominates — one task per core amortizes the
+        # per-task segment-cache setup (measured: 128 tasks cost ~2x
+        # the GEMM itself at a 10% delta).
         ntasks = max(
             1,
-            min(spark.sparkContext.defaultParallelism * 4, len(cell_list)),
+            min(par * 4 if cells is None else par, len(cell_list)),
         )
         work = spark.createDataFrame(
             [
@@ -875,13 +882,14 @@ class GraphIndex:
                 eager=True
             )
             self._pending_lazy = False
-        # checkpointed so the pack's file-writing side effects can
-        # never observe two evaluations of a nondeterministic input
-        new_celled = (
-            assign_cells(emb_new, self.centroids, "vec_id", "emb")
-            .select("cell_id", "vec_id", "emb")
-            .localCheckpoint(eager=True)
-        )
+        # NOT checkpointed: the delta pack below is this plan's ONLY
+        # consumer (the old second consumer — a count job — is folded
+        # into the pack), so it is evaluated exactly once, inside the
+        # pack's shuffle write; everything after derives from the
+        # packed segments, never from this plan again.
+        new_celled = assign_cells(
+            emb_new, self.centroids, "vec_id", "emb"
+        ).select("cell_id", "vec_id", "emb")
         # ONE job packs the delta AND returns the row count + touched
         # cells + touched shards (C-bounded metadata)
         n_new, new_cells, touched_pids = self._pack_vectors_delta(new_celled)
@@ -978,6 +986,31 @@ class GraphIndex:
                 ]
             )
 
+            def _canon(src, dst, sc):
+                """(src, score, dst) order, dedupe (src, dst), degree
+                cap 2M by (score, dst) per src — the shrink
+                (src/hnsw.zig:135-170). Mutual-kNN pairs arrive twice;
+                a delta may re-find a stored edge (equal score —
+                distances are deterministic). Cap is monotone
+                (cap(cap(A) ∪ B) = cap(A ∪ B)), so capping here and
+                STORING the capped set gives the same graph as capping
+                the full edge history every time."""
+                order = np.lexsort((dst, sc, src))
+                src, dst, sc = src[order], dst[order], sc[order]
+                srt = np.lexsort((dst, src))
+                s2, d2 = src[srt], dst[srt]
+                first = np.ones(len(srt), dtype=bool)
+                first[1:] = (s2[1:] != s2[:-1]) | (d2[1:] != d2[:-1])
+                keep = np.sort(srt[first])
+                src, dst, sc = src[keep], dst[keep], sc[keep]
+                chg = np.ones(len(src), dtype=bool)
+                chg[1:] = src[1:] != src[:-1]
+                grp_start = np.maximum.accumulate(
+                    np.where(chg, np.arange(len(src)), 0)
+                )
+                cap = (np.arange(len(src)) - grp_start) < two_m
+                return src[cap], dst[cap], sc[cap]
+
             def _adj_merge(epdf):
                 pid = int(epdf["pid"].iloc[0])
                 if pid not in vmeta:
@@ -988,56 +1021,36 @@ class GraphIndex:
                 e_src = epdf["src"].to_numpy(dtype=np.int64)
                 e_dst = epdf["dst"].to_numpy(dtype=np.int64)
                 real = e_src != e_dst  # drop sentinel rows
-                parts = []
+                d_src = e_src[real]
+                d_dst = e_dst[real]
+                d_sc = epdf["score"].to_numpy(dtype=np.float64)[real]
                 ep = emeta.get(pid)
                 if ep:  # this shard's previous capped edges (id space)
-                    parts.append(
-                        (
-                            np.load(f"{ep}.esrc.npy"),
-                            np.load(f"{ep}.edst.npy"),
-                            np.load(f"{ep}.escore.npy"),
+                    o_src = np.load(f"{ep}.esrc.npy")
+                    o_dst = np.load(f"{ep}.edst.npy")
+                    o_sc = np.load(f"{ep}.escore.npy")
+                    if len(d_src):
+                        # stored rows are ALREADY canonical; only srcs
+                        # the delta touches need a re-sort + re-cap.
+                        # Untouched srcs pass through verbatim, then
+                        # one stable merge by src (disjoint groups)
+                        # restores global canonical order.
+                        du = np.unique(d_src)
+                        tm = np.isin(o_src, du)
+                        s_, t_, c_ = _canon(
+                            np.concatenate([o_src[tm], d_src]),
+                            np.concatenate([o_dst[tm], d_dst]),
+                            np.concatenate([o_sc[tm], d_sc]),
                         )
-                    )
-                if real.any():
-                    parts.append(
-                        (
-                            e_src[real],
-                            e_dst[real],
-                            epdf["score"].to_numpy(dtype=np.float64)[real],
-                        )
-                    )
-                if parts:
-                    src = np.concatenate([p[0] for p in parts])
-                    dst = np.concatenate([p[1] for p in parts])
-                    sc = np.concatenate([p[2] for p in parts])
+                        src = np.concatenate([o_src[~tm], s_])
+                        dst = np.concatenate([o_dst[~tm], t_])
+                        sc = np.concatenate([o_sc[~tm], c_])
+                        order = np.argsort(src, kind="stable")
+                        src, dst, sc = src[order], dst[order], sc[order]
+                    else:
+                        src, dst, sc = o_src, o_dst, o_sc
                 else:
-                    src = np.empty(0, np.int64)
-                    dst = np.empty(0, np.int64)
-                    sc = np.empty(0, np.float64)
-                # (src, score, dst) order, then dedupe (src, dst):
-                # mutual-kNN pairs arrive twice; a delta may re-find a
-                # stored edge (equal score — distances are
-                # deterministic)
-                order = np.lexsort((dst, sc, src))
-                src, dst, sc = src[order], dst[order], sc[order]
-                srt = np.lexsort((dst, src))
-                s2, d2 = src[srt], dst[srt]
-                first = np.ones(len(srt), dtype=bool)
-                first[1:] = (s2[1:] != s2[:-1]) | (d2[1:] != d2[:-1])
-                keep = np.sort(srt[first])
-                src, dst, sc = src[keep], dst[keep], sc[keep]
-                # degree cap 2M by (score, dst) per src — the shrink
-                # (src/hnsw.zig:135-170). Cap is monotone
-                # (cap(cap(A) ∪ B) = cap(A ∪ B)), so capping here and
-                # STORING the capped set gives the same graph as
-                # capping the full edge history every time.
-                chg = np.ones(len(src), dtype=bool)
-                chg[1:] = src[1:] != src[:-1]
-                grp_start = np.maximum.accumulate(
-                    np.where(chg, np.arange(len(src)), 0)
-                )
-                cap = (np.arange(len(src)) - grp_start) < two_m
-                src, dst, sc = src[cap], dst[cap], sc[cap]
+                    src, dst, sc = _canon(d_src, d_dst, d_sc)
                 if len(src):
                     eprefix = os.path.join(seg_dir, f"edg_{token}_{pid}")
                     _save_npy(eprefix, "esrc", src)
