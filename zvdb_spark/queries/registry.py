@@ -110,6 +110,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_agg_approx_distinct",
     "q_kmeans_quantizer",
     "q_dedup_embedding_lsh",
+    "q_stream_demo_stateful_dedup",
 )
 
 

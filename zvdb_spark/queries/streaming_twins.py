@@ -200,3 +200,15 @@ def q_stream_demo_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zvdb_spark.streaming.jobs import run_streaming_index_ingest_demo
 
     return run_streaming_index_ingest_demo(spark, sf_dir)
+
+
+@register("q_stream_demo_stateful_dedup", oracle=None, tags=("streaming", "demo"))
+def q_stream_demo_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    exact dedup with first-seen-wins keyed state and a processing-time
+    state TTL (the dedup horizon), exercised across micro-batches by a
+    duplicate-echo landing file. The streaming twin of q_doc_dedup.
+    Rows-only check: state-store execution is not SQL-expressible."""
+    from zvdb_spark.streaming.jobs import run_stateful_dedup_demo
+
+    return run_stateful_dedup_demo(spark, sf_dir)

@@ -180,6 +180,126 @@ def run_foreachbatch_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_stateful_dedup_demo(
+    spark: SparkSession, sf_dir: str, state_ttl_ms: int | None = None
+) -> DataFrame:
+    """Streaming exact dedup with explicit keyed state
+    (``applyInPandasWithState``) — the custom stateful operator the
+    built-in surface can't express.
+
+    ``dropDuplicates`` on a stream keeps unbounded state forever; this
+    operator owns its state explicitly: one entry per content
+    fingerprint, first-seen-wins emission, and (``state_ttl_ms``) a
+    processing-time timeout that expires entries past the dedup
+    horizon — at 100 TB the state store holds only the horizon's
+    fingerprints, partitioned by key across executors (state never
+    crosses the driver).
+
+    The demo defaults to NoTimeout because registering processing-time
+    timeouts makes the engine schedule continuous empty micro-batches
+    to evaluate them, so an ``availableNow`` query never terminates on
+    its own (measured: ~1 batch/s until the harness's 180 s bound
+    force-stopped it). A long-running production stream — where
+    timeouts are the point — passes a TTL and a processingTime
+    trigger; a bounded demo needs deterministic termination.
+
+    The landing data is the documents table plus a duplicate echo of
+    every 10th doc written as a SEPARATE file, so with
+    ``maxFilesPerTrigger=1`` the duplicates arrive in a different
+    micro-batch than their originals and dedup must happen through the
+    state store, not within a batch. Invariant asserted before
+    returning: emitted rows == distinct fingerprints in the landing
+    data (each fingerprint exactly once).
+
+    Reference parity: the reference has no streams; this is the
+    streaming twin of q_doc_dedup (the pipeline op its corpus-scale
+    users need). Rows-only check: micro-batch + state-store execution
+    is not SQL-expressible.
+    """
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from zvdb_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("fp")
+    )
+    land = tempfile.mkdtemp(prefix="zvdb_sdedup_land_")
+    docs.repartition(3).write.mode("overwrite").parquet(land)
+    # duplicate echo: every 10th doc re-arrives later with a new id
+    echo = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "fp"
+    )
+    echo.coalesce(1).write.mode("append").parquet(land)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+
+    out_schema = StructType(
+        [
+            StructField("fp", StringType()),
+            StructField("kept_doc_id", LongType()),
+            StructField("n_first_batch", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("n_seen", LongType())])
+
+    ttl = state_ttl_ms
+
+    def _first_seen(key, pdfs, state):
+        if state.hasTimedOut:
+            # dedup horizon passed: drop the fingerprint so state stays
+            # bounded by the horizon, not the corpus
+            state.remove()
+            return
+        n = 0
+        best = None
+        for pdf in pdfs:
+            n += len(pdf)
+            lo = int(pdf["doc_id"].min())
+            best = lo if best is None else min(best, lo)
+        if state.exists:
+            (n_seen,) = state.get
+            state.update((n_seen + n,))
+            return  # duplicate arrival: count it, emit nothing
+        state.update((n,))
+        if ttl is not None:
+            state.setTimeoutDuration(ttl)  # dedup horizon
+        yield pd.DataFrame(
+            {"fp": [key[0]], "kept_doc_id": [best], "n_first_batch": [n]}
+        )
+
+    kept_stream = stream.groupBy("fp").applyInPandasWithState(
+        _first_seen,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl is not None
+        else GroupStateTimeout.NoTimeout,
+    )
+    kept = _run_to_memory(kept_stream, "update")
+    n_unique = docs.select("fp").distinct().count()
+    n_kept = kept.count()
+    if n_kept != n_unique:
+        raise AssertionError(
+            f"stateful dedup emitted {n_kept} fingerprints; landing data "
+            f"has {n_unique} distinct — first-seen-wins state is broken"
+        )
+    return kept
+
+
 def run_streaming_index_ingest_demo(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
