@@ -72,3 +72,76 @@ def test_cosine_bounded(pair):
     c = df.select(cosine_sim("a", "b")).head()[0]
     if c is not None:
         assert -1.0 - 1e-9 <= c <= 1.0 + 1e-9
+
+
+# ---- edge-cap monotonicity (pure numpy, no Spark) -------------------
+
+edge_sets = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),   # src
+        st.integers(min_value=0, max_value=12),  # dst
+        st.sampled_from([0.0, 0.25, 0.5, 1.0, 2.0]),  # score (ties likely)
+    ),
+    max_size=60,
+)
+
+
+def _as_arrays(edges):
+    if not edges:
+        return (
+            np.zeros(0, np.int64),
+            np.zeros(0, np.int64),
+            np.zeros(0, np.float64),
+        )
+    s, d, c = zip(*edges)
+    return (
+        np.array(s, np.int64),
+        np.array(d, np.int64),
+        np.array(c, np.float64),
+    )
+
+
+@given(a=edge_sets, b=edge_sets, two_m=st.integers(min_value=1, max_value=6))
+@settings(max_examples=300, deadline=None)
+def test_edge_cap_is_monotone(a, b, two_m):
+    """cap(cap(A) ∪ B) == cap(A ∪ B): the invariant that lets the
+    adjacency merge store CAPPED edge segments and still produce the
+    same graph as re-capping the full edge history on every append
+    (graph_ann._canonical_capped_edges, used by GraphIndex.state)."""
+    from zvdb_spark.operators.graph_ann import _canonical_capped_edges
+
+    sa, da, ca = _as_arrays(a)
+    sb, db, cb = _as_arrays(b)
+    capped_a = _canonical_capped_edges(sa, da, ca, two_m)
+    merged = _canonical_capped_edges(
+        np.concatenate([capped_a[0], sb]),
+        np.concatenate([capped_a[1], db]),
+        np.concatenate([capped_a[2], cb]),
+        two_m,
+    )
+    direct = _canonical_capped_edges(
+        np.concatenate([sa, sb]),
+        np.concatenate([da, db]),
+        np.concatenate([ca, cb]),
+        two_m,
+    )
+    for m_arr, d_arr in zip(merged, direct):
+        np.testing.assert_array_equal(m_arr, d_arr)
+
+
+@given(a=edge_sets, two_m=st.integers(min_value=1, max_value=6))
+@settings(max_examples=200, deadline=None)
+def test_edge_cap_canonical_invariants(a, two_m):
+    """Output is (src,dst)-unique, degree-capped at two_m, and
+    idempotent under re-canonicalization."""
+    from zvdb_spark.operators.graph_ann import _canonical_capped_edges
+
+    s, d, c = _as_arrays(a)
+    cs, cd, cc = _canonical_capped_edges(s, d, c, two_m)
+    pairs = list(zip(cs.tolist(), cd.tolist()))
+    assert len(pairs) == len(set(pairs))
+    for deg in np.bincount(cs, minlength=1) if len(cs) else []:
+        assert deg <= two_m
+    again = _canonical_capped_edges(cs, cd, cc, two_m)
+    for x, y in zip(again, (cs, cd, cc)):
+        np.testing.assert_array_equal(x, y)

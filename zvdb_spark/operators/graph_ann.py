@@ -176,6 +176,35 @@ def _cell_neighbors(centroids: np.ndarray, r: int) -> np.ndarray:
     return np.argsort(cd, axis=1, kind="stable")[:, : min(r, len(centroids))]
 
 
+def _canonical_capped_edges(
+    src: np.ndarray, dst: np.ndarray, sc: np.ndarray, two_m: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Canonical capped edge set: (src, score, dst) order, dedupe
+    (src, dst), degree cap ``two_m`` by (score, dst) per src — the
+    shrink (src/hnsw.zig:135-170). Mutual-kNN pairs arrive twice; a
+    delta may re-find a stored edge (equal score — distances are
+    deterministic). Cap is monotone (cap(cap(A) ∪ B) = cap(A ∪ B),
+    property-tested in tests/test_properties.py), so capping here and
+    STORING the capped set gives the same graph as capping the full
+    edge history every time — the invariant the delta-aware append
+    merge in ``state`` rests on."""
+    order = np.lexsort((dst, sc, src))
+    src, dst, sc = src[order], dst[order], sc[order]
+    srt = np.lexsort((dst, src))
+    s2, d2 = src[srt], dst[srt]
+    first = np.ones(len(srt), dtype=bool)
+    first[1:] = (s2[1:] != s2[:-1]) | (d2[1:] != d2[:-1])
+    keep = np.sort(srt[first])
+    src, dst, sc = src[keep], dst[keep], sc[keep]
+    chg = np.ones(len(src), dtype=bool)
+    chg[1:] = src[1:] != src[:-1]
+    grp_start = np.maximum.accumulate(
+        np.where(chg, np.arange(len(src)), 0)
+    )
+    cap = (np.arange(len(src)) - grp_start) < two_m
+    return src[cap], dst[cap], sc[cap]
+
+
 def _symmetrize(nn: DataFrame) -> DataFrame:
     """Bidirectional edges — the connect half of the reference's
     connect + shrinkConnections (src/hnsw.zig:119-170). NO shuffle:
@@ -987,29 +1016,7 @@ class GraphIndex:
             )
 
             def _canon(src, dst, sc):
-                """(src, score, dst) order, dedupe (src, dst), degree
-                cap 2M by (score, dst) per src — the shrink
-                (src/hnsw.zig:135-170). Mutual-kNN pairs arrive twice;
-                a delta may re-find a stored edge (equal score —
-                distances are deterministic). Cap is monotone
-                (cap(cap(A) ∪ B) = cap(A ∪ B)), so capping here and
-                STORING the capped set gives the same graph as capping
-                the full edge history every time."""
-                order = np.lexsort((dst, sc, src))
-                src, dst, sc = src[order], dst[order], sc[order]
-                srt = np.lexsort((dst, src))
-                s2, d2 = src[srt], dst[srt]
-                first = np.ones(len(srt), dtype=bool)
-                first[1:] = (s2[1:] != s2[:-1]) | (d2[1:] != d2[:-1])
-                keep = np.sort(srt[first])
-                src, dst, sc = src[keep], dst[keep], sc[keep]
-                chg = np.ones(len(src), dtype=bool)
-                chg[1:] = src[1:] != src[:-1]
-                grp_start = np.maximum.accumulate(
-                    np.where(chg, np.arange(len(src)), 0)
-                )
-                cap = (np.arange(len(src)) - grp_start) < two_m
-                return src[cap], dst[cap], sc[cap]
+                return _canonical_capped_edges(src, dst, sc, two_m)
 
             def _adj_merge(epdf):
                 pid = int(epdf["pid"].iloc[0])
