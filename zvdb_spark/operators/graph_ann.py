@@ -54,16 +54,20 @@ measured well:
   re-pack at ``state()`` time touches only DIRTY shards — untouched
   shards keep their ``.adj.npy`` / ``.e*.npy`` files verbatim.
 
-Measured basis (scripts/proto_ann.py + full-scale runs, 100k x
-128-d, k=10): on a clustered corpus (mixture of Gaussians — the
-structure real embedding corpora have) this reaches recall 0.94 at
-~550 q/s with ef=128. On the uniform-random adversary NO sublinear
+Measured basis (scripts/proto_ann.py + full-scale runs, 128-d,
+k=10, 32 cores): on a clustered corpus (mixture of Gaussians — the
+structure real embedding corpora have) recall 0.92-0.94 at
+~2.3-3.4k q/s with ef=128 at 100k rows; at 1M rows recall 0.90 at
+~1.4k q/s while the exact GEMM drops to ~0.9k q/s — the crossover
+where the sublinear path earns its keep (the O(corpus) visited
+bitmap that used to invert this trend is gone; see
+_beam_search_seeded). On the uniform-random adversary NO sublinear
 method survives (measured: exact-graph beam 0.82@10 q/s, IVF routing
 0.47, random-projection prefilter 0.05-0.10 — distance concentration
 leaves nothing to exploit), so the engine's contract is: graph path
-for structured data, exact GEMM path (operators/knn.py, full recall
-at 1.7-2.6k q/s on the same hardware) for adversarial or
-recall-critical workloads. SCALING.md quantifies this.
+for structured data, exact GEMM path (operators/knn.py, full recall)
+for adversarial or recall-critical workloads. SCALING.md quantifies
+this.
 
 Scale posture: P spatial shards bound per-task state (one segment =
 one shard, ≤ ``shard_target_rows``); cells group into shards by
@@ -313,12 +317,20 @@ def _beam_search_seeded(
     ns = seeds_per_q.shape[1]
     beam_width = max(8, budget // 8, ns)
     max_steps = max(3, -(-budget // beam_width))
-    visited = np.zeros((nb, n + 1), dtype=bool)
+    # visited as a SORTED key array (key = q * (n+1) + node), not a
+    # dense (nb, n) bitmap: the bitmap was O(queries x shard_rows)
+    # memory *zeroed per task* — 313 MB per 313-query block on a
+    # 1M-row shard, which made per-task cost linear in shard size and
+    # inverted the ANN-vs-exact trend at 1M (measured 535 q/s ANN vs
+    # 749 q/s exact before; the docstring's "ef-bounded, independent
+    # of shard rows" only holds with O(explored) state).
+    stride = n + 1
     sq = seeds_per_q.copy()
     sq[sq < 0] = n  # sentinel for missing seeds (empty cells)
-    visited[np.repeat(np.arange(nb), ns), sq.ravel()] = True
-    visited[:, n] = True
     sqr = sq.ravel()
+    visited_keys = np.unique(
+        np.repeat(np.arange(nb, dtype=np.int64), ns) * stride + sqr
+    )
     d0 = np.full(len(sqr), np.inf)
     live = sqr < n
     diff = mat[sqr[live]] - np.repeat(qm, ns, axis=0)[live]
@@ -336,14 +348,24 @@ def _beam_search_seeded(
         cand = adj[beam[aq]].reshape(len(aq), -1)
         qidx = np.repeat(aq, cand.shape[1])
         cf = cand.ravel()
-        msk = ~visited[qidx, cf]
-        qidx, cf = qidx[msk], cf[msk]
+        real = cf < n  # drop adjacency padding (node n)
+        qidx, cf = qidx[real], cf[real]
         if not len(qidx):
             break
-        key = qidx * (n + 1) + cf
+        key = qidx * stride + cf
         _, u = np.unique(key, return_index=True)
         qidx, cf = qidx[u], cf[u]
-        visited[qidx, cf] = True
+        key = qidx * stride + cf  # sorted ascending (unique's order)
+        pos = np.searchsorted(visited_keys, key)
+        seen = np.zeros(len(key), dtype=bool)
+        inb = pos < len(visited_keys)
+        seen[inb] = visited_keys[pos[inb]] == key[inb]
+        qidx, cf, key = qidx[~seen], cf[~seen], key[~seen]
+        if not len(qidx):
+            break
+        # both inputs sorted: concatenate + sort is a cheap merge of
+        # O(explored) keys, never O(shard_rows)
+        visited_keys = np.sort(np.concatenate([visited_keys, key]))
         diff = mat[cf] - qm[qidx]
         dd = np.einsum("ij,ij->i", diff, diff)
         acc_q.append(qidx)
