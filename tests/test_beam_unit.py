@@ -1,0 +1,112 @@
+"""Direct numpy-level tests of _beam_search_seeded — no Spark.
+
+The beam is the engine's hottest python kernel; these pin its
+contract on both branches (exhaustive fallback when the ef budget
+covers the shard, sparse-visited beam otherwise) without paying a
+session: result shape, ordering, dedup, sentinel handling, and
+recall against brute force on a well-connected graph.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from zvdb_spark.operators.graph_ann import _beam_search_seeded
+
+
+def _knn_adj(mat: np.ndarray, deg: int) -> np.ndarray:
+    """Padded (n+1, deg) adjacency of each row's deg nearest others
+    (pad value n), the segment format state() writes."""
+    n = len(mat)
+    d = ((mat[:, None, :] - mat[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    nb = np.argsort(d, axis=1, kind="stable")[:, :deg]
+    adj = np.full((n + 1, deg), n, dtype=np.int64)
+    adj[:n] = nb
+    return adj
+
+
+def _brute_topk(mat, ids, q, k):
+    d = ((mat - q) ** 2).sum(1)
+    order = np.lexsort((ids, d))[:k]
+    return set(ids[order].tolist())
+
+
+def test_exhaustive_branch_matches_brute_force():
+    rng = np.random.default_rng(0)
+    n, dim, k = 40, 8, 5
+    mat = rng.random((n, dim))
+    ids = np.arange(100, 100 + n, dtype=np.int64)  # non-positional ids
+    adj = _knn_adj(mat, 4)
+    qm = rng.random((3, dim))
+    seeds = np.zeros((3, 2), dtype=np.int64)  # ef*2 >= n → exhaustive
+    out = _beam_search_seeded(
+        ids, mat, adj, seeds, qm, np.array([7, 8, 9]), k=k, ef=64
+    )
+    for qi, qid in enumerate([7, 8, 9]):
+        got = out[out.query_id == qid]
+        assert len(got) == k
+        assert set(got["vec_id"]) == _brute_topk(mat, ids, qm[qi], k)
+        assert list(got["dist_sq"]) == sorted(got["dist_sq"])
+
+
+def test_exhaustive_k_gt_n_clamps():
+    rng = np.random.default_rng(1)
+    n, dim = 6, 4
+    mat = rng.random((n, dim))
+    ids = np.arange(n, dtype=np.int64)
+    adj = _knn_adj(mat, 2)
+    out = _beam_search_seeded(
+        ids, mat, adj,
+        np.zeros((1, 1), dtype=np.int64),
+        rng.random((1, dim)), np.array([0]), k=50, ef=8,
+    )
+    assert len(out) == n  # k > N clamps (src/test_hnsw.zig:121-125)
+
+
+def test_beam_branch_contract_and_recall():
+    rng = np.random.default_rng(2)
+    n, dim, k, nq = 400, 16, 10, 20
+    mat = rng.random((n, dim))
+    ids = np.arange(1000, 1000 + n, dtype=np.int64)
+    adj = _knn_adj(mat, 12)
+    qm = rng.random((nq, dim))
+    # seeds: 4 random distinct rows per query, plus a -1 pad column
+    seeds = rng.integers(0, n, (nq, 4)).astype(np.int64)
+    seeds = np.concatenate(
+        [seeds, np.full((nq, 1), -1, dtype=np.int64)], axis=1
+    )
+    qids = np.arange(nq, dtype=np.int64)
+    out = _beam_search_seeded(ids, mat, adj, seeds, qm, qids, k=k, ef=64)
+    hits = 0
+    for qi in range(nq):
+        got = out[out.query_id == qi]
+        assert len(got) == k
+        vals = got["vec_id"].to_numpy()
+        assert len(set(vals)) == k  # no duplicates
+        assert (vals >= 1000).all()  # no sentinel/padding leaked
+        d = got["dist_sq"].to_numpy()
+        assert (np.diff(d) >= 0).all()  # ascending
+        # distances are exact for the returned ids
+        pos = vals - 1000
+        np.testing.assert_allclose(
+            d, ((mat[pos] - qm[qi]) ** 2).sum(1), rtol=1e-12
+        )
+        hits += len(set(vals.tolist()) & _brute_topk(mat, ids, qm[qi], k))
+    # dense 12-NN graph + 4 seeds: beam must find nearly everything
+    assert hits / (nq * k) >= 0.9
+
+
+def test_beam_all_seeds_missing_returns_empty():
+    rng = np.random.default_rng(3)
+    n, dim = 300, 8
+    mat = rng.random((n, dim))
+    ids = np.arange(n, dtype=np.int64)
+    adj = _knn_adj(mat, 4)
+    seeds = np.full((2, 3), -1, dtype=np.int64)  # every seed missing
+    out = _beam_search_seeded(
+        ids, mat, adj, seeds, rng.random((2, dim)),
+        np.array([0, 1]), k=5, ef=32,
+    )
+    assert len(out) == 0
