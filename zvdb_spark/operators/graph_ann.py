@@ -140,8 +140,16 @@ def _write_segment(
     spc: int,
 ) -> tuple[list[int], list[list[int]]]:
     """Write one shard's vector segment files (id-sorted input) and
-    return its per-cell seeds: member nearest the centroid + evenly
-    spaced members (covers multi-cluster cells). Shared by the bulk
+    return its per-cell seeds: member nearest the centroid, then
+    FARTHEST-POINT picks (each next seed maximizes distance to the
+    chosen set). The k-NN graph has no edges across well-separated
+    clusters, so if k-means merged two clusters into one cell, a
+    beam seeded in the wrong one can NEVER reach the other —
+    measured at 1M x 128-d: ~10% of queries at recall 0.0 with true
+    neighbors 20+ dist² from every seed of their own (correctly
+    routed) cell, while the earlier evenly-spaced-by-row-order picks
+    covered sub-clusters only by luck. Farthest-point sampling puts
+    one seed per separated mode by construction. Shared by the bulk
     pack and the append delta-merge."""
     n = len(ids)
     xn = (mat * mat).sum(axis=1)
@@ -159,14 +167,19 @@ def _write_segment(
     out_cells, out_seeds = [], []
     for i, c in enumerate(uniq):
         memb = order[starts[i]:starts[i + 1]]
-        dc = ((mat[memb] - cmat[c]) ** 2).sum(1)
-        near = memb[np.lexsort((ids[memb], dc))[0]]
-        picks = [int(ids[near])]
-        step = max(len(memb) // spc, 1)
-        for j in range(step - 1, len(memb), step):
-            sid = int(ids[memb[j]])
-            if sid not in picks and len(picks) < spc:
-                picks.append(sid)
+        mm = mat[memb]
+        dc = ((mm - cmat[c]) ** 2).sum(1)
+        first = int(np.lexsort((ids[memb], dc))[0])
+        picks_pos = [first]
+        # min distance of every member to the chosen seed set
+        mind = ((mm - mm[first]) ** 2).sum(1)
+        while len(picks_pos) < min(spc, len(memb)):
+            far = int(mind.argmax())
+            if mind[far] <= 0.0:
+                break  # remaining members are duplicates of seeds
+            picks_pos.append(far)
+            mind = np.minimum(mind, ((mm - mm[far]) ** 2).sum(1))
+        picks = [int(ids[memb[p]]) for p in picks_pos]
         out_cells.append(int(c))
         out_seeds.append(picks)
     return out_cells, out_seeds
@@ -424,7 +437,9 @@ class GraphIndex:
         shard_target_rows: int = DEFAULT_SHARD_TARGET,
         r_build: int = 4,
         nseed: int = 8,
-        seeds_per_cell: int = 2,
+        # 4 farthest-point seeds: one per separated mode when k-means
+        # merges up to 4 clusters into a cell (see _write_segment)
+        seeds_per_cell: int = 4,
         seed: int = 42,
         index_dir: str | None = None,
     ) -> None:
