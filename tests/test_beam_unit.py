@@ -110,3 +110,33 @@ def test_beam_all_seeds_missing_returns_empty():
         np.array([0, 1]), k=5, ef=32,
     )
     assert len(out) == 0
+
+
+def test_farthest_point_seeds_cover_merged_clusters(tmp_path):
+    """If k-means merges two separated clusters into one cell, the
+    cell's seeds must cover BOTH modes — the defect class behind the
+    1M recall-0.0 tail (queries whose cell was correctly routed but
+    whose every seed sat in the other cluster, unreachable over a
+    k-NN graph with no cross-cluster edges)."""
+    from zvdb_spark.operators.graph_ann import _write_segment
+
+    rng = np.random.default_rng(5)
+    n_half, dim = 200, 16
+    a = rng.normal(0.0, 0.05, (n_half, dim))
+    b = rng.normal(5.0, 0.05, (n_half, dim))  # far-separated mode
+    mat = np.concatenate([a, b])
+    # interleave ids so row-order striding would NOT trivially cover
+    ids = np.arange(2 * n_half, dtype=np.int64)
+    cells = np.zeros(2 * n_half, dtype=np.int64)  # one merged cell
+    newm = np.ones(2 * n_half, dtype=bool)
+    cmat = mat.mean(0, keepdims=True)  # centroid between the modes
+    out_cells, out_seeds = _write_segment(
+        str(tmp_path / "seg"), ids, mat, cells, newm, cmat, spc=4
+    )
+    assert out_cells == [0]
+    seeds = out_seeds[0]
+    assert 2 <= len(seeds) <= 4
+    seed_modes = {int(s) >= n_half for s in seeds}
+    assert seed_modes == {False, True}, (
+        f"seeds {seeds} cover only one of two separated modes"
+    )

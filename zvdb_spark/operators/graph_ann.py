@@ -54,14 +54,16 @@ measured well:
   re-pack at ``state()`` time touches only DIRTY shards — untouched
   shards keep their ``.adj.npy`` / ``.e*.npy`` files verbatim.
 
-Measured basis (scripts/proto_ann.py + full-scale runs, 128-d,
-k=10, 32 cores): on a clustered corpus (mixture of Gaussians — the
-structure real embedding corpora have) recall 0.92-0.94 at
-~2.3-3.4k q/s with ef=128 at 100k rows; at 1M rows recall 0.90 at
-~1.4k q/s while the exact GEMM drops to ~0.9k q/s — the crossover
-where the sublinear path earns its keep (the O(corpus) visited
-bitmap that used to invert this trend is gone; see
-_beam_search_seeded). On the uniform-random adversary NO sublinear
+Measured basis (scripts/proto_ann.py + scripts/scale_trend.py,
+128-d, k=10, 32 cores): on a clustered corpus (mixture of Gaussians
+— the structure real embedding corpora have) recall 0.998 at
+~2.5k q/s with ef=128 at 100k rows; at 1M rows recall 0.995 at
+~1.7k q/s while the exact GEMM drops to ~0.9k q/s — the crossover
+where the sublinear path earns its keep (two scale bugs were found
+and fixed by measuring exactly this: an O(corpus) visited bitmap in
+the beam, and luck-based per-cell seed picks — see
+_beam_search_seeded and _write_segment). On the uniform-random
+adversary NO sublinear
 method survives (measured: exact-graph beam 0.82@10 q/s, IVF routing
 0.47, random-projection prefilter 0.05-0.10 — distance concentration
 leaves nothing to exploit), so the engine's contract is: graph path
