@@ -1,0 +1,95 @@
+"""DuckDB parity for the past-cap queries whose registered oracle is
+None (the ordering contract forbids oracled entries past the driver's
+50-entry cap — tests/test_registry_order.py). These run the SAME
+row-count + schema + value comparison the driver runs, locally:
+
+- q_knn_filtered            (vector.py:FILTERED_ORACLE)
+- q_pipeline_training_data  (pipeline.py:PIPELINE_ORACLE)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.oracle_utils import assert_matches_oracle
+from zvdb_spark.queries.pipeline import (
+    MIN_TOKENS,
+    PIPELINE_ORACLE,
+    QUALITY_TAU,
+    q_pipeline_training_data,
+)
+from zvdb_spark.queries.vector import (
+    FILTERED_ORACLE,
+    KNN_K,
+    q_knn_filtered,
+)
+
+
+def test_knn_filtered_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(q_knn_filtered(spark, sf_dir), FILTERED_ORACLE, sf_dir)
+
+
+def test_knn_filtered_predicate_holds(spark, sf_dir):
+    rows = q_knn_filtered(spark, sf_dir).collect()
+    assert 0 < len(rows) <= KNN_K
+    assert all(2 <= r.label <= 7 and r.vec_id % 2 == 0 for r in rows)
+    dists = [r.dist_sq for r in rows]
+    assert dists == sorted(dists)
+
+
+def test_knn_filtered_pushes_predicates_to_scan(spark, sf_dir):
+    """The filter must reach the parquet scan (pre-filtering), not run
+    above the distance projection: PushedFilters carries the label
+    band and the scan's data filters include the parity cut."""
+    plan = q_knn_filtered(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln and "label" in ln
+    ]
+    assert pushed, f"label predicate not pushed to scan:\n{plan}"
+
+
+def test_pipeline_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        q_pipeline_training_data(spark, sf_dir), PIPELINE_ORACLE, sf_dir
+    )
+
+
+def test_pipeline_funnel_is_monotone(spark, sf_dir):
+    """Each stage can only shrink the corpus, and the total raw count
+    must equal the documents table row count (nothing lost or
+    double-counted by the flag formulation)."""
+    pdf = q_pipeline_training_data(spark, sf_dir).toPandas()
+    assert (pdf.docs_raw >= pdf.docs_quality).all()
+    assert (pdf.docs_quality >= pdf.docs_unique).all()
+    assert (pdf.docs_unique >= pdf.docs_final).all()
+    assert (pdf.docs_final > 0).any()
+    from zvdb_spark.sources.tables import load
+
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert int(pdf.docs_raw.sum()) == n_docs
+    # the quality gate actually cuts something at this tau
+    assert int(pdf.docs_quality.sum()) < n_docs
+
+
+def test_pipeline_quality_gate_semantics(spark, sf_dir):
+    """Spot-check the quality flag against the declared metrics query:
+    the pipeline's docs_quality per lang equals the number of
+    q_text_metrics rows passing the same (n_tokens, quality) cut."""
+    from zvdb_spark.queries.text import q_text_metrics
+
+    m = (
+        q_text_metrics(spark, sf_dir)
+        .filter(
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("quality_score") >= round(QUALITY_TAU, 4))
+        )
+        .groupBy(F.col("actual_lang").alias("lang"))
+        .agg(F.count("*").alias("n"))
+    )
+    got = {
+        r.lang: r.docs_quality
+        for r in q_pipeline_training_data(spark, sf_dir).collect()
+    }
+    for r in m.collect():
+        assert got[r.lang] == r.n, (r.lang, got[r.lang], r.n)

@@ -111,6 +111,8 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_kmeans_quantizer",
     "q_dedup_embedding_lsh",
     "q_stream_demo_stateful_dedup",
+    "q_knn_filtered",
+    "q_pipeline_training_data",
 )
 
 
@@ -158,6 +160,7 @@ def _ensure_loaded() -> None:
         dedup,
         joins,
         multimodal,
+        pipeline,
         relational,
         scalar,
         setops,

@@ -394,3 +394,64 @@ def q_knn_eltypes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("d_d", 4).alias("dist_sq_f64"),
         )
     )
+
+
+# ------------------------------------------------------- filtered k-NN
+
+# Metadata predicate for the filtered search: a label band plus a key
+# parity cut — compound, so the plan shows BOTH predicates pushed to
+# the parquet scan (PushedFilters), not applied post-distance.
+FILTER_LABEL_LO, FILTER_LABEL_HI = 2, 7
+
+# DuckDB twin for the pytest parity check (tests/test_pipeline_queries
+# .py). Registered oracle is None: the query sits past the driver's
+# 50-entry check cap, where the ordering contract forbids oracled
+# entries (tests/test_registry_order.py) — the parity suite runs the
+# same comparison locally instead.
+FILTERED_ORACLE = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qemb FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+d AS (
+  SELECT e.vec_id, e.label,
+         {_DD.format(a="e.embedding::DOUBLE[]", b="q.qemb")} AS d
+  FROM embeddings e, q
+  WHERE e.label BETWEEN {FILTER_LABEL_LO} AND {FILTER_LABEL_HI}
+    AND e.vec_id % 2 = 0
+)
+SELECT vec_id, label, round(d, 4) AS dist_sq
+FROM d ORDER BY d, vec_id LIMIT {KNN_K}
+"""
+
+
+@register("q_knn_filtered", tags=("vector", "filtered"))
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered (hybrid) k-NN: metadata predicate + vector search —
+    top-k among only the rows passing ``label BETWEEN 2 AND 7 AND
+    vec_id % 2 = 0``. The reference has no notion of attribute
+    filtering (its Node carries no payload, ``src/hnsw.zig:12-16``);
+    for a real vector store this is the headline hard case: graph
+    indexes degrade under selective filters (the filtered-ANN
+    problem), while the relational engine gets it for free as
+    PRE-filtering.
+
+    Plan: the predicate is applied below the distance projection, so
+    Catalyst pushes the label range into the parquet scan
+    (PushedFilters) and row groups outside the band are never read —
+    then the usual HOF distance + TakeOrderedAndProject over the
+    survivors. Distance work is O(selectivity x N), not O(N) with a
+    post-filter that can under-deliver k (the failure mode of
+    post-filtered graph search). At 100 TB the scan prunes on
+    partition/row-group stats before any vector math runs.
+    Deterministic: exact path, ordered by (dist_sq, vec_id).
+    """
+    emb = _emb(spark, sf_dir).filter(
+        F.col("label").between(FILTER_LABEL_LO, FILTER_LABEL_HI)
+        & (F.col("vec_id") % 2 == 0)
+    )
+    q = _probe(spark, sf_dir)
+    return (
+        emb.join(F.broadcast(q))
+        .select("vec_id", "label", dist_sq("emb", "qemb").alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(KNN_K)
+        .select("vec_id", "label", F.round("d", 4).alias("dist_sq"))
+    )
