@@ -1,0 +1,138 @@
+"""Product-quantization operator (operators/pq.py) invariants:
+recall against the exact path (pure ADC floor + the re-ranked
+production shape), determinism, compression arithmetic, and the
+k>N / tie-break contracts shared with the exact search."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from zvdb_spark.functions.vector import as_double_array
+from zvdb_spark.operators.pq import (
+    pq_encode,
+    pq_search,
+    pq_search_rerank,
+    pq_train,
+)
+from zvdb_spark.sources.tables import load
+
+K = 10
+M_SUB, K_CODES = 16, 64  # 64-d -> 16 subspaces of 4 dims
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_array("embedding").alias("emb"))
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq_train(emb, m_sub=M_SUB, k_codes=K_CODES, n_iter=8, sample_n=4096)
+
+
+@pytest.fixture(scope="module")
+def ground_truth(emb):
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.stack([np.asarray(r.emb) for r in rows])
+    return ids, mat
+
+
+def _true_topk(ids, mat, qv, k):
+    d = ((mat - qv) ** 2).sum(1)
+    return set(ids[np.lexsort((ids, d))[:k]])
+
+
+def test_codebook_shape_and_determinism(emb, books):
+    assert books.shape == (M_SUB, K_CODES, 64 // M_SUB)
+    again = pq_train(emb, m_sub=M_SUB, k_codes=K_CODES, n_iter=8, sample_n=4096)
+    assert np.array_equal(books, again)
+
+
+def test_encode_compression(emb, books):
+    codes = pq_encode(emb, books).collect()
+    assert len(codes) == emb.count()
+    for r in codes[:50]:
+        assert len(r.code) == M_SUB  # 64 f32 (256 B) -> 16 B of codes
+        assert all(0 <= c < K_CODES for c in r.code)
+
+
+def test_adc_recall_floor(spark, emb, books, ground_truth):
+    """Pure ADC (no re-rank) recall@10 over 20 probes. The synthetic
+    corpus is near-uniform — the hard case for quantization — so this
+    pins a floor, not a product claim; the production number is the
+    re-ranked one below."""
+    ids, mat = ground_truth
+    q = mat[:20]
+    codes = pq_encode(emb, books)
+    got = pq_search(codes, books, q, k=K).toPandas()
+    hits = sum(
+        len(
+            _true_topk(ids, mat, q[qi], K)
+            & set(got[got.query_id == qi].vec_id)
+        )
+        for qi in range(len(q))
+    )
+    recall = hits / (len(q) * K)
+    assert recall >= 0.5, f"pure-ADC recall collapsed: {recall}"
+
+
+def test_rerank_recall(spark, emb, books, ground_truth):
+    """ADC top-50 + exact re-rank: the deployment shape. Exact
+    distances on the survivors, so results carry true dist_sq and
+    recall is limited only by candidate coverage."""
+    ids, mat = ground_truth
+    q = mat[:20]
+    codes = pq_encode(emb, books)
+    got = pq_search_rerank(codes, emb, books, q, k=K, rerank_r=50).toPandas()
+    hits = 0
+    for qi in range(len(q)):
+        pred = got[got.query_id == qi]
+        assert len(pred) == K
+        assert pred.sort_values("rn").dist_sq.is_monotonic_increasing
+        hits += len(_true_topk(ids, mat, q[qi], K) & set(pred.vec_id))
+    recall = hits / (len(q) * K)
+    assert recall >= 0.9, f"re-ranked recall: {recall}"
+
+
+def test_adc_distance_approximates_true(emb, books, ground_truth):
+    """ADC distance = distance to the PQ reconstruction, so it must
+    correlate strongly with the true distance (sanity that the LUT
+    accumulation computes what it claims)."""
+    ids, mat = ground_truth
+    q = mat[:1]
+    codes = pq_encode(emb, books)
+    got = pq_search(codes, books, q, k=50).toPandas()
+    by_id = dict(zip(ids, mat))
+    true_d = np.array([((by_id[v] - q[0]) ** 2).sum() for v in got.vec_id])
+    cc = np.corrcoef(true_d, got.adc_dist_sq.to_numpy())[0, 1]
+    assert cc > 0.8, f"ADC vs true distance correlation {cc}"
+
+
+def test_k_clamp_and_determinism(spark, emb, books):
+    small = emb.limit(5)
+    codes = pq_encode(small, books)
+    q = np.stack([np.asarray(r.emb) for r in small.collect()])[:2]
+    got = pq_search(codes, books, q, k=100).toPandas()
+    assert sorted(got.groupby("query_id").size()) == [5, 5]  # k>N -> N
+    again = pq_search(codes, books, q, k=100).toPandas()
+    assert got.sort_values(["query_id", "rn"], ignore_index=True).equals(
+        again.sort_values(["query_id", "rn"], ignore_index=True)
+    )
+
+
+def test_declared_query_runs(spark, sf_dir):
+    from zvdb_spark.queries.ann import q_ann_pq
+
+    pdf = q_ann_pq(spark, sf_dir).toPandas()
+    assert len(pdf) == K
+    assert list(pdf.rn) == list(range(1, K + 1))
+    assert pdf.dist_sq.is_monotonic_increasing
+    # probe is vec_id 0's own vector: exact re-rank must surface the
+    # self-match at distance 0 (src/test_hnsw.zig:55-68 semantics)
+    assert pdf.iloc[0].vec_id == 0 and pdf.iloc[0].dist_sq == 0.0

@@ -1,0 +1,244 @@
+"""Product quantization (PQ): compressed vectors + asymmetric-distance
+search — the memory path the reference's roadmap gestures at
+("cache-friendly layout", benchmarks/benchmark.md:37-47) taken to its
+standard conclusion (Jégou et al., "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011 — public method).
+
+Why it matters at 100 TB: raw 128-d float32 vectors are 512 B/row; PQ
+with 16 subspaces x 256 centroids stores 16 B/row — a 32x compression
+that turns a 100 TB vector corpus into ~3 TB of codes that fit hot in
+cluster memory, while search never touches the raw vectors.
+
+Distributed shape (all stages cluster-side):
+
+- **train**: a bounded, seeded sample (``sample_n`` rows — driver
+  memory is O(sample_n x dim), independent of corpus size) fits one
+  numpy Lloyd's per subspace. Codebooks are m x k x dsub floats
+  (16x256x8 f64 = 256 KB) — task-closure freight, like the IVF
+  centroids in operators/kmeans.py.
+- **encode**: one Arrow-batched pandas_udf, argmin GEMM per subspace;
+  no shuffle, output is ``array<smallint>`` codes.
+- **search (ADC)**: mapInPandas over code partitions. Each task builds
+  per-query lookup tables (LUT[q, m, c] = ||q_m - c||^2, an m x k x
+  dsub GEMM — microseconds), then scores every row by summing m table
+  lookups: no decompression, no full-dim distance. Per-partition
+  top-k, then a global window merge carrying only P x k rows per
+  query — identical merge contract to operators/knn.exact_search.
+
+Determinism: seeded sample order + fixed iteration count => identical
+codebooks, codes, and results on any cluster size.
+
+ADC returns *approximate* distances (quantization error), so this is
+bench/pytest-verified by recall against the exact path, not
+hash-matched (same policy as the graph-ANN path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from zvdb_spark.operators.knn import _topk_by_dist_id
+
+# Knuth multiplicative hash — deterministic pseudo-shuffle of ids for
+# the training sample (NOT rand(): same sample on any partitioning).
+_HASH_A = 2_654_435_761
+_HASH_M = 2**32
+
+
+def pq_train(
+    emb: DataFrame,
+    m_sub: int,
+    k_codes: int = 256,
+    n_iter: int = 10,
+    sample_n: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+) -> np.ndarray:
+    """Fit PQ codebooks; returns (m_sub, k_codes, dsub) float64.
+
+    The sample is the first ``sample_n`` rows under a multiplicative
+    hash of the id — deterministic, partitioning-independent, and
+    spread across the corpus (unlike head-N, which at 100 TB would be
+    one file's worth of possibly-skewed rows).
+    """
+    sample = emb.select(
+        id_col, vec_col,
+        ((F.col(id_col) * _HASH_A) % _HASH_M).alias("__h"),
+    ).orderBy("__h", id_col).limit(sample_n).collect()
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    n, dim = mat.shape
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    k = min(k_codes, n)
+    books = np.empty((m_sub, k, dsub))
+    for m in range(m_sub):
+        x = mat[:, m * dsub : (m + 1) * dsub]
+        c = x[:k].copy()  # deterministic init: first k sample rows
+        for _ in range(n_iter):
+            d = (
+                (x * x).sum(1)[:, None]
+                + (c * c).sum(1)[None, :]
+                - 2.0 * (x @ c.T)
+            )
+            a = d.argmin(1)
+            for j in range(k):  # empty cells keep their centroid
+                sel = a == j
+                if sel.any():
+                    c[j] = x[sel].mean(0)
+        books[m] = c
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+) -> DataFrame:
+    """(id, code array<smallint>): nearest centroid per subspace.
+    One vectorized argmin GEMM per subspace per Arrow batch; no
+    shuffle, codes stay co-partitioned with their source rows."""
+    books = np.ascontiguousarray(codebooks)
+    m_sub, _, dsub = books.shape
+    cnorm = (books * books).sum(2)  # (m, k)
+
+    @F.pandas_udf("array<smallint>")
+    def _code(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy()).astype(np.float64)
+        out = np.empty((mat.shape[0], m_sub), dtype=np.int16)
+        for m in range(m_sub):
+            x = mat[:, m * dsub : (m + 1) * dsub]
+            d = cnorm[m][None, :] - 2.0 * (x @ books[m].T)  # +||x||² const
+            out[:, m] = d.argmin(1).astype(np.int16)
+        return pd.Series(list(out))
+
+    return emb.select(F.col(id_col), _code(F.col(vec_col)).alias("code"))
+
+
+def pq_search(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    q_block: int = 512,
+) -> DataFrame:
+    """ADC top-k: (query_id, vec_id, adc_dist_sq, rn), rn in 1..k.
+
+    ``queries`` is an (nq, dim) ndarray riding the task closure — the
+    probe batch is the small side by contract (same posture as the
+    exact GEMM path). Per partition and per query block: build LUTs
+    (block x m x k), score rows via summed table lookups, keep the
+    partition top-k by (dist, id); the global merge moves only
+    P x k rows per query."""
+    books = np.ascontiguousarray(codebooks)
+    m_sub, kc, dsub = books.shape
+    q = np.ascontiguousarray(queries, dtype=np.float64)
+    nq, dim = q.shape
+    if dim != m_sub * dsub:
+        raise ValueError(f"query dim {dim} != codebook dim {m_sub * dsub}")
+    kk = int(k)
+
+    def _part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            c = np.stack(pdf["code"].to_numpy()).astype(np.int64)  # (n, m)
+            n = len(ids)
+            for q0 in range(0, nq, q_block):
+                qb = q[q0 : q0 + q_block]
+                # LUT[b, m, c] = ||q_m - centroid||² (up to per-query
+                # const ||q_m||², which cancels in ranking but is kept
+                # so adc_dist_sq approximates the true dist_sq)
+                lut = np.empty((len(qb), m_sub, kc), dtype=np.float32)
+                for m in range(m_sub):
+                    qm = qb[:, m * dsub : (m + 1) * dsub]
+                    lut[:, m, :] = (
+                        (qm * qm).sum(1)[:, None]
+                        + (books[m] * books[m]).sum(1)[None, :]
+                        - 2.0 * (qm @ books[m].T)
+                    )
+                d = np.zeros((len(qb), n), dtype=np.float32)
+                for m in range(m_sub):
+                    d += lut[:, m, c[:, m]]
+                top = _topk_by_dist_id(d.astype(np.float64), ids, kk)
+                rows = np.take_along_axis(d.astype(np.float64), top, axis=1)
+                out_q = np.repeat(np.arange(q0, q0 + len(qb)), top.shape[1])
+                yield pd.DataFrame(
+                    {
+                        "query_id": out_q,
+                        id_col: ids[top].ravel(),
+                        "adc_dist_sq": rows.ravel(),
+                    }
+                )
+
+    cand = codes.mapInPandas(
+        _part, schema=f"query_id long, {id_col} long, adc_dist_sq double"
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist_sq").asc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= kk)
+    )
+
+
+def pq_search_rerank(
+    codes: DataFrame,
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    rerank_r: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+) -> DataFrame:
+    """PQ as candidate generator + exact re-rank — the production
+    deployment shape (codes prune, floats confirm):
+
+    1. ADC top-``rerank_r`` per query over the compressed codes (the
+       cheap pass that touches only 16 B/row);
+    2. join the surviving nq x R candidate ids back to the raw
+       vectors and score them exactly (squared L2, HOF kernel);
+    3. window top-k by (exact dist, id).
+
+    At 100 TB step 2 reads R rows per query instead of the corpus —
+    the selectivity the reference's graph traversal provides, obtained
+    relationally. Returns (query_id, vec_id, dist_sq, rn); exact
+    distances, approximate candidate set (recall gap only where a true
+    neighbor's ADC rank fell below R — pytest pins the measured floor).
+    """
+    from zvdb_spark.functions.vector import dist_sq as _dist_sq
+
+    spark = codes.sparkSession
+    cand = pq_search(
+        codes, codebooks, queries, k=int(rerank_r), id_col=id_col
+    ).select("query_id", id_col)
+    q = np.ascontiguousarray(queries, dtype=np.float64)
+    qdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in q[i]]) for i in range(len(q))],
+        schema="query_id long, qemb array<double>",
+    )
+    scored = (
+        cand.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            _dist_sq(vec_col, "qemb").alias("dist_sq"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("dist_sq").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+    )

@@ -206,3 +206,35 @@ def q_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell_id")
         .agg(F.count("*").alias("n_vectors"))
     )
+
+
+@register("q_ann_pq", oracle=None, tags=("ann", "pq"))
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized k-NN (operators/pq.py): train seeded PQ
+    codebooks on a bounded sample, encode the corpus to 16 one-byte
+    codes per row (64 f32 values, 256 B -> 16 B: 16x compression),
+    ADC-scan the codes for top-R candidates, then exact re-rank — the
+    production PQ deployment (codes prune, floats confirm).
+
+    Approximate candidate set (quantization error), so rows-only at
+    the driver; tests/test_pq.py pins recall vs the exact path,
+    determinism, and the compression arithmetic.
+    """
+    from zvdb_spark.operators.pq import pq_encode, pq_search_rerank, pq_train
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    books = pq_train(e, m_sub=16, k_codes=64, n_iter=8, sample_n=4096)
+    codes = pq_encode(e, books)
+    import numpy as np
+
+    qvec = np.asarray(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).head()["emb"],
+        dtype=np.float64,
+    )[None, :]
+    return (
+        pq_search_rerank(codes, e, books, qvec, k=ANN_K, rerank_r=50)
+        .select("vec_id", F.round("dist_sq", 4).alias("dist_sq"), "rn")
+        .orderBy("rn")
+    )

@@ -113,6 +113,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_stream_demo_stateful_dedup",
     "q_knn_filtered",
     "q_pipeline_training_data",
+    "q_ann_pq",
 )
 
 
