@@ -235,6 +235,7 @@ def main() -> None:
         # exact path (uniform corpora — this one)
         result["structure_ratio_uniform"] = round(gidx.structure_ratio, 3)
         state["gidx"] = gidx
+        state["emb"] = emb
 
     def _bench_exact():
         gidx = state["gidx"]
@@ -285,6 +286,7 @@ def main() -> None:
         result["ann_recall_uniform"] = round(
             _recall_of(ann_pdf, ex_pdf, n_probe), 3
         )
+        state["ex_pdf_uniform"] = ex_pdf
         # the timed exact path runs f32 (the reference's element type);
         # measure its recall against the f64 ground truth so the
         # published qps and recall describe the SAME code path
@@ -427,6 +429,58 @@ def main() -> None:
             )
         result["search_qps_by_parallelism"] = ladder
 
+    def _bench_pq():
+        # Product quantization on the uniform corpus (operators/pq.py):
+        # 128 f32 (512 B) -> 16 one-byte codes, ADC candidate scan +
+        # exact re-rank. Uniform [0,1)^128 is the documented-adversarial
+        # distribution for ANY quantizer (distance concentration, same
+        # caveat as the graph path above) — the rerank sweep publishes
+        # the honest recall/qps trade-off on it.
+        from zvdb_spark.operators.pq import (
+            pq_encode,
+            pq_search_rerank,
+            pq_train,
+        )
+
+        emb = state["emb"]
+        t0 = time.perf_counter()
+        books = pq_train(
+            emb, m_sub=16, k_codes=256, n_iter=4, sample_n=20_000
+        )
+        timings["pq_train"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        codes = pq_encode(emb, books).localCheckpoint(eager=True)
+        enc_sec = time.perf_counter() - t0
+        timings["pq_encode"] = round(enc_sec, 3)
+        result["pq_encode_pts_per_s"] = round(BENCH_N / enc_sec, 2)
+        result["pq_bytes_per_vector"] = 16  # vs 512 B raw f32
+        queries = state["queries"]
+        ex_pdf = state["ex_pdf_uniform"]
+        sweep = []
+        for rr in (100, 400):
+            sec = _best_of(
+                2,
+                lambda r=rr: _noop_write(
+                    pq_search_rerank(
+                        codes, emb, books, queries[:ann_nq],
+                        k=BENCH_K, rerank_r=r,
+                    )
+                ),
+            )
+            r_pdf = pq_search_rerank(
+                codes, emb, books, queries[:n_probe],
+                k=BENCH_K, rerank_r=rr,
+            ).toPandas()
+            sweep.append(
+                {
+                    "rerank_r": rr,
+                    "recall": round(_recall_of(r_pdf, ex_pdf, n_probe), 3),
+                    "qps": round(ann_nq / sec, 2),
+                }
+            )
+            timings["vector_search_pq"] = round(sec, 3)
+        result["pq_rerank_sweep"] = sweep
+
     def _bench_incremental_append():
         # The reference's insert is incremental (src/hnsw.zig:73-117):
         # new points connect into the live graph, never a rebuild.
@@ -521,7 +575,8 @@ def main() -> None:
 
     if _section("vector_index_build", _bench_build):
         _section("vector_search_exact", _bench_exact)
-        _section("vector_search_ann_uniform", _bench_ann_uniform)
+        if _section("vector_search_ann_uniform", _bench_ann_uniform):
+            _section("pq", _bench_pq)
     if _section("vector_search_ann_clustered", _bench_ann_clustered):
         _section("ann_ef_sweep", _bench_ef_sweep)
         _section("search_parallelism", _bench_parallelism)
