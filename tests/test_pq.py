@@ -136,3 +136,56 @@ def test_declared_query_runs(spark, sf_dir):
     # probe is vec_id 0's own vector: exact re-rank must surface the
     # self-match at distance 0 (src/test_hnsw.zig:55-68 semantics)
     assert pdf.iloc[0].vec_id == 0 and pdf.iloc[0].dist_sq == 0.0
+
+
+def test_ivfpq_recall_and_pruning(spark, emb, books, ground_truth):
+    """IVF+PQ: per-query work is bounded by the probed cells (the
+    selectivity axis) while recall stays useful after exact re-rank.
+    nprobe=C degenerates to the flat path — exact same candidates."""
+    from zvdb_spark.operators.kmeans import assign_cells, kmeans_fit
+    from zvdb_spark.operators.pq import exact_rerank, pq_search_ivf
+
+    ids, mat = ground_truth
+    cents = kmeans_fit(emb, k=8, n_iter=4)
+    codes = pq_encode(emb, books).join(
+        assign_cells(emb, cents).select("vec_id", "cell_id"), "vec_id"
+    ).cache()
+    q = mat[:20]
+
+    # full-probe == flat ADC (same candidate set, same order)
+    full = pq_search_ivf(codes, books, cents, q, k=K, nprobe=8).toPandas()
+    flat = pq_search(codes.select("vec_id", "code"), books, q, k=K).toPandas()
+    key = ["query_id", "rn"]
+    assert (
+        full.sort_values(key, ignore_index=True)[["query_id", "vec_id", "rn"]]
+        .equals(flat.sort_values(key, ignore_index=True)[["query_id", "vec_id", "rn"]])
+    )
+
+    # pruned probe + exact re-rank: recall floor on the near-uniform
+    # fixture (cells are weak there — this pins it doesn't collapse)
+    cand = pq_search_ivf(codes, books, cents, q, k=50, nprobe=4)
+    got = exact_rerank(cand, emb, q, k=K).toPandas()
+    hits = 0
+    for qi in range(len(q)):
+        pred = got[got.query_id == qi]
+        assert len(pred) == K
+        hits += len(_true_topk(ids, mat, q[qi], K) & set(pred.vec_id))
+    recall = hits / (len(q) * K)
+    assert recall >= 0.35, f"IVF+PQ recall collapsed: {recall}"
+
+    # determinism
+    again = exact_rerank(
+        pq_search_ivf(codes, books, cents, q, k=50, nprobe=4), emb, q, k=K
+    ).toPandas()
+    assert got.sort_values(key, ignore_index=True).equals(
+        again.sort_values(key, ignore_index=True)
+    )
+
+
+def test_ivfpq_declared_query(spark, sf_dir):
+    from zvdb_spark.queries.ann import q_ann_ivfpq
+
+    pdf = q_ann_ivfpq(spark, sf_dir).toPandas()
+    assert len(pdf) == K
+    assert list(pdf.rn) == list(range(1, K + 1))
+    assert pdf.iloc[0].vec_id == 0 and pdf.iloc[0].dist_sq == 0.0

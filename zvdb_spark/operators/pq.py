@@ -215,19 +215,38 @@ def pq_search_rerank(
     distances, approximate candidate set (recall gap only where a true
     neighbor's ADC rank fell below R — pytest pins the measured floor).
     """
-    from zvdb_spark.functions.vector import dist_sq as _dist_sq
-
-    spark = codes.sparkSession
     cand = pq_search(
         codes, codebooks, queries, k=int(rerank_r), id_col=id_col
     ).select("query_id", id_col)
+    return exact_rerank(
+        cand, corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
+def exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+) -> DataFrame:
+    """Exact squared-L2 re-rank of a (query_id, id) candidate frame
+    against the raw vectors: the confirm stage shared by every
+    approximate candidate generator (flat PQ, IVF+PQ, LSH buckets).
+    Join candidates -> raw rows, broadcast the query batch, HOF
+    distance, window top-k by (dist, id)."""
+    from zvdb_spark.functions.vector import dist_sq as _dist_sq
+
+    spark = cand.sparkSession
     q = np.ascontiguousarray(queries, dtype=np.float64)
     qdf = spark.createDataFrame(
         [(int(i), [float(x) for x in q[i]]) for i in range(len(q))],
         schema="query_id long, qemb array<double>",
     )
     scored = (
-        cand.join(corpus.select(id_col, vec_col), id_col)
+        cand.select("query_id", id_col)
+        .join(corpus.select(id_col, vec_col), id_col)
         .join(F.broadcast(qdf), "query_id")
         .select(
             "query_id",
@@ -241,4 +260,101 @@ def pq_search_rerank(
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= int(k))
+    )
+
+
+def pq_search_ivf(
+    codes_with_cell: DataFrame,
+    codebooks: np.ndarray,
+    centroids: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF + PQ composition (the classic inverted-file-with-PQ-codes
+    layout, Jégou et al. 2011 §V): a coarse quantizer prunes WHICH
+    rows are scored (selectivity axis), PQ codes shrink WHAT is read
+    per row (memory axis). Input rows carry ``cell_id`` (from
+    operators/kmeans.assign_cells over the same centroids).
+
+    Each query probes its ``nprobe`` nearest cells only, so scored
+    rows ~= nprobe/C of the corpus and each of them costs m table
+    lookups on a 16 B code — the two axes multiply. Executed as one
+    mapInPandas over the codes with cells grouped per task
+    (repartition on cell_id): per cell, LUTs are built only for the
+    queries probing that cell, per-(query, partition) top-k, global
+    window merge of P x k rows per query. Returns
+    (query_id, vec_id, adc_dist_sq, rn); compose with the exact
+    re-rank of pq_search_rerank by passing rerank_r as k here and
+    window-merging downstream.
+    """
+    books = np.ascontiguousarray(codebooks)
+    m_sub, kc, dsub = books.shape
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    q = np.ascontiguousarray(queries, dtype=np.float64)
+    nq, dim = q.shape
+    if dim != m_sub * dsub:
+        raise ValueError(f"query dim {dim} != codebook dim {m_sub * dsub}")
+    kk = int(k)
+    # probe table: cell -> indices of queries probing it (driver-side
+    # argpartition over nq x C distances — centroid metadata only)
+    dq = (
+        (q * q).sum(1)[:, None]
+        + (cents * cents).sum(1)[None, :]
+        - 2.0 * (q @ cents.T)
+    )
+    npb = min(int(nprobe), len(cents))
+    probed = np.argpartition(dq, npb - 1, axis=1)[:, :npb]  # (nq, nprobe)
+    probe_of_cell: dict[int, np.ndarray] = {}
+    for c in np.unique(probed):
+        probe_of_cell[int(c)] = np.nonzero((probed == c).any(axis=1))[0]
+
+    def _part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_all = pdf[id_col].to_numpy()
+            cells_all = pdf["cell_id"].to_numpy()
+            c_all = np.stack(pdf["code"].to_numpy()).astype(np.int64)
+            for cell in np.unique(cells_all):
+                qidx = probe_of_cell.get(int(cell))
+                if qidx is None:
+                    continue
+                sel = cells_all == cell
+                ids, c = ids_all[sel], c_all[sel]
+                qb = q[qidx]
+                lut = np.empty((len(qb), m_sub, kc), dtype=np.float32)
+                for m in range(m_sub):
+                    qm = qb[:, m * dsub : (m + 1) * dsub]
+                    lut[:, m, :] = (
+                        (qm * qm).sum(1)[:, None]
+                        + (books[m] * books[m]).sum(1)[None, :]
+                        - 2.0 * (qm @ books[m].T)
+                    )
+                d = np.zeros((len(qb), len(ids)), dtype=np.float32)
+                for m in range(m_sub):
+                    d += lut[:, m, c[:, m]]
+                top = _topk_by_dist_id(d.astype(np.float64), ids, kk)
+                rows = np.take_along_axis(d.astype(np.float64), top, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qidx, top.shape[1]),
+                        id_col: ids[top].ravel(),
+                        "adc_dist_sq": rows.ravel(),
+                    }
+                )
+
+    cand = (
+        codes_with_cell.repartition("cell_id")
+        .mapInPandas(
+            _part, schema=f"query_id long, {id_col} long, adc_dist_sq double"
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist_sq").asc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= kk)
     )

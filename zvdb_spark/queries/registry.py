@@ -114,6 +114,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_knn_filtered",
     "q_pipeline_training_data",
     "q_ann_pq",
+    "q_ann_ivfpq",
 )
 
 
