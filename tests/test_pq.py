@@ -189,3 +189,19 @@ def test_ivfpq_declared_query(spark, sf_dir):
     assert len(pdf) == K
     assert list(pdf.rn) == list(range(1, K + 1))
     assert pdf.iloc[0].vec_id == 0 and pdf.iloc[0].dist_sq == 0.0
+
+
+def test_pq_plan_shapes(spark, emb, books):
+    """Scale-shape pins: encode is shuffle-free (one Arrow projection
+    over the scan), and the ADC search plan moves only the candidate
+    rows through a single query-keyed exchange into the window merge
+    — no cartesian anywhere."""
+    from zvdb_spark.plans import plan_audit
+
+    enc = plan_audit(pq_encode(emb, books))
+    assert enc["n_exchanges"] == 0, enc["plan"]
+
+    q = np.stack([np.asarray(r.emb) for r in emb.limit(2).collect()])
+    srch = plan_audit(pq_search(pq_encode(emb, books), books, q, k=5))
+    assert "CartesianProduct" not in srch["plan"]
+    assert srch["n_exchanges"] <= 2  # candidate->window merge only
