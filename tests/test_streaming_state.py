@@ -43,3 +43,15 @@ def test_stateful_dedup_first_seen_wins(spark, sf_dir):
     assert echoed_fps, "fixture has no doc_id % 10 == 0 rows"
     emitted_echoed = [r for r in rows if r["fp"] in echoed_fps]
     assert len(emitted_echoed) == len(echoed_fps)
+
+
+def test_pq_ingest_stream_matches_batch(spark, sf_dir):
+    """Streaming PQ-code ingest: the demo's internal assertions are
+    the test (row conservation across micro-batches + streamed codes
+    byte-equal batch codes); here we additionally pin the returned
+    histogram covers the corpus."""
+    from zvdb_spark.queries.registry import all_queries
+
+    pdf = all_queries()["q_stream_demo_pq_ingest"].fn(spark, sf_dir).toPandas()
+    assert pdf.n.sum() == 500  # all docs' vectors accounted for
+    assert (pdf.n > 0).all()

@@ -115,6 +115,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_pipeline_training_data",
     "q_ann_pq",
     "q_ann_ivfpq",
+    "q_stream_demo_pq_ingest",
 )
 
 

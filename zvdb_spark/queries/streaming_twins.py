@@ -212,3 +212,13 @@ def q_stream_demo_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zvdb_spark.streaming.jobs import run_stateful_dedup_demo
 
     return run_stateful_dedup_demo(spark, sf_dir)
+
+
+@register("q_stream_demo_pq_ingest", oracle=None, tags=("streaming", "demo", "pq"))
+def q_stream_demo_pq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PQ-code ingest demo (streaming/jobs.py:
+    run_pq_ingest_demo): frozen codebooks, per-micro-batch encode,
+    row-conservation + code-determinism assertions inside."""
+    from zvdb_spark.streaming.jobs import run_pq_ingest_demo
+
+    return run_pq_ingest_demo(spark, sf_dir)

@@ -367,3 +367,81 @@ def run_streaming_index_ingest_demo(
         .localCheckpoint(eager=True)
     )
     return idx.search(probes, k=5, n_queries=10)
+
+
+def run_pq_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PQ-code ingest: freeze codebooks, then encode each
+    arriving micro-batch and append the codes — the compressed-index
+    twin of the foreachBatch insert demo (and of the reference's
+    incremental ``insert``, src/hnsw.zig:73-117).
+
+    Why this is trivially delta-cost where the graph append needed
+    engineering: PQ codes are PER-ROW state (no cross-row edges), so
+    incremental encode touches exactly the new rows — the codebooks
+    are frozen at train time, as in production (re-training would
+    re-encode the corpus; that is a rebuild, not an append).
+
+    Asserted before returning: streamed codes row count equals the
+    corpus count, and every streamed code byte-equals the
+    batch-encoded code for the same vec_id (order independence =
+    the determinism contract). Rows-only check (micro-batch execution
+    is not SQL-expressible); returns the per-code-prefix histogram so
+    the driver sees a stable small frame.
+    """
+    import tempfile
+
+    from zvdb_spark.functions.vector import as_double_array
+    from zvdb_spark.operators.pq import pq_encode, pq_train
+    from zvdb_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    books = pq_train(e, m_sub=16, k_codes=64, n_iter=4, sample_n=4096)
+
+    land = tempfile.mkdtemp(prefix="zvdb_pq_land_")
+    codes_dir = tempfile.mkdtemp(prefix="zvdb_pq_codes_")
+    e.repartition(4).write.mode("overwrite").parquet(land)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+
+    def _encode_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pq_encode(batch_df, books).write.mode("append").parquet(codes_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_encode_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_bounded(q)
+
+    streamed = spark.read.parquet(codes_dir)
+    n_corpus = e.count()
+    n_streamed = streamed.count()
+    if n_streamed != n_corpus:
+        raise AssertionError(
+            f"streamed codes {n_streamed} != corpus {n_corpus} — "
+            "row conservation broken across micro-batches"
+        )
+    # determinism: streamed codes == batch codes, row for row
+    batch_codes = pq_encode(e, books)
+    n_diff = (
+        streamed.alias("s")
+        .join(batch_codes.alias("b"), "vec_id")
+        .filter(F.col("s.code") != F.col("b.code"))
+        .count()
+    )
+    if n_diff:
+        raise AssertionError(
+            f"{n_diff} rows encoded differently under streaming — "
+            "codebook closure is not deterministic"
+        )
+    return (
+        streamed.groupBy(F.element_at("code", 1).alias("first_code"))
+        .agg(F.count("*").alias("n"))
+    )
