@@ -91,6 +91,7 @@ def _shingles_spark(
     sf_dir: str,
     n: int = 2,
     only_ids: DataFrame | None = None,
+    broadcast_ids: bool = True,
 ) -> DataFrame:
     """doc_id + distinct n-word shingle array, pure HOF (no explode).
 
@@ -100,9 +101,12 @@ def _shingles_spark(
     DuckDB twin, where ``range()`` returns empty for the same inputs.
 
     ``only_ids`` (a (doc_id) DataFrame) prunes the corpus BEFORE the
-    shingle transform — the broadcast join runs under the projection,
-    so shingles are computed only for surviving rows (used by the
-    minhash verify stage on its candidate set).
+    shingle transform — the join runs under the projection, so
+    shingles are computed only for surviving rows. ``broadcast_ids``
+    forces the broadcast when the id set is KNOWN-small (the minhash
+    verify stage's candidate set); callers whose id set scales with
+    the corpus (the curation funnel's survivor set) pass False and
+    let AQE size the join.
     """
     # The docs parquet is a single small file -> one input partition;
     # everything downstream (per-shingle md5, signature aggs) would run
@@ -110,7 +114,8 @@ def _shingles_spark(
     # text parallelizes the whole hash pipeline across the cluster.
     d = load(spark, sf_dir, "documents")
     if only_ids is not None:
-        d = d.join(F.broadcast(only_ids.select("doc_id")), "doc_id")
+        ids = only_ids.select("doc_id")
+        d = d.join(F.broadcast(ids) if broadcast_ids else ids, "doc_id")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         "doc_id", F.split("text", " ").alias("tok")
     )

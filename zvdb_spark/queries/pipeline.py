@@ -167,8 +167,13 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Near-dup pairs among unique survivors: inverted shingle index —
     # same formulation as q_dedup_ngram_jaccard, scoped by only_ids so
     # shingles are computed only for surviving rows.
+    # survivors scale with the corpus — a forced broadcast here would
+    # ship most of the doc_id column to every executor at 100 TB; the
+    # equi-join lets AQE pick (it still broadcasts at test scale)
     survivors = u.filter("is_uniq").select("doc_id")
-    sh = _shingles_spark(spark, sf_dir, NGRAM_N, only_ids=survivors)
+    sh = _shingles_spark(
+        spark, sf_dir, NGRAM_N, only_ids=survivors, broadcast_ids=False
+    )
     sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
     posts = sh.select("doc_id", F.explode("shingles").alias("s"))
     a = posts.select(F.col("doc_id").alias("id_a"), "s")
@@ -196,7 +201,9 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("dropped", F.lit(True))
     )
-    f = u.join(F.broadcast(drops), "doc_id", "left").withColumn(
+    # drops is bounded by the near-dup pair count — usually tiny, but
+    # adversarial corpora can make it corpus-sized; AQE sizes the join
+    f = u.join(drops, "doc_id", "left").withColumn(
         "is_final", F.col("is_uniq") & F.col("dropped").isNull()
     )
     one_if = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint")  # noqa: E731
