@@ -284,7 +284,13 @@ def pq_search_ivf(
     mapInPandas over the codes with cells grouped per task
     (repartition on cell_id): per cell, LUTs are built only for the
     queries probing that cell, per-(query, partition) top-k, global
-    window merge of P x k rows per query. Returns
+    window merge of P x k rows per query.
+
+    At 100 TB the per-call repartition disappears: codes are WRITTEN
+    once partitioned by cell_id (the IVF layout), probes become
+    partition-pruned scans, and AQE's skew split handles hot cells —
+    here the shuffle moves 16 B/row codes, never the float vectors,
+    so even the naive form is cheap. Returns
     (query_id, vec_id, adc_dist_sq, rn); compose with the exact
     re-rank of pq_search_rerank by passing rerank_r as k here and
     window-merging downstream.
