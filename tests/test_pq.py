@@ -205,3 +205,15 @@ def test_pq_plan_shapes(spark, emb, books):
     srch = plan_audit(pq_search(pq_encode(emb, books), books, q, k=5))
     assert "CartesianProduct" not in srch["plan"]
     assert srch["n_exchanges"] <= 2  # candidate->window merge only
+
+
+def test_empty_corpus_returns_empty(spark, emb, books):
+    """Empty-index contract (src/test_hnsw.zig:43-53): searching zero
+    rows returns zero rows, no error — through encode, flat ADC and
+    the rerank path."""
+    empty = emb.limit(0)
+    codes = pq_encode(empty, books)
+    assert codes.count() == 0
+    q = np.zeros((2, 64))
+    assert pq_search(codes, books, q, k=5).count() == 0
+    assert pq_search_rerank(codes, empty, books, q, k=5).count() == 0
