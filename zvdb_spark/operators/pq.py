@@ -127,6 +127,7 @@ def pq_search(
     k: int = 10,
     id_col: str = "vec_id",
     q_block: int = 512,
+    per_part_cap: int | None = None,
 ) -> DataFrame:
     """ADC top-k: (query_id, vec_id, adc_dist_sq, rn), rn in 1..k.
 
@@ -135,7 +136,16 @@ def pq_search(
     exact GEMM path). Per partition and per query block: build LUTs
     (block x m x k), score rows via summed table lookups, keep the
     partition top-k by (dist, id); the global merge moves only
-    P x k rows per query."""
+    P x k rows per query.
+
+    ``per_part_cap`` bounds the PER-PARTITION emission below k. With
+    it unset the global top-k is exact (each partition must surrender
+    its full top-k — the default, and the flat-search contract). The
+    rerank path sets it: when k is really a candidate budget R, exact
+    global top-R is overkill — hash-spread rows put ~R/P of the true
+    top-R in each partition, so a 2R/P-ish cap keeps the merge at
+    O(nq x 2R) rows instead of O(nq x P x R) while the downstream
+    exact re-rank absorbs the (rare, tail-only) candidate misses."""
     books = np.ascontiguousarray(codebooks)
     m_sub, kc, dsub = books.shape
     q = np.ascontiguousarray(queries, dtype=np.float64)
@@ -143,6 +153,7 @@ def pq_search(
     if dim != m_sub * dsub:
         raise ValueError(f"query dim {dim} != codebook dim {m_sub * dsub}")
     kk = int(k)
+    emit_k = kk if per_part_cap is None else min(kk, int(per_part_cap))
 
     def _part(batches):
         for pdf in batches:
@@ -167,7 +178,7 @@ def pq_search(
                 d = np.zeros((len(qb), n), dtype=np.float32)
                 for m in range(m_sub):
                     d += lut[:, m, c[:, m]]
-                top = _topk_by_dist_id(d.astype(np.float64), ids, kk)
+                top = _topk_by_dist_id(d.astype(np.float64), ids, emit_k)
                 rows = np.take_along_axis(d.astype(np.float64), top, axis=1)
                 out_q = np.repeat(np.arange(q0, q0 + len(qb)), top.shape[1])
                 yield pd.DataFrame(
@@ -215,8 +226,14 @@ def pq_search_rerank(
     distances, approximate candidate set (recall gap only where a true
     neighbor's ADC rank fell below R — pytest pins the measured floor).
     """
+    # R is a candidate budget, not a ranking contract: cap what each
+    # partition surrenders at ~2R/P (floor 32) so the merge handles
+    # O(nq x 2R) rows, not O(nq x P x R) — see pq_search docstring.
+    n_parts = max(1, codes.rdd.getNumPartitions())
+    cap = max(32, -(-2 * int(rerank_r) // n_parts))
     cand = pq_search(
-        codes, codebooks, queries, k=int(rerank_r), id_col=id_col
+        codes, codebooks, queries, k=int(rerank_r), id_col=id_col,
+        per_part_cap=cap,
     ).select("query_id", id_col)
     return exact_rerank(
         cand, corpus, queries, k=k, id_col=id_col, vec_col=vec_col
