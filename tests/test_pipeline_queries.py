@@ -93,3 +93,27 @@ def test_pipeline_quality_gate_semantics(spark, sf_dir):
     }
     for r in m.collect():
         assert got[r.lang] == r.n, (r.lang, got[r.lang], r.n)
+
+
+def test_supplier_volume_matches_oracle(spark, sf_dir):
+    from zvdb_spark.queries.joins import (
+        SUPPLIER_VOLUME_ORACLE,
+        q_join_supplier_volume,
+    )
+
+    assert_matches_oracle(
+        q_join_supplier_volume(spark, sf_dir), SUPPLIER_VOLUME_ORACLE, sf_dir
+    )
+
+
+def test_supplier_volume_plan(spark, sf_dir):
+    """Q5 plan shape: region filter pushed to its scan, dimension
+    sides broadcast, no cartesian product anywhere."""
+    from zvdb_spark.plans import plan_audit
+    from zvdb_spark.queries.joins import q_join_supplier_volume
+
+    a = plan_audit(q_join_supplier_volume(spark, sf_dir))
+    assert "CartesianProduct" not in a["plan"]
+    assert a["n_broadcast_joins"] >= 3  # region, nation, supplier (+c at SF)
+    assert any("r_name" in p for p in a["pushed_filters"]), a["pushed_filters"]
+    assert any("o_orderdate" in p for p in a["pushed_filters"])

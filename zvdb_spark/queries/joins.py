@@ -245,3 +245,101 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
         )
     )
+
+
+# ------------------------------------------------- TPC-H Q5 analogue
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO, Q5_DATE_HI = "1996-01-01", "1997-01-01"
+
+# DuckDB twin for the pytest parity suite (the query registers past
+# the driver's 50-entry cap, where oracled entries are forbidden —
+# tests/test_registry_order.py; parity runs in
+# tests/test_pipeline_queries.py instead).
+SUPPLIER_VOLUME_ORACLE = f"""
+SELECT n.n_name,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE), 4)
+         AS revenue,
+       count(DISTINCT s.s_suppkey) AS n_suppliers,
+       round(CAST(sum(CAST(l.l_tax AS DECIMAL(18,4))) AS DOUBLE)
+             / count(*), 4) AS avg_tax,
+       round(avg(s.s_acctbal), 4) AS avg_supp_bal,
+       count(*) AS n_rows
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
+  AND o.o_orderdate < TIMESTAMP '{Q5_DATE_HI}'
+GROUP BY n.n_name
+"""
+
+
+@register("q_join_supplier_volume", tags=("join", "tpch", "q5"))
+def q_join_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: the classic 6-table
+    join-ordering benchmark (lineitem⋈orders⋈customer⋈supplier⋈
+    nation⋈region with the local-supplier cross-condition
+    c_nationkey = s_nationkey), revenue per nation within a region
+    and a year.
+
+    What the plan must do at 100 TB (and does — AQE decides the
+    physical order): push the region-name filter to the scan, cut
+    nation via the broadcast region join, broadcast supplier/nation,
+    shuffle only the two fact tables on their join keys with the
+    o_orderdate range pushed to the orders scan. Decimal-cast sums
+    keep every aggregate bit-identical to the DuckDB twin (the
+    q_agg_groupby pattern); avg_supp_bal is row-weighted (per
+    lineitem) by declaration in both engines.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_tax"
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(Q5_DATE_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(Q5_DATE_HI).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q5_REGION
+    ).select("r_regionkey")
+    dec = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double"),
+            4,
+        ).alias("revenue"),
+        F.countDistinct("s_suppkey").alias("n_suppliers"),
+        F.round(
+            F.sum(dec("l_tax")).cast("double") / F.count("*"), 4
+        ).alias("avg_tax"),
+        F.round(F.avg("s_acctbal"), 4).alias("avg_supp_bal"),
+        F.count("*").alias("n_rows"),
+    )

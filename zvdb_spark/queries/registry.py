@@ -116,6 +116,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_ann_pq",
     "q_ann_ivfpq",
     "q_stream_demo_pq_ingest",
+    "q_join_supplier_volume",
 )
 
 
