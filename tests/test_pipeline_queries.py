@@ -117,3 +117,14 @@ def test_supplier_volume_plan(spark, sf_dir):
     assert a["n_broadcast_joins"] >= 3  # region, nation, supplier (+c at SF)
     assert any("r_name" in p for p in a["pushed_filters"]), a["pushed_filters"]
     assert any("o_orderdate" in p for p in a["pushed_filters"])
+
+
+def test_brand_margin_matches_oracle(spark, sf_dir):
+    from zvdb_spark.queries.joins import (
+        BRAND_MARGIN_ORACLE,
+        q_join_brand_margin,
+    )
+
+    assert_matches_oracle(
+        q_join_brand_margin(spark, sf_dir), BRAND_MARGIN_ORACLE, sf_dir
+    )

@@ -343,3 +343,54 @@ def q_join_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("s_acctbal"), 4).alias("avg_supp_bal"),
         F.count("*").alias("n_rows"),
     )
+
+
+# DuckDB twin for the pytest parity suite (past-cap, oracle=None).
+BRAND_MARGIN_ORACLE = """
+SELECT p.p_brand,
+       count(*) AS n_lineitems,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+         AS sum_sold,
+       round(CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,4))
+                      * CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4)
+         AS sum_retail,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,4))
+                        * CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4)
+         AS realized_ratio
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+@register("q_join_brand_margin", tags=("join", "agg", "pricing"))
+def q_join_brand_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized-vs-retail pricing by brand: lineitem⋈part fact-dim
+    join + decimal-exact sums — what sold (l_extendedprice) against
+    what the catalog said it was worth (p_retailprice x quantity).
+
+    Scale: part is the broadcast side (AQE sizes it; at 100 TB it
+    still fits the broadcast threshold long after lineitem doesn't),
+    so the fact table never shuffles for the join — only the tiny
+    per-brand aggregate state moves in the final exchange.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    sold = F.sum(dec("l_extendedprice")).cast("double")
+    retail = F.sum(dec("p_retailprice") * dec("l_quantity")).cast("double")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.round(sold, 4).alias("sum_sold"),
+            F.round(retail, 4).alias("sum_retail"),
+            F.round(sold / retail, 4).alias("realized_ratio"),
+        )
+    )
