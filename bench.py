@@ -92,6 +92,9 @@ HEADLINE = [
     "q_dedup_embedding",
     "q_doc_dedup",
     "q_multimodal_features",
+    "q_knn_filtered",
+    "q_pipeline_training_data",
+    "q_join_supplier_volume",
 ]
 
 
