@@ -40,3 +40,18 @@ def test_assignment_covers_all_rows(spark, sf_dir):
     assert a.count() == e.count()
     cells = {r.cell_id for r in a.select("cell_id").distinct().collect()}
     assert cells.issubset(set(range(8))) and len(cells) > 1
+
+
+def test_kmeans_fit_sample_deterministic_and_useful(spark, sf_dir):
+    """Sample-based quantizer: deterministic under the seeded hash
+    sample, and its SSE beats the trivial first-k-rows quantizer it
+    initializes from (Lloyd's must improve the objective)."""
+    from zvdb_spark.operators.kmeans import kmeans_fit_sample
+
+    e = _emb(spark, sf_dir)
+    c1 = kmeans_fit_sample(e, k=8, n_iter=5, sample_n=200)
+    c2 = kmeans_fit_sample(e, k=8, n_iter=5, sample_n=200)
+    assert np.array_equal(c1, c2)
+    assert c1.shape[0] == 8
+    c0 = kmeans_fit_sample(e, k=8, n_iter=0, sample_n=200)
+    assert sse(e, c1) <= sse(e, c0)

@@ -90,3 +90,45 @@ def sse(emb: DataFrame, centroids: np.ndarray, vec_col: str = "emb") -> float:
         return pd.Series(np.maximum(d.min(axis=1), 0.0))
 
     return emb.select(F.sum(_mind(F.col(vec_col)))).head()[0]
+
+
+def kmeans_fit_sample(
+    emb: DataFrame,
+    k: int = 256,
+    n_iter: int = 8,
+    sample_n: int = 50_000,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+) -> np.ndarray:
+    """Sample-based k-means: fit on a bounded, deterministic sample
+    driver-side (numpy Lloyd's) instead of full-corpus distributed
+    iterations. The standard coarse-quantizer training recipe at
+    scale — IVF centroids are estimated, not exact, and a 50k sample
+    estimates k<=1024 cells as well as the full corpus does while
+    costing O(sample x k x dim) FLOPs on one node instead of
+    n_iter full-corpus shuffles.
+
+    Sampling reuses the multiplicative-hash pseudo-shuffle of
+    operators/pq.pq_train (partitioning-independent, seeded).
+    Returns (k, dim) float64.
+    """
+    from zvdb_spark.operators.pq import _HASH_A, _HASH_M
+
+    sample = emb.select(
+        id_col, vec_col, ((F.col(id_col) * _HASH_A) % _HASH_M).alias("__h")
+    ).orderBy("__h", id_col).limit(sample_n).collect()
+    x = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    kk = min(k, len(x))
+    c = x[:kk].copy()
+    for _ in range(n_iter):
+        d = (
+            (x * x).sum(1)[:, None]
+            + (c * c).sum(1)[None, :]
+            - 2.0 * (x @ c.T)
+        )
+        a = d.argmin(1)
+        for j in range(kk):
+            sel = a == j
+            if sel.any():
+                c[j] = x[sel].mean(0)
+    return c
