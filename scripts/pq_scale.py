@@ -118,8 +118,8 @@ def main() -> None:
     # of the rows, which is the production IVFPQ deployment. Uniform
     # data has no cells to find, so this section uses the same
     # clustered distribution the graph bench uses.)
-    from zvdb_spark.operators.kmeans import assign_cells, kmeans_fit_sample
-    from zvdb_spark.operators.pq import exact_rerank, pq_search_ivf
+    from zvdb_spark.operators.kmeans import kmeans_fit_sample
+    from zvdb_spark.operators.pq import exact_rerank, ivfpq_build, pq_search_ivf
 
     n_clust = max(20, N // 500)
 
@@ -144,12 +144,13 @@ def main() -> None:
     out["ivfpq_cells"], out["ivfpq_nprobe"] = C, NPROBE
     t0 = time.perf_counter()
     cents = kmeans_fit_sample(cemb, k=C, n_iter=6, sample_n=50_000)
-    cbooks = pq_train(cemb, m_sub=16, k_codes=256, n_iter=4, sample_n=20_000)
-    ccodes = (
-        pq_encode(cemb, cbooks)
-        .join(assign_cells(cemb, cents).select("vec_id", "cell_id"), "vec_id")
-        .localCheckpoint(eager=True)
+    # residual encoding (ivfpq_build): codes model x - centroid(cell),
+    # so within-cell ADC ranking stays informative — raw-vector codes
+    # measured 0.30-0.42 recall here vs residual codes' 0.9+
+    cbooks, ccodes = ivfpq_build(
+        cemb, cents, m_sub=16, k_codes=256, n_iter=4, sample_n=20_000
     )
+    ccodes = ccodes.localCheckpoint(eager=True)
     out["ivfpq_build_sec"] = round(time.perf_counter() - t0, 2)
 
     centers = np.random.default_rng(SEED + 1).random((n_clust, DIM))
@@ -160,7 +161,8 @@ def main() -> None:
 
     def _ivfpq(qarr, k):
         cand = pq_search_ivf(
-            ccodes, cbooks, cents, qarr, k=R, nprobe=NPROBE
+            ccodes, cbooks, cents, qarr, k=R, nprobe=NPROBE,
+            per_task_cap=64, residual=True,
         )
         return exact_rerank(cand, cemb, qarr, k=k)
 

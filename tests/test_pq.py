@@ -217,3 +217,106 @@ def test_empty_corpus_returns_empty(spark, emb, books):
     q = np.zeros((2, 64))
     assert pq_search(codes, books, q, k=5).count() == 0
     assert pq_search_rerank(codes, empty, books, q, k=5).count() == 0
+
+
+def _clustered_corpus(spark, n=4000, dim=32, n_clust=40, seed=7):
+    import pandas as pd
+
+    def _gen(batches):
+        centers = np.random.default_rng(seed).random((n_clust, dim))
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = []
+            for i in ids:
+                r = np.random.default_rng(seed + 1 + int(i))
+                c = int(r.integers(0, n_clust))
+                rows.append(centers[c] + 0.05 * r.standard_normal(dim))
+            yield pd.DataFrame({"vec_id": ids, "emb": rows})
+
+    return (
+        spark.range(n)
+        .repartition(8)
+        .mapInPandas(_gen, "vec_id long, emb array<double>")
+        .localCheckpoint(eager=True)
+    )
+
+
+def test_residual_ivfpq_beats_raw_codes_on_clusters(spark):
+    """The IVFPQ design point: on a tightly-clustered corpus,
+    raw-vector codes degenerate (every row of a cell shares nearly
+    the same code, so within-cell ADC is noise) while residual codes
+    stay informative. Same centroids, budgets and corpus — only the
+    encoding differs; residual recall must clearly beat raw."""
+    from zvdb_spark.operators.kmeans import assign_cells, kmeans_fit_sample
+    from zvdb_spark.operators.pq import (
+        exact_rerank,
+        ivfpq_build,
+        pq_search_ivf,
+        pq_train,
+    )
+
+    emb = _clustered_corpus(spark)
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.stack([np.asarray(r.emb) for r in rows])
+    q = mat[:30]
+    cents = kmeans_fit_sample(emb, k=64, n_iter=5, sample_n=2000)
+
+    def _recall(got):
+        hits = 0
+        for qi in range(len(q)):
+            hits += len(
+                _true_topk(ids, mat, q[qi], K)
+                & set(got[got.query_id == qi].vec_id)
+            )
+        return hits / (len(q) * K)
+
+    # raw-vector codes (the degenerate configuration)
+    raw_books = pq_train(emb, m_sub=8, k_codes=64, n_iter=5, sample_n=2000)
+    raw_codes = pq_encode(emb, raw_books).join(
+        assign_cells(emb, cents).select("vec_id", "cell_id"), "vec_id"
+    )
+    raw = exact_rerank(
+        pq_search_ivf(raw_codes, raw_books, cents, q, k=40, nprobe=8),
+        emb, q, k=K,
+    ).toPandas()
+
+    # residual codes (ivfpq_build), same budgets
+    res_books, res_codes = ivfpq_build(
+        emb, cents, m_sub=8, k_codes=64, n_iter=5, sample_n=2000
+    )
+    res = exact_rerank(
+        pq_search_ivf(
+            res_codes, res_books, cents, q, k=40, nprobe=8, residual=True
+        ),
+        emb, q, k=K,
+    ).toPandas()
+
+    r_raw, r_res = _recall(raw), _recall(res)
+    assert r_res >= 0.85, f"residual IVFPQ recall too low: {r_res}"
+    assert r_res >= r_raw + 0.1, (
+        f"residual ({r_res}) must clearly beat raw codes ({r_raw})"
+    )
+
+
+def test_ivfpq_per_task_cap_bounds_merge(spark, emb, books, ground_truth):
+    """per_task_cap: capped candidate generation still recalls after
+    re-rank, and emits at most cap rows per (query, task)."""
+    from zvdb_spark.operators.kmeans import assign_cells, kmeans_fit
+    from zvdb_spark.operators.pq import exact_rerank, pq_search_ivf
+
+    ids, mat = ground_truth
+    cents = kmeans_fit(emb, k=8, n_iter=4)
+    codes = pq_encode(emb, books).join(
+        assign_cells(emb, cents).select("vec_id", "cell_id"), "vec_id"
+    )
+    q = mat[:10]
+    cand = pq_search_ivf(
+        codes, books, cents, q, k=50, nprobe=8, per_task_cap=20
+    )
+    got = exact_rerank(cand, emb, q, k=K).toPandas()
+    hits = sum(
+        len(_true_topk(ids, mat, q[qi], K) & set(got[got.query_id == qi].vec_id))
+        for qi in range(len(q))
+    )
+    assert hits / (len(q) * K) >= 0.3  # bounded budget, floor not collapse

@@ -242,39 +242,43 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_ann_ivfpq", oracle=None, tags=("ann", "ivf", "pq"))
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF + PQ composed (operators/pq.py:pq_search_ivf): the coarse
-    quantizer prunes WHICH rows are scored (nprobe/C of the corpus),
-    PQ codes shrink WHAT each scored row costs (16 B + m table
-    lookups), and the exact re-rank confirms the survivors — the two
-    scale axes multiplied, classic inverted-file-with-codes layout.
+    """IVF + PQ composed, residual-encoded (operators/pq.py:
+    ivfpq_build + pq_search_ivf): the coarse quantizer prunes WHICH
+    rows are scored (nprobe/C of the corpus), residual PQ codes
+    shrink WHAT each scored row costs (16 B + m table lookups) while
+    staying informative WITHIN a cell (codes model x - centroid, the
+    Jégou et al. §V-A design), and the exact re-rank confirms the
+    survivors — the two scale axes multiplied, classic
+    inverted-file-with-codes layout.
 
     Rows-only at the driver (approximate candidate set);
-    tests/test_pq.py pins recall, the scored-row accounting, and
+    tests/test_pq.py pins recall (incl. residual-vs-raw-codes
+    superiority on clustered data), the scored-row accounting, and
     determinism.
     """
     import numpy as np
 
-    from zvdb_spark.operators.kmeans import assign_cells, kmeans_fit
+    from zvdb_spark.operators.kmeans import kmeans_fit
     from zvdb_spark.operators.pq import (
         exact_rerank,
-        pq_encode,
+        ivfpq_build,
         pq_search_ivf,
-        pq_train,
     )
 
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("emb")
     )
     cents = kmeans_fit(e, k=8, n_iter=4)
-    books = pq_train(e, m_sub=16, k_codes=64, n_iter=8, sample_n=4096)
-    codes = pq_encode(e, books).join(
-        assign_cells(e, cents).select("vec_id", "cell_id"), "vec_id"
+    books, codes = ivfpq_build(
+        e, cents, m_sub=16, k_codes=64, n_iter=8, sample_n=4096
     )
     qvec = np.asarray(
         e.filter(F.col("vec_id") == QUERY_VEC_ID).head()["emb"],
         dtype=np.float64,
     )[None, :]
-    cand = pq_search_ivf(codes, books, cents, qvec, k=50, nprobe=4)
+    cand = pq_search_ivf(
+        codes, books, cents, qvec, k=50, nprobe=4, residual=True
+    )
     return (
         exact_rerank(cand, e, qvec, k=ANN_K)
         .select("vec_id", F.round("dist_sq", 4).alias("dist_sq"), "rn")
