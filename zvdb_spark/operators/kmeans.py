@@ -99,6 +99,7 @@ def kmeans_fit_sample(
     sample_n: int = 50_000,
     id_col: str = "vec_id",
     vec_col: str = "emb",
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Sample-based k-means: fit on a bounded, deterministic sample
     driver-side (numpy Lloyd's) instead of full-corpus distributed
@@ -108,15 +109,15 @@ def kmeans_fit_sample(
     costing O(sample x k x dim) FLOPs on one node instead of
     n_iter full-corpus shuffles.
 
-    Sampling reuses the multiplicative-hash pseudo-shuffle of
-    operators/pq.pq_train (partitioning-independent, seeded).
+    Sampling uses operators/pq.hash_sample (partitioning-independent,
+    seeded; pass ``n_rows`` when known so the collect stays bounded).
     Returns (k, dim) float64.
     """
-    from zvdb_spark.operators.pq import _HASH_A, _HASH_M
+    from zvdb_spark.operators.pq import hash_sample
 
-    sample = emb.select(
-        id_col, vec_col, ((F.col(id_col) * _HASH_A) % _HASH_M).alias("__h")
-    ).orderBy("__h", id_col).limit(sample_n).collect()
+    sample = hash_sample(
+        emb, sample_n, id_col=id_col, cols=(vec_col,), n_rows=n_rows
+    )
     x = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
     kk = min(k, len(x))
     c = x[:kk].copy()

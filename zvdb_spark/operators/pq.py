@@ -44,9 +44,46 @@ from pyspark.sql.window import Window as W
 from zvdb_spark.operators.knn import _topk_by_dist_id
 
 # Knuth multiplicative hash — deterministic pseudo-shuffle of ids for
-# the training sample (NOT rand(): same sample on any partitioning).
+# the training sample (NOT rand(): same sample on any partitioning;
+# NOT rand(seed) either — that is partition-layout-dependent).
 _HASH_A = 2_654_435_761
 _HASH_M = 2**32
+
+
+def hash_sample(
+    emb: DataFrame,
+    sample_n: int,
+    id_col: str = "vec_id",
+    cols: tuple[str, ...] = ("emb",),
+    n_rows: int | None = None,
+) -> list:
+    """First ``sample_n`` rows under a multiplicative hash of the id:
+    deterministic, partitioning-independent, spread across the corpus
+    (unlike head-N, which at 100 TB is one possibly-skewed file).
+
+    ``n_rows`` (when the caller knows the corpus size — parquet
+    footer, range count) enables the scale-safe path: a hash
+    THRESHOLD filter keeps ~4x sample_n rows before the TakeOrdered,
+    so per-task collected results stay bounded. Without it, the sort
+    alone collects each task's local top-sample_n — fine for small
+    samples, but 32 tasks x 50k x 1 KB rows blows
+    spark.driver.maxResultSize at 1M rows (measured).
+    """
+    h = (F.col(id_col) * _HASH_A) % _HASH_M
+    d = emb.select(id_col, *cols, h.alias("__h"))
+    if n_rows is not None and n_rows > 4 * sample_n:
+        thresh = int(_HASH_M * min(1.0, 4.0 * sample_n / n_rows))
+        d = d.filter(F.col("__h") < thresh)
+    rows = d.orderBy("__h", id_col).limit(sample_n).collect()
+    if len(rows) < min(sample_n, n_rows or sample_n):
+        # threshold undershot (non-dense ids); correctness fallback
+        rows = (
+            emb.select(id_col, *cols, h.alias("__h"))
+            .orderBy("__h", id_col)
+            .limit(sample_n)
+            .collect()
+        )
+    return rows
 
 
 def pq_train(
@@ -57,18 +94,17 @@ def pq_train(
     sample_n: int = 20_000,
     id_col: str = "vec_id",
     vec_col: str = "emb",
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Fit PQ codebooks; returns (m_sub, k_codes, dsub) float64.
 
-    The sample is the first ``sample_n`` rows under a multiplicative
-    hash of the id — deterministic, partitioning-independent, and
-    spread across the corpus (unlike head-N, which at 100 TB would be
-    one file's worth of possibly-skewed rows).
+    Trained on the deterministic ``hash_sample`` (pass ``n_rows``
+    when known so the sample collect stays bounded at any corpus
+    size).
     """
-    sample = emb.select(
-        id_col, vec_col,
-        ((F.col(id_col) * _HASH_A) % _HASH_M).alias("__h"),
-    ).orderBy("__h", id_col).limit(sample_n).collect()
+    sample = hash_sample(
+        emb, sample_n, id_col=id_col, cols=(vec_col,), n_rows=n_rows
+    )
     mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
     n, dim = mat.shape
     if dim % m_sub:
@@ -466,6 +502,7 @@ def ivfpq_build(
     sample_n: int = 20_000,
     id_col: str = "vec_id",
     vec_col: str = "emb",
+    n_rows: int | None = None,
 ) -> tuple[np.ndarray, DataFrame]:
     """Residual-encoded IVFPQ build: returns (codebooks, codes) where
     codes carries (id, cell_id, code) — codebooks are trained on
@@ -475,7 +512,7 @@ def ivfpq_build(
     res = residualize(emb, centroids, id_col=id_col, vec_col=vec_col)
     books = pq_train(
         res, m_sub=m_sub, k_codes=k_codes, n_iter=n_iter,
-        sample_n=sample_n, id_col=id_col, vec_col="resid",
+        sample_n=sample_n, id_col=id_col, vec_col="resid", n_rows=n_rows,
     )
     coded = pq_encode(res, books, id_col=id_col, vec_col="resid")
     codes = coded.join(res.select(id_col, "cell_id"), id_col)
