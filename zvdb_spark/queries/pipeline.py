@@ -171,9 +171,12 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ship most of the doc_id column to every executor at 100 TB; the
     # equi-join lets AQE pick (it still broadcasts at test scale)
     survivors = u.filter("is_uniq").select("doc_id")
+    # checkpoint before the self-join (q_dedup_ngram_jaccard does the
+    # same): both join sides otherwise re-execute the whole metrics +
+    # window + survivor subtree — measured 8.9 s vs 1.8 s at sf0.1
     sh = _shingles_spark(
         spark, sf_dir, NGRAM_N, only_ids=survivors, broadcast_ids=False
-    )
+    ).localCheckpoint(eager=True)
     sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
     posts = sh.select("doc_id", F.explode("shingles").alias("s"))
     a = posts.select(F.col("doc_id").alias("id_a"), "s")
