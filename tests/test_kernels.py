@@ -78,3 +78,74 @@ def test_auto_grid_uses_supplied_counts_without_scanning():
     )
     assert n_shards == 3  # ceil(5000/2048)
     assert n_blocks == 1
+
+
+def test_unit_vector_cosine_bridge(spark, sf_dir):
+    """unit_vector makes every L2 path a cosine path:
+    dist_sq(unit(a), unit(b)) == 2 - 2*cosine(a, b) (monotone map),
+    so L2 top-k over normalized vectors IS cosine top-k."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.functions.vector import (
+        as_double_array,
+        cosine_sim,
+        dist_sq,
+        unit_vector,
+    )
+    from zvdb_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
+    both = (
+        e.join(F.broadcast(q))
+        .select(
+            "vec_id",
+            dist_sq(unit_vector("emb"), unit_vector("qemb")).alias("d_unit"),
+            cosine_sim("emb", "qemb").alias("cos"),
+        )
+        .limit(200)
+        .collect()
+    )
+    for r in both:
+        assert abs(r.d_unit - (2.0 - 2.0 * r.cos)) < 1e-9, r
+
+
+def test_graph_index_serves_cosine_via_normalization(spark, sf_dir):
+    """End-to-end: GraphIndex built on normalized vectors answers
+    cosine top-k — its L2 results, ranked, match the exact cosine
+    ranking of q_ann_bruteforce's contract."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.functions.vector import as_double_array, unit_vector
+    from zvdb_spark.operators.graph_ann import GraphIndex
+    from zvdb_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", unit_vector(as_double_array("embedding")).alias("emb")
+    )
+    idx = GraphIndex(m=8, ef=64, cell_target_rows=100, seed=42).build(e)
+    rows = e.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.stack([np.asarray(r.emb) for r in rows])  # unit rows
+    probe_ids = ids[:10]
+    q = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in mat[np.nonzero(ids == i)[0][0]]])
+            for i in probe_ids
+        ],
+        "query_id long, qemb array<double>",
+    )
+    got = idx.search_routed(q, k=5, n_queries=10).toPandas()
+    hits = 0
+    for qi in probe_ids:
+        qv = mat[np.nonzero(ids == qi)[0][0]]
+        cos = mat @ qv  # unit vectors: dot == cosine
+        order = np.lexsort((ids, -cos))[:5]  # cosine DESC, id ASC
+        truth = set(ids[order])
+        pred = set(got[got.query_id == qi].vec_id)
+        assert len(pred) == 5
+        hits += len(truth & pred)
+    assert hits / (len(probe_ids) * 5) >= 0.9

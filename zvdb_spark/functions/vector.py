@@ -84,3 +84,19 @@ def cosine_sim(a: ColumnOrName, b: ColumnOrName) -> Column:
     return F.when((na == 0) | (nb == 0), F.lit(None)).otherwise(
         dot(a, b) / (na * nb)
     )
+
+
+def unit_vector(a: ColumnOrName) -> Column:
+    """L2-normalize an array<double> column; NULL for zero vectors.
+
+    The cosine-metric bridge: on unit vectors,
+    ``dist_sq = 2 - 2*cosine``, a strictly decreasing map — so every
+    L2 structure in the engine (segments, graph index, PQ codes)
+    serves cosine ranking by normalizing rows at ingest and queries
+    at search. This is the standard trick (used by FAISS/ScaNN alike)
+    rather than a second metric implementation to maintain.
+    """
+    n = l2_norm(a)
+    return F.when(n == 0, F.lit(None)).otherwise(
+        F.transform(_c(a), lambda x: x / n)
+    )
