@@ -128,3 +128,17 @@ def test_brand_margin_matches_oracle(spark, sf_dir):
     assert_matches_oracle(
         q_join_brand_margin(spark, sf_dir), BRAND_MARGIN_ORACLE, sf_dir
     )
+
+
+def test_ann_cosine_matches_bruteforce(spark, sf_dir):
+    """q_ann_cosine must agree with the oracled exact cosine top-k
+    (q_ann_bruteforce) on this fixture: the routed search serves the
+    exact path on unstructured corpora, so the rankings are equal up
+    to normalization rounding."""
+    from zvdb_spark.queries.ann import q_ann_bruteforce, q_ann_cosine
+
+    got = q_ann_cosine(spark, sf_dir).toPandas()
+    want = q_ann_bruteforce(spark, sf_dir).toPandas()
+    assert list(got.vec_id) == list(want.vec_id)
+    for g, w in zip(got.cosine, want.cosine):
+        assert abs(g - w) < 1e-3, (g, w)

@@ -284,3 +284,33 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round("dist_sq", 4).alias("dist_sq"), "rn")
         .orderBy("rn")
     )
+
+
+@register("q_ann_cosine", oracle=None, tags=("ann", "cosine"))
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-metric ANN through the L2 engine: rows and the probe
+    are L2-normalized (functions/vector.py:unit_vector), the graph
+    index serves dist_sq = 2 - 2*cosine, and the result is mapped
+    back to a cosine score — one metric implementation for every
+    structure (see SCALING.md, "Metric note").
+
+    Rows-only at the driver (index path); tests/test_kernels.py pins
+    the per-row identity and the end-to-end ranking, and the routed
+    search guarantees the exact path (full recall) on unstructured
+    corpora like this fixture.
+    """
+    from zvdb_spark.functions.vector import unit_vector
+    from zvdb_spark.operators.graph_ann import GraphIndex
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", unit_vector(as_double_array("embedding")).alias("emb")
+    )
+    idx = GraphIndex(m=8, ef=64, cell_target_rows=100, seed=42).build(e)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    res = idx.search_routed(q, k=ANN_K, n_queries=1)
+    return res.select(
+        "vec_id",
+        F.round(F.lit(1.0) - F.col("dist_sq") / 2.0, 4).alias("cosine"),
+    ).orderBy(F.col("cosine").desc(), "vec_id")

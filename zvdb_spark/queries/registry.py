@@ -118,6 +118,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_stream_demo_pq_ingest",
     "q_join_supplier_volume",
     "q_join_brand_margin",
+    "q_ann_cosine",
 )
 
 
