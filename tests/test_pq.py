@@ -299,6 +299,100 @@ def test_residual_ivfpq_beats_raw_codes_on_clusters(spark):
     )
 
 
+def test_ivfpq_build_single_scan_plan(spark, emb):
+    """ivfpq_build's 100 TB contract: the codes frame is ONE map pass
+    over the vectors — no Exchange, no join, exactly one MapInPandas
+    (the round-4 form re-executed a distributed residualize ~3x and
+    shuffled two corpus-sized frames on the id join)."""
+    from zvdb_spark.operators.kmeans import kmeans_fit_sample
+    from zvdb_spark.operators.pq import ivfpq_build
+    from zvdb_spark.plans import explain_str, plan_audit
+
+    cents = kmeans_fit_sample(emb, k=8, n_iter=2, sample_n=1000)
+    _, codes = ivfpq_build(
+        emb, cents, m_sub=8, k_codes=16, n_iter=2, sample_n=1000
+    )
+    a = plan_audit(codes)
+    assert a["n_exchanges"] == 0, a["plan"]
+    assert a["n_sortmerge_joins"] == 0 and a["n_broadcast_joins"] == 0
+    simple = explain_str(codes, "simple")
+    assert simple.count("MapInPandas") == 1, simple
+
+
+def test_ivfpq_build_codes_match_two_pass(spark, emb):
+    """The fused residual_encode equals the unfused two-pass form
+    (assign cell, then PQ-encode the residual) row for row."""
+    import pandas as pd
+
+    from zvdb_spark.operators.kmeans import assign_cells, kmeans_fit_sample
+    from zvdb_spark.operators.pq import ivfpq_build, pq_encode
+
+    cents = kmeans_fit_sample(emb, k=8, n_iter=2, sample_n=1000)
+    books, codes = ivfpq_build(
+        emb, cents, m_sub=8, k_codes=16, n_iter=2, sample_n=1000
+    )
+    got = codes.toPandas().sort_values("vec_id", ignore_index=True)
+    # unfused twin: residual vectors via assign_cells + array math
+    cells = assign_cells(emb, cents).toPandas()
+    cmap = dict(zip(cells.vec_id, cells.cell_id))
+    res_pdf = emb.toPandas()
+    res_pdf["cell_id"] = res_pdf.vec_id.map(cmap)
+    res_pdf["emb"] = [
+        (np.asarray(v) - cents[c]).tolist()
+        for v, c in zip(res_pdf.emb, res_pdf.cell_id)
+    ]
+    res_df = spark.createDataFrame(
+        res_pdf[["vec_id", "emb"]], "vec_id long, emb array<double>"
+    )
+    twin = pq_encode(res_df, books).toPandas().sort_values(
+        "vec_id", ignore_index=True
+    )
+    assert list(got.vec_id) == list(twin.vec_id)
+    assert got.cell_id.tolist() == res_pdf.sort_values("vec_id").cell_id.tolist()
+    assert all(
+        list(a) == list(b) for a, b in zip(got.code, twin.code)
+    )
+    assert isinstance(got, pd.DataFrame)
+
+
+def test_hash_sample_huge_sparse_ids(spark):
+    """Regression (round-4 advice): ids past 2^32 must not overflow
+    the hash under ANSI semantics, and the sample must stay
+    deterministic across repartitioning."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.operators.pq import hash_sample
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") * F.lit(7) + F.lit(2**40)).alias("vec_id"),
+        F.col("id").cast("double").alias("v"),
+    )
+    rows = hash_sample(df, 100, id_col="vec_id", cols=("v",), n_rows=2000)
+    assert len(rows) == 100
+    again = hash_sample(
+        df.repartition(13), 100, id_col="vec_id", cols=("v",), n_rows=2000
+    )
+    assert [r.vec_id for r in rows] == [r.vec_id for r in again]
+
+
+def test_hash_sample_widening_fallback_stays_bounded(spark):
+    """When n_rows wildly overestimates the corpus, the threshold
+    undershoots; the fallback must widen the threshold (never rerun
+    the unbounded TakeOrdered) and still return the correct sample."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.operators.pq import hash_sample
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("vec_id"), F.col("id").cast("double").alias("v")
+    )
+    rows = hash_sample(df, 500, id_col="vec_id", cols=("v",), n_rows=10**9)
+    assert len(rows) == 500
+    # same sample as the honest-n_rows call (threshold only filters)
+    exact = hash_sample(df, 500, id_col="vec_id", cols=("v",), n_rows=2000)
+    assert [r.vec_id for r in rows] == [r.vec_id for r in exact]
+
+
 def test_ivfpq_per_task_cap_bounds_merge(spark, emb, books, ground_truth):
     """per_task_cap: capped candidate generation still recalls after
     re-rank, and emits at most cap rows per (query, task)."""

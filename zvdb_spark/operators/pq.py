@@ -43,10 +43,13 @@ from pyspark.sql.window import Window as W
 
 from zvdb_spark.operators.knn import _topk_by_dist_id
 
-# Knuth multiplicative hash — deterministic pseudo-shuffle of ids for
-# the training sample (NOT rand(): same sample on any partitioning;
-# NOT rand(seed) either — that is partition-layout-dependent).
-_HASH_A = 2_654_435_761
+# Hash range for the deterministic pseudo-shuffle of ids used by the
+# training sample (NOT rand(): same sample on any partitioning; NOT
+# rand(seed) either — that is partition-layout-dependent). The hash
+# itself is xxhash64 folded into [0, 2^32): overflow-free for ANY
+# bigint id under ANSI SQL semantics (a raw multiplicative hash
+# ``id * A`` overflows — and throws — for ids >= ~3.5e9, exactly the
+# id range a 100 TB corpus has).
 _HASH_M = 2**32
 
 
@@ -57,7 +60,7 @@ def hash_sample(
     cols: tuple[str, ...] = ("emb",),
     n_rows: int | None = None,
 ) -> list:
-    """First ``sample_n`` rows under a multiplicative hash of the id:
+    """First ``sample_n`` rows under a value hash of the id:
     deterministic, partitioning-independent, spread across the corpus
     (unlike head-N, which at 100 TB is one possibly-skewed file).
 
@@ -68,22 +71,31 @@ def hash_sample(
     alone collects each task's local top-sample_n — fine for small
     samples, but 32 tasks x 50k x 1 KB rows blows
     spark.driver.maxResultSize at 1M rows (measured).
+
+    If the threshold undershoots (an unlucky hash tail, or n_rows
+    overestimating the corpus), it is WIDENED x4 and retried — every
+    retry is still threshold-bounded, never the unbounded TakeOrdered
+    the bounded path exists to avoid; at threshold = full range the
+    filter is a no-op and the collect terminates with whatever rows
+    exist (correctness floor).
     """
-    h = (F.col(id_col) * _HASH_A) % _HASH_M
+    h = F.pmod(F.xxhash64(F.col(id_col)), F.lit(_HASH_M))
     d = emb.select(id_col, *cols, h.alias("__h"))
-    if n_rows is not None and n_rows > 4 * sample_n:
-        thresh = int(_HASH_M * min(1.0, 4.0 * sample_n / n_rows))
-        d = d.filter(F.col("__h") < thresh)
-    rows = d.orderBy("__h", id_col).limit(sample_n).collect()
-    if len(rows) < min(sample_n, n_rows or sample_n):
-        # threshold undershot (non-dense ids); correctness fallback
+    if n_rows is None or n_rows <= 4 * sample_n:
+        return d.orderBy("__h", id_col).limit(sample_n).collect()
+    need = min(sample_n, n_rows)
+    frac = 4.0 * sample_n / n_rows
+    while True:
+        thresh = int(_HASH_M * min(1.0, frac))
         rows = (
-            emb.select(id_col, *cols, h.alias("__h"))
+            d.filter(F.col("__h") < thresh)
             .orderBy("__h", id_col)
             .limit(sample_n)
             .collect()
         )
-    return rows
+        if len(rows) >= need or frac >= 1.0:
+            return rows
+        frac *= 4.0
 
 
 def pq_train(
@@ -106,6 +118,15 @@ def pq_train(
         emb, sample_n, id_col=id_col, cols=(vec_col,), n_rows=n_rows
     )
     mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    return _fit_codebooks(mat, m_sub=m_sub, k_codes=k_codes, n_iter=n_iter)
+
+
+def _fit_codebooks(
+    mat: np.ndarray, m_sub: int, k_codes: int, n_iter: int
+) -> np.ndarray:
+    """Driver-side per-subspace Lloyd's over an (n, dim) sample matrix;
+    returns (m_sub, k, dsub) float64. Deterministic: first-k init,
+    fixed iteration count."""
     n, dim = mat.shape
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
@@ -361,7 +382,7 @@ def pq_search_ivf(
     residual q - centroid(cell), so ADC approximates
     ||(q-c) - (x-c)||^2 = the true distance — within-cell ranking
     stays informative where raw-vector codes degenerate (see
-    residualize). Returns (query_id, vec_id, adc_dist_sq, rn);
+    residual_encode). Returns (query_id, vec_id, adc_dist_sq, rn);
     compose with the exact re-rank of pq_search_rerank by passing
     rerank_r as k here and window-merging downstream.
     """
@@ -455,15 +476,20 @@ def pq_search_ivf(
     )
 
 
-def residualize(
+def residual_encode(
     emb: DataFrame,
     centroids: np.ndarray,
+    codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "emb",
 ) -> DataFrame:
-    """(id, cell_id, resid): nearest coarse centroid + the residual
-    x - centroid(cell). The IVFPQ preprocessing step (Jégou et al.
-    2011 §V-A): PQ codebooks trained and applied on residuals model
+    """(id, cell_id, code) in ONE Arrow pass over the vectors: nearest
+    coarse cell, residual x - centroid(cell), PQ code of the residual
+    — fused, so the corpus is scanned once, nothing is shuffled, and
+    cell_id rides along with the code instead of being joined back.
+
+    Residual encoding is the IVFPQ preprocessing step (Jégou et al.
+    2011 §V-A): codebooks trained/applied on residuals model
     WITHIN-cell variation, which is exactly what ranking inside a
     probed cell needs — raw-vector codes degenerate when a cell's
     rows are tighter than the quantization error (measured on the
@@ -471,9 +497,11 @@ def residualize(
     >=0.9 under the same budgets; see scripts/pq_scale.py)."""
     cmat = np.ascontiguousarray(centroids, dtype=np.float64)
     cnorm = (cmat * cmat).sum(axis=1)
-    n_out = cmat.shape[1]
+    books = np.ascontiguousarray(codebooks)
+    m_sub, _, dsub = books.shape
+    bnorm = (books * books).sum(2)  # (m, k)
 
-    def _res(batches):
+    def _enc(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -485,17 +513,22 @@ def residualize(
             )
             cell = d.argmin(1)
             resid = mat - cmat[cell]
+            out = np.empty((mat.shape[0], m_sub), dtype=np.int16)
+            for m in range(m_sub):
+                x = resid[:, m * dsub : (m + 1) * dsub]
+                dm = bnorm[m][None, :] - 2.0 * (x @ books[m].T)  # +‖x‖² const
+                out[:, m] = dm.argmin(1).astype(np.int16)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
                     "cell_id": cell.astype(np.int32),
-                    "resid": list(resid),
+                    "code": list(out),
                 }
             )
 
     return emb.mapInPandas(
-        _res,
-        schema=f"{id_col} long, cell_id int, resid array<double>",
+        _enc,
+        schema=f"{id_col} long, cell_id int, code array<smallint>",
     )
 
 
@@ -512,14 +545,33 @@ def ivfpq_build(
 ) -> tuple[np.ndarray, DataFrame]:
     """Residual-encoded IVFPQ build: returns (codebooks, codes) where
     codes carries (id, cell_id, code) — codebooks are trained on
-    RESIDUALS and codes encode residuals. One residualize pass feeds
-    both (train samples from it, encode maps over it); no extra scan
-    of the float vectors."""
-    res = residualize(emb, centroids, id_col=id_col, vec_col=vec_col)
-    books = pq_train(
-        res, m_sub=m_sub, k_codes=k_codes, n_iter=n_iter,
-        sample_n=sample_n, id_col=id_col, vec_col="resid", n_rows=n_rows,
+    RESIDUALS and codes encode residuals.
+
+    Scan accounting (the 100 TB contract, plan-pinned by
+    tests/test_pq.py::test_ivfpq_build_single_scan_plan): one bounded
+    ``hash_sample`` collect of raw vectors (threshold-pruned at the
+    source when ``n_rows`` is known — O(sample_n) rows of driver
+    traffic), residuals + codebooks fit driver-side on that sample,
+    then the corpus is scanned EXACTLY ONCE by ``residual_encode`` —
+    no join, no shuffle, no re-derived lineage. (The round-4 form
+    trained on a distributed residualize frame, which re-executed the
+    full-corpus residual GEMM ~3x and shuffled two corpus-sized
+    frames on the id join.)"""
+    cmat = np.ascontiguousarray(centroids, dtype=np.float64)
+    sample = hash_sample(
+        emb, sample_n, id_col=id_col, cols=(vec_col,), n_rows=n_rows
     )
-    coded = pq_encode(res, books, id_col=id_col, vec_col="resid")
-    codes = coded.join(res.select(id_col, "cell_id"), id_col)
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    d = (
+        (mat * mat).sum(1)[:, None]
+        + (cmat * cmat).sum(1)[None, :]
+        - 2.0 * (mat @ cmat.T)
+    )
+    res_mat = mat - cmat[d.argmin(1)]
+    books = _fit_codebooks(
+        res_mat, m_sub=m_sub, k_codes=k_codes, n_iter=n_iter
+    )
+    codes = residual_encode(
+        emb, cmat, books, id_col=id_col, vec_col=vec_col
+    )
     return books, codes
