@@ -95,8 +95,19 @@ def unit_vector(a: ColumnOrName) -> Column:
     serves cosine ranking by normalizing rows at ingest and queries
     at search. This is the standard trick (used by FAISS/ScaNN alike)
     rather than a second metric implementation to maintain.
+    The norm must NOT be captured inside the division lambda — HOF
+    lambdas are not CSE'd with their outer expression, so a captured
+    norm aggregate is re-evaluated per element (O(d^2) per row, ~16k
+    ops at 128-d). Instead the norm is evaluated as a plain argument
+    of ``array_repeat`` (once per row) and divided in via
+    ``zip_with``, whose lambda touches only its own variables. (An
+    aggregate-finish-lambda formulation also binds the norm once, but
+    its nested lambda capture trips a Catalyst Python-UDF-extraction
+    bug in Spark 4.1 when a pandas UDF consumes the column under a
+    join's null filter — measured, not hypothetical.)
     """
-    n = l2_norm(a)
+    arr = _c(a)
+    n = l2_norm(arr)
     return F.when(n == 0, F.lit(None)).otherwise(
-        F.transform(_c(a), lambda x: x / n)
+        F.zip_with(arr, F.array_repeat(n, F.size(arr)), lambda x, m: x / m)
     )
