@@ -153,31 +153,36 @@ def run_foreachbatch_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch callback is arbitrary batch code, so the same
     build_hnsw_index call could run here per batch.
     """
+    import shutil
     import tempfile
 
     state_dir = tempfile.mkdtemp(prefix="zvdb_fb_state_")
-    ev = _events_stream(spark, sf_dir)
+    try:
+        ev = _events_stream(spark, sf_dir)
 
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        agg = batch_df.groupBy("user_id").agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        def _merge(batch_df: DataFrame, batch_id: int) -> None:
+            agg = batch_df.groupBy("user_id").agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+            )
+            agg.write.mode("append").parquet(state_dir)
+
+        q = (
+            ev.writeStream.foreachBatch(_merge)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
         )
-        agg.write.mode("append").parquet(state_dir)
-
-    q = (
-        ev.writeStream.foreachBatch(_merge)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_bounded(q)
-    # compact the per-batch partial states into the final aggregate
-    state = spark.read.parquet(state_dir)
-    return state.groupBy("user_id").agg(
-        F.sum("n_events").alias("n_events"),
-        F.sum("sum_value").cast("double").alias("sum_value"),
-    )
+        _await_bounded(q)
+        # compact the per-batch partial states into the final aggregate;
+        # materialized so the landing parquet can be reclaimed below
+        state = spark.read.parquet(state_dir)
+        return state.groupBy("user_id").agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").cast("double").alias("sum_value"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
 
 
 def run_stateful_dedup_demo(
@@ -228,6 +233,8 @@ def run_stateful_dedup_demo(
     )
 
     from zvdb_spark.sources.tables import load
+
+    import shutil
 
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.md5(F.col("text")).alias("fp")
@@ -289,7 +296,11 @@ def run_stateful_dedup_demo(
         if ttl is not None
         else GroupStateTimeout.NoTimeout,
     )
-    kept = _run_to_memory(kept_stream, "update")
+    try:
+        kept = _run_to_memory(kept_stream, "update")
+    finally:
+        # memory sink is materialized; the landing parquet is spent
+        shutil.rmtree(land, ignore_errors=True)
     n_unique = docs.select("fp").distinct().count()
     n_kept = kept.count()
     if n_kept != n_unique:
@@ -313,6 +324,7 @@ def run_streaming_index_ingest_demo(
     index is searched; the returned top-k frame is the rows-only
     check surface.
     """
+    import shutil
     import tempfile
 
     from zvdb_spark.functions.vector import as_double_array
@@ -348,7 +360,11 @@ def run_streaming_index_ingest_demo(
         .trigger(availableNow=True)
         .start()
     )
-    _await_bounded(q)
+    try:
+        _await_bounded(q)
+    finally:
+        # index state lives in its own segment dir; landing files are spent
+        shutil.rmtree(land, ignore_errors=True)
     idx = holder.get("idx")
     if idx is None:
         raise ValueError(
@@ -382,16 +398,23 @@ def run_pq_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-encode the corpus; that is a rebuild, not an append).
 
     Asserted before returning: streamed codes row count equals the
-    corpus count, and every streamed code byte-equals the
-    batch-encoded code for the same vec_id (order independence =
-    the determinism contract). Rows-only check (micro-batch execution
-    is not SQL-expressible); returns the per-code-prefix histogram so
-    the driver sees a stable small frame.
+    corpus count; every streamed code byte-equals the batch-encoded
+    code for the same vec_id (order independence = the determinism
+    contract); and the accumulated codes are SEARCHED — ADC top-k
+    over the streamed codes must equal ADC top-k over batch-encoded
+    codes, row for row (the R2-for-the-compressed-path loop closure:
+    what streamed in is a servable index, not just bytes at rest).
+    Rows-only check (micro-batch execution is not SQL-expressible);
+    returns the per-code-prefix histogram so the driver sees a stable
+    small frame.
     """
+    import shutil
     import tempfile
 
+    import numpy as np
+
     from zvdb_spark.functions.vector import as_double_array
-    from zvdb_spark.operators.pq import pq_encode, pq_train
+    from zvdb_spark.operators.pq import pq_encode, pq_search, pq_train
     from zvdb_spark.sources.tables import load
 
     e = load(spark, sf_dir, "embeddings").select(
@@ -401,47 +424,80 @@ def run_pq_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     land = tempfile.mkdtemp(prefix="zvdb_pq_land_")
     codes_dir = tempfile.mkdtemp(prefix="zvdb_pq_codes_")
-    e.repartition(4).write.mode("overwrite").parquet(land)
+    try:
+        e.repartition(4).write.mode("overwrite").parquet(land)
 
-    stream = (
-        spark.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(land)
-    )
-
-    def _encode_batch(batch_df: DataFrame, batch_id: int) -> None:
-        pq_encode(batch_df, books).write.mode("append").parquet(codes_dir)
-
-    q = (
-        stream.writeStream.foreachBatch(_encode_batch)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_bounded(q)
-
-    streamed = spark.read.parquet(codes_dir)
-    n_corpus = e.count()
-    n_streamed = streamed.count()
-    if n_streamed != n_corpus:
-        raise AssertionError(
-            f"streamed codes {n_streamed} != corpus {n_corpus} — "
-            "row conservation broken across micro-batches"
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
         )
-    # determinism: streamed codes == batch codes, row for row
-    batch_codes = pq_encode(e, books)
-    n_diff = (
-        streamed.alias("s")
-        .join(batch_codes.alias("b"), "vec_id")
-        .filter(F.col("s.code") != F.col("b.code"))
-        .count()
-    )
-    if n_diff:
-        raise AssertionError(
-            f"{n_diff} rows encoded differently under streaming — "
-            "codebook closure is not deterministic"
+
+        def _encode_batch(batch_df: DataFrame, batch_id: int) -> None:
+            pq_encode(batch_df, books).write.mode("append").parquet(codes_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(_encode_batch)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-    return (
-        streamed.groupBy(F.element_at("code", 1).alias("first_code"))
-        .agg(F.count("*").alias("n"))
-    )
+        _await_bounded(q)
+
+        streamed = spark.read.parquet(codes_dir)
+        n_corpus = e.count()
+        n_streamed = streamed.count()
+        if n_streamed != n_corpus:
+            raise AssertionError(
+                f"streamed codes {n_streamed} != corpus {n_corpus} — "
+                "row conservation broken across micro-batches"
+            )
+        # determinism: streamed codes == batch codes, row for row
+        batch_codes = pq_encode(e, books)
+        n_diff = (
+            streamed.alias("s")
+            .join(batch_codes.alias("b"), "vec_id")
+            .filter(F.col("s.code") != F.col("b.code"))
+            .count()
+        )
+        if n_diff:
+            raise AssertionError(
+                f"{n_diff} rows encoded differently under streaming — "
+                "codebook closure is not deterministic"
+            )
+        # loop closure: SEARCH the accumulated codes. Identical codes
+        # must serve identical ADC rankings regardless of how (or in
+        # how many batches) they arrived — parity in its strongest
+        # form, result-set equality, not a sampled recall estimate.
+        probes = np.stack(
+            [
+                np.asarray(r.emb, dtype=np.float64)
+                for r in e.orderBy("vec_id").limit(5).collect()
+            ]
+        )
+        key = ["query_id", "rn"]
+        s_top = (
+            pq_search(streamed, books, probes, k=5)
+            .toPandas()
+            .sort_values(key, ignore_index=True)
+        )
+        b_top = (
+            pq_search(batch_codes, books, probes, k=5)
+            .toPandas()
+            .sort_values(key, ignore_index=True)
+        )
+        if not s_top[["query_id", "vec_id", "rn"]].equals(
+            b_top[["query_id", "vec_id", "rn"]]
+        ):
+            raise AssertionError(
+                "ADC search over streamed codes diverges from the "
+                "batch-encoded index — the streamed index is not servable"
+            )
+        return (
+            streamed.groupBy(F.element_at("code", 1).alias("first_code"))
+            .agg(F.count("*").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
+        shutil.rmtree(codes_dir, ignore_errors=True)
