@@ -266,3 +266,19 @@ def test_deterministic_multi_shard(spark, sf_dir):
     ea = a.edges.toPandas().sort_values(["src", "dst"]).reset_index(drop=True)
     eb = b.edges.toPandas().sort_values(["src", "dst"]).reset_index(drop=True)
     assert ea[["src", "dst"]].equals(eb[["src", "dst"]])
+
+
+def test_n_shards_override_controls_build_parallelism(spark, sf_dir):
+    """The explicit n_shards knob (the bench insert-ladder's
+    parallelism axis) forces the shard count past the auto-sizing
+    floor, and the index built at any forced width still answers with
+    full fidelity to its own exact path."""
+    emb = _emb(spark, sf_dir).localCheckpoint(eager=True)
+    for p in (2, 5):
+        idx = GraphIndex(m=8, ef=64, cell_target_rows=60, n_shards=p).build(emb)
+        n_used = len(set(idx.cell_shard.tolist()))
+        assert n_used <= p, (p, n_used)
+        q = _queries(spark, emb, n=10)
+        res = idx.search(q, k=5, n_queries=10).toPandas()
+        ex = exact_search_blocked(emb, q, k=5).toPandas()
+        assert _recall(res, ex, 5) >= 0.9, f"n_shards={p}"

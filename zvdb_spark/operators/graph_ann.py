@@ -444,6 +444,7 @@ class GraphIndex:
         seeds_per_cell: int = 4,
         seed: int = 42,
         index_dir: str | None = None,
+        n_shards: int | None = None,
     ) -> None:
         self.m = m
         self.ef = ef
@@ -453,6 +454,11 @@ class GraphIndex:
         self.nseed = nseed
         self.seeds_per_cell = seeds_per_cell
         self.seed = seed
+        # explicit build-parallelism override (the insert analog of
+        # search's n_qblocks): forces the shard count, bypassing the
+        # rows/shard_target sizing and the cores floor. Used by the
+        # bench's insert-parallelism ladder; None = auto-size.
+        self.n_shards_override = n_shards
         self.index_dir = index_dir  # host-shared storage on a cluster
         # index metadata (driver-side, size O(C x dim) — the scalar
         # state analog of the reference's entry_point/max_level)
@@ -565,10 +571,13 @@ class GraphIndex:
         shard_target_rows) and a parallelism floor (cores, bounded by
         _MIN_SHARD_ROWS-sized shards)."""
         c = len(self.centroids)
-        n_shards = max(1, math.ceil(self.n_rows / self.shard_target_rows))
-        par = self.celled.sparkSession.sparkContext.defaultParallelism
-        floor = min(par, max(1, self.n_rows // _MIN_SHARD_ROWS))
-        n_shards = min(max(n_shards, floor), c)
+        if self.n_shards_override is not None:
+            n_shards = min(max(1, int(self.n_shards_override)), c)
+        else:
+            n_shards = max(1, math.ceil(self.n_rows / self.shard_target_rows))
+            par = self.celled.sparkSession.sparkContext.defaultParallelism
+            floor = min(par, max(1, self.n_rows // _MIN_SHARD_ROWS))
+            n_shards = min(max(n_shards, floor), c)
         if n_shards <= 1:
             self.cell_shard = np.zeros(c, dtype=np.int64)
             return
