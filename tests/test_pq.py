@@ -393,6 +393,77 @@ def test_hash_sample_widening_fallback_stays_bounded(spark):
     assert [r.vec_id for r in rows] == [r.vec_id for r in exact]
 
 
+def test_ivf_layout_partition_pruning(spark, emb, tmp_path):
+    """The persisted inverted-file layout: cells are parquet
+    partitions, probes are partition-pruned scans. Pins (a) the
+    planner prunes at directory level — only the probed cells' files
+    are read — and (b) search over the pruned scan equals search over
+    the full in-memory codes."""
+    from zvdb_spark.operators.kmeans import kmeans_fit_sample
+    from zvdb_spark.operators.pq import (
+        ivfpq_build,
+        pq_search_ivf,
+        probed_cells,
+        read_ivf_cells,
+        write_ivf_layout,
+    )
+    from zvdb_spark.plans import plan_audit
+
+    cents = kmeans_fit_sample(emb, k=8, n_iter=3, sample_n=1000)
+    books, codes = ivfpq_build(
+        emb, cents, m_sub=8, k_codes=16, n_iter=2, sample_n=1000
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_layout(codes, path)
+
+    # 2 queries x nprobe=2 => at most 4 of the 8 cells probed, so a
+    # strict partition subset is guaranteed
+    q = np.stack(
+        [np.asarray(r.emb) for r in emb.orderBy("vec_id").limit(2).collect()]
+    )
+    cells = probed_cells(cents, q, nprobe=2)
+    assert 0 < len(cells) <= 4
+    pruned = read_ivf_cells(spark, path, cells)
+
+    # (a) directory-level pruning: the planner carries the predicate
+    # as a PartitionFilter, and execution actually touches only the
+    # probed cells' files (input_file_name over the executed scan —
+    # behavioral, not just the plan's promise)
+    import re
+
+    from pyspark.sql import functions as F
+
+    audit = plan_audit(pruned)
+    pfs = re.findall(r"PartitionFilters: \[[^\]]*\]", audit["plan"])
+    assert any("cell_id" in pf for pf in pfs), audit["plan"]
+    files_read = [
+        r.f
+        for r in pruned.select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    n_all = len(spark.read.parquet(path).inputFiles())
+    assert 0 < len(files_read) < n_all
+    assert len(files_read) <= len(cells)  # repartition => 1 file/cell
+    assert all(
+        any(f"cell_id={c}/" in f for c in cells) for f in files_read
+    ), files_read
+
+    # (b) value parity with the in-memory path, same probes/budgets
+    key = ["query_id", "rn"]
+    got = (
+        pq_search_ivf(pruned, books, cents, q, k=5, nprobe=2, residual=True)
+        .toPandas().sort_values(key, ignore_index=True)
+    )
+    want = (
+        pq_search_ivf(codes, books, cents, q, k=5, nprobe=2, residual=True)
+        .toPandas().sort_values(key, ignore_index=True)
+    )
+    assert got[["query_id", "vec_id", "rn"]].equals(
+        want[["query_id", "vec_id", "rn"]]
+    )
+
+
 def test_ivfpq_per_task_cap_bounds_merge(spark, emb, books, ground_truth):
     """per_task_cap: capped candidate generation still recalls after
     re-rank, and emits at most cap rows per (query, task)."""
@@ -414,3 +485,15 @@ def test_ivfpq_per_task_cap_bounds_merge(spark, emb, books, ground_truth):
         for qi in range(len(q))
     )
     assert hits / (len(q) * K) >= 0.3  # bounded budget, floor not collapse
+
+
+def test_persisted_ivfpq_declared_query(spark, sf_dir):
+    from zvdb_spark.queries.ann import q_ann_ivfpq, q_ann_ivfpq_persisted
+
+    pdf = q_ann_ivfpq_persisted(spark, sf_dir).toPandas()
+    assert len(pdf) == K
+    assert list(pdf.rn) == list(range(1, K + 1))
+    assert pdf.iloc[0].vec_id == 0 and pdf.iloc[0].dist_sq == 0.0
+    # the persisted path must answer exactly like the in-memory path
+    mem = q_ann_ivfpq(spark, sf_dir).toPandas()
+    assert pdf[["vec_id", "rn"]].equals(mem[["vec_id", "rn"]])

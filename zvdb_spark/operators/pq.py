@@ -476,6 +476,57 @@ def pq_search_ivf(
     )
 
 
+def write_ivf_layout(
+    codes_with_cell: DataFrame, path: str, id_col: str = "vec_id"
+) -> None:
+    """Persist (id, cell_id, code) partitioned BY CELL — the inverted
+    file made literal in the storage layout (one directory per cell,
+    Jégou et al. 2011 §V's list structure as parquet partitions).
+
+    This is the layout every pq_search_ivf docstring promises for
+    100 TB: probes stop being a filter over a monolithic table and
+    become PARTITION-PRUNED scans — the planner never opens, lists,
+    or reads a non-probed cell's files, so search I/O is
+    nprobe/C of the corpus by construction (and the codes are 16 B/row
+    to begin with). Write-side repartition keeps it one file per cell
+    instead of n_input_tasks x C small files — the small-files
+    problem is the classic failure mode of partitioned layouts."""
+    (
+        codes_with_cell.repartition("cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(path)
+    )
+
+
+def read_ivf_cells(spark, path: str, cells: list[int]) -> DataFrame:
+    """Scan ONLY the probed cells of a persisted IVF layout. The
+    isin() predicate on the partition column becomes a PartitionFilter
+    — directory-level pruning, verified by plan test
+    (tests/test_pq.py::test_ivf_layout_partition_pruning)."""
+    return spark.read.parquet(path).filter(
+        F.col("cell_id").isin([int(c) for c in cells])
+    )
+
+
+def probed_cells(
+    centroids: np.ndarray, queries: np.ndarray, nprobe: int
+) -> list[int]:
+    """The union of each query's nprobe nearest cells (driver-side
+    argpartition over nq x C centroid distances — metadata-sized).
+    This is the partition-pruning predicate for read_ivf_cells."""
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    q = np.ascontiguousarray(queries, dtype=np.float64)
+    dq = (
+        (q * q).sum(1)[:, None]
+        + (cents * cents).sum(1)[None, :]
+        - 2.0 * (q @ cents.T)
+    )
+    npb = min(int(nprobe), len(cents))
+    probed = np.argpartition(dq, npb - 1, axis=1)[:, :npb]
+    return sorted(int(c) for c in np.unique(probed))
+
+
 def residual_encode(
     emb: DataFrame,
     centroids: np.ndarray,

@@ -286,6 +286,67 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_ann_ivfpq_persisted", oracle=None, tags=("ann", "ivf", "pq"))
+def q_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFPQ over the PERSISTED inverted-file layout
+    (operators/pq.py: write_ivf_layout + read_ivf_cells): codes are
+    written partitioned by cell_id — the inverted list as parquet
+    directories — and the probe reads ONLY its nprobe cells through a
+    PartitionFilter, so search I/O is nprobe/C of the corpus at the
+    STORAGE level, not post-scan. This is the at-rest form every
+    in-memory IVF docstring promises for 100 TB, made literal and
+    driver-visible.
+
+    Rows-only at the driver (approximate candidate set);
+    tests/test_pq.py::test_ivf_layout_partition_pruning pins the
+    pruning behaviorally (input_file_name over the executed scan) and
+    value parity with the in-memory path.
+    """
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from zvdb_spark.operators.kmeans import kmeans_fit
+    from zvdb_spark.operators.pq import (
+        exact_rerank,
+        ivfpq_build,
+        pq_search_ivf,
+        probed_cells,
+        read_ivf_cells,
+        write_ivf_layout,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    cents = kmeans_fit(e, k=8, n_iter=4)
+    books, codes = ivfpq_build(
+        e, cents, m_sub=16, k_codes=64, n_iter=8, sample_n=4096
+    )
+    qvec = np.asarray(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).head()["emb"],
+        dtype=np.float64,
+    )[None, :]
+    path = tempfile.mkdtemp(prefix="zvdb_ivf_layout_")
+    try:
+        write_ivf_layout(codes, path)
+        pruned = read_ivf_cells(
+            spark, path, probed_cells(cents, qvec, nprobe=4)
+        )
+        cand = pq_search_ivf(
+            pruned, books, cents, qvec, k=50, nprobe=4, residual=True
+        )
+        return (
+            exact_rerank(cand, e, qvec, k=ANN_K)
+            .select("vec_id", F.round("dist_sq", 4).alias("dist_sq"), "rn")
+            .orderBy("rn")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 @register("q_ann_cosine", oracle=None, tags=("ann", "cosine"))
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine-metric ANN through the L2 engine: rows and the probe

@@ -119,6 +119,8 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_join_supplier_volume",
     "q_join_brand_margin",
     "q_ann_cosine",
+    "q_ann_ivfpq_persisted",
+    "q_dedup_incremental",
 )
 
 
