@@ -142,3 +142,38 @@ def test_ann_cosine_matches_bruteforce(spark, sf_dir):
     assert list(got.vec_id) == list(want.vec_id)
     for g, w in zip(got.cosine, want.cosine):
         assert abs(g - w) < 1e-3, (g, w)
+
+
+def test_dedup_incremental_matches_oracle(spark, sf_dir):
+    from zvdb_spark.queries.dedup import (
+        INCREMENTAL_ORACLE,
+        q_dedup_incremental,
+    )
+
+    assert_matches_oracle(
+        q_dedup_incremental(spark, sf_dir), INCREMENTAL_ORACLE, sf_dir
+    )
+
+
+def test_dedup_incremental_verdict_invariants(spark, sf_dir):
+    """Row conservation (one verdict per batch doc), verdict domain,
+    and the match_id/jaccard nullability contract."""
+    from zvdb_spark.queries.dedup import BATCH_MOD, q_dedup_incremental
+    from zvdb_spark.sources.tables import load
+
+    n_batch = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % BATCH_MOD == 0)
+        .count()
+    )
+    rows = q_dedup_incremental(spark, sf_dir).collect()
+    assert len(rows) == n_batch
+    for r in rows:
+        assert r.verdict in ("exact_dup", "near_dup", "new")
+        if r.verdict == "new":
+            assert r.match_id is None and r.jaccard is None
+        else:
+            # the match must come from the corpus side of the split
+            assert r.match_id is not None and r.match_id % BATCH_MOD != 0
+        if r.verdict == "near_dup":
+            assert r.jaccard is not None and r.jaccard >= 0.8

@@ -730,3 +730,159 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "component_size",
         )
     )
+
+
+# -------------------------------------------------- incremental dedup
+
+# "Dedupe the new crawl against the corpus" — the shape a production
+# ingestion pipeline actually runs: the corpus is the standing index,
+# the batch is today's arrivals, and the output is a per-arrival
+# verdict (exact duplicate of corpus doc X / near-duplicate of corpus
+# doc Y at Jaccard j / genuinely new). Deterministic split so the
+# whole flow is DuckDB-oracle-checkable: every doc_id % BATCH_MOD == 0
+# plays the arriving batch, the rest is the standing corpus.
+BATCH_MOD = 5
+
+INCREMENTAL_ORACLE = f"""
+WITH {_shingles_duck(2)},
+doc AS (SELECT doc_id, md5(text) AS fp,
+               (doc_id % {BATCH_MOD}) = 0 AS is_batch
+        FROM documents),
+hsh AS (SELECT doc_id, shingles, {_HS_DUCK} FROM sh),
+sig AS (SELECT doc_id, shingles, {_minhash_cols_duck()} FROM hsh),
+bands AS ({_bands_union_duck()}),
+bb AS (SELECT bands.* FROM bands JOIN doc USING (doc_id) WHERE doc.is_batch),
+cb AS (SELECT bands.* FROM bands JOIN doc USING (doc_id) WHERE NOT doc.is_batch),
+cand AS (
+  SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
+  FROM bb JOIN cb
+    ON bb.band_idx = cb.band_idx AND bb.x = cb.x AND bb.y = cb.y
+),
+ver AS (
+  SELECT bid, cid, {_JACCARD_DUCK} AS j
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.bid
+  JOIN sh sb ON sb.doc_id = cand.cid
+),
+near AS (
+  SELECT bid, cid, j,
+         row_number() OVER (PARTITION BY bid ORDER BY j DESC, cid) AS rn
+  FROM ver WHERE j >= {JACCARD_TAU}
+),
+ex AS (
+  SELECT b.doc_id AS bid, min(c.doc_id) AS mid
+  FROM doc b JOIN doc c ON b.fp = c.fp AND NOT c.is_batch
+  WHERE b.is_batch GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN ex.mid IS NOT NULL THEN 'exact_dup'
+            WHEN nr.cid IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS verdict,
+       coalesce(ex.mid, nr.cid) AS match_id,
+       CASE WHEN ex.mid IS NULL THEN round(nr.j, 4) END AS jaccard
+FROM doc d
+LEFT JOIN ex ON ex.bid = d.doc_id
+LEFT JOIN (SELECT * FROM near WHERE rn = 1) nr ON nr.bid = d.doc_id
+WHERE d.is_batch
+"""
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=None,  # past the driver cap; DuckDB parity via
+    # tests/test_pipeline_queries.py against INCREMENTAL_ORACLE
+    tags=("dedup", "minhash", "incremental"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: verdict each arriving doc against
+    the standing corpus — exact (fingerprint equi-join against the
+    corpus fingerprint index) first, then MinHash-LSH near-dup
+    (batch bands joined to corpus bands, exact Jaccard only on
+    co-bucketed candidates), else 'new'.
+
+    Scale shape: the corpus side contributes only its 8-int
+    signatures and 16-byte fingerprints (the signature-index posture
+    of q_dedup_minhash — at 100 TB these are precomputed and stored,
+    not re-derived); the band join shuffles on (band_idx, key) only,
+    and full shingle arrays are materialized solely for the verified
+    candidate set. Per-arrival cost is O(batch) + candidates, never
+    O(corpus x batch).
+    """
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        ((F.col("doc_id") % BATCH_MOD) == 0).alias("is_batch"),
+    )
+    batch = docs.filter(F.col("is_batch"))
+    corpus = docs.filter(~F.col("is_batch"))
+    # exact: min corpus doc per fingerprint (the fingerprint index)
+    corpus_fp = corpus.groupBy("fp").agg(F.min("doc_id").alias("mid"))
+    ex = batch.join(corpus_fp, "fp", "left").select("doc_id", "mid")
+
+    # signatures for all docs in one pass, split by side afterwards
+    sig = (
+        _shingles_spark(spark, sf_dir, 2)
+        .selectExpr("doc_id", "shingles", _HS_SPARK)
+        .selectExpr("doc_id", *_minhash_cols_spark())
+        .localCheckpoint(eager=True)
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.col(f"mh{2 * j}").alias("x"),
+                F.col(f"mh{2 * j + 1}").alias("y"),
+            )
+            for j in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_arr).alias("b")).select(
+        "doc_id", "b.band_idx", "b.x", "b.y"
+    )
+    is_b = (F.col("doc_id") % BATCH_MOD) == 0
+    bb = bands.filter(is_b).select(
+        F.col("doc_id").alias("bid"), "band_idx", "x", "y"
+    )
+    cb = bands.filter(~is_b).select(
+        F.col("doc_id").alias("cid"), "band_idx", "x", "y"
+    )
+    cand = (
+        bb.join(cb, ["band_idx", "x", "y"])
+        .select("bid", "cid")
+        .distinct()
+        .localCheckpoint(eager=True)  # tiny pair list, read twice below
+    )
+    ids = (
+        cand.select(F.col("bid").alias("doc_id"))
+        .unionAll(cand.select(F.col("cid").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingles_spark(spark, sf_dir, 2, only_ids=ids)
+    sa = sh.select(F.col("doc_id").alias("bid"), F.col("shingles").alias("sha"))
+    sb = sh.select(F.col("doc_id").alias("cid"), F.col("shingles").alias("shb"))
+    jac = F.size(F.array_intersect("sha", "shb")) * F.lit(1.0) / F.size(
+        F.array_union("sha", "shb")
+    )
+    ver = (
+        cand.join(sa, "bid")
+        .join(sb, "cid")
+        .withColumn("j", jac)
+        .filter(F.col("j") >= JACCARD_TAU)
+    )
+    w = W.partitionBy("bid").orderBy(F.col("j").desc(), "cid")
+    near = (
+        ver.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("bid").alias("doc_id"), "cid", "j")
+    )
+    return ex.join(near, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("mid").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("cid").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("new"))
+        .alias("verdict"),
+        F.coalesce("mid", "cid").alias("match_id"),
+        F.when(F.col("mid").isNull(), F.round("j", 4)).alias("jaccard"),
+    )
