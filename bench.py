@@ -18,11 +18,22 @@ Two parts:
                           global merge), best of 3
                           (vs 2,678.13 q/s single-thread baseline)
      - ann_search_qps   : graph-traversal ANN path, best of 3
+     - ivfpq_sweep      : residual IVF+PQ (nprobe, recall, qps) on the
+                          clustered corpus (the compressed scale path)
+     - search_qps_by_parallelism / insert_pts_per_s_by_parallelism:
+                          concurrency ladders (beam tasks / forced
+                          shard count), the thread-scaling analogs of
+                          benchmarks/multi_threaded_benchmarks.zig
 
 Best-of-N because this host carries external load with ±2x swings
 (loadavg 2-16 with no local processes); single-shot timings measure
 the neighbors, not the engine. Scale the vector bench down with
 SPARK_GRAFT_BENCH_N / _NQ env vars.
+
+Output ordering contract: bulky sub-objects (queries, grid, sweeps)
+print first and scalar headline metrics print LAST inside the one
+JSON line, so a bounded tail capture (the driver's) always keeps the
+numbers the baseline comparison is judged on.
 """
 
 from __future__ import annotations
@@ -419,8 +430,12 @@ def main() -> None:
         qdf_c = _qdf(cqueries)
         ladder = []
         for par in PAR_SWEEP:
+            # best-of-3 per rung: host-load swings produced a
+            # non-monotone committed sample at best-of-2 (r04: 8 tasks
+            # 766 q/s, 16 tasks 581) — the ladder claim is only as
+            # good as the per-rung noise floor
             sec = _best_of(
-                2,
+                3,
                 lambda p=par: _noop_write(
                     cgidx.search(
                         qdf_c, k=BENCH_K, n_queries=ann_nq, n_qblocks=p
@@ -431,6 +446,200 @@ def main() -> None:
                 {"parallelism": par, "qps": round(ann_nq / sec, 2)}
             )
         result["search_qps_by_parallelism"] = ladder
+
+    def _bench_insert_parallelism():
+        # Insert-parallelism ladder: build-to-SEARCHABLE throughput vs
+        # forced shard count — the insert analog of the search ladder
+        # and of the reference's multi-threaded insertion bench
+        # (benchmarks/multi_threaded_benchmarks.zig:13). The reference
+        # got SLOWER with more insert threads (lock contention on one
+        # shared graph, benchmarks/benchmark.md:3-8); here each shard
+        # builds its slice independently, so throughput should rise
+        # with shard count until the corpus outruns the cores.
+        emb = state["emb"]
+        ladder = []
+        for par in PAR_SWEEP:
+            embp = emb.repartition(par).localCheckpoint(eager=True)
+
+            def _one(p=par, d=embp):
+                gi = GraphIndex(m=16, ef=128, seed=SEED, n_shards=p)
+                gi.build(d, n_rows=BENCH_N)
+                gi.state()
+
+            # low rungs serialize the whole build onto 2-4 tasks —
+            # one sample there keeps ladder cost bounded; contended
+            # high rungs (the claim under test) get best-of-2
+            sec = _best_of(1 if par <= 4 else 2, _one)
+            ladder.append(
+                {"parallelism": par, "pts_per_s": round(BENCH_N / sec, 2)}
+            )
+        result["insert_pts_per_s_by_parallelism"] = ladder
+
+    def _bench_ivfpq():
+        # Residual IVFPQ measured by the DRIVER's own bench (round-4
+        # finding: the engine's best compressed path was only timed
+        # offline in scripts/pq_scale.py): (nprobe, recall, qps)
+        # triples on the clustered corpus — the distribution IVF cells
+        # are FOR — against the same exact ground truth as the graph
+        # path, candidates through the shared exact re-rank.
+        from zvdb_spark.operators.kmeans import kmeans_fit_sample
+        from zvdb_spark.operators.pq import (
+            exact_rerank,
+            ivfpq_build,
+            pq_search_ivf,
+        )
+
+        cemb = state["cemb"]
+        cqueries = state["cqueries"]
+        cex_pdf = state["cex_pdf"]
+        # quantizer capacity must exceed the corpus's natural cluster
+        # count (n_clust = N/500) with headroom — merged cells carry
+        # residuals as large as inter-cluster distances
+        n_cells = 1024 if BENCH_N >= 50_000 else 256
+        rr = 100  # candidate budget fed to the exact re-rank
+        t0 = time.perf_counter()
+        cents = kmeans_fit_sample(
+            cemb, k=n_cells, n_iter=6, sample_n=50_000, n_rows=BENCH_N
+        )
+        books, codes = ivfpq_build(
+            cemb, cents, m_sub=16, k_codes=256, n_iter=4,
+            sample_n=20_000, n_rows=BENCH_N,
+        )
+        codes = codes.localCheckpoint(eager=True)  # one scan, then reuse
+        build_sec = time.perf_counter() - t0
+        timings["ivfpq_build"] = round(build_sec, 3)
+        result["ivfpq_build_pts_per_s"] = round(BENCH_N / build_sec, 2)
+        result["ivfpq_cells"] = n_cells
+        sweep = []
+        # per_task_cap = R is LOSSLESS for the global top-R (a row a
+        # task drops past local rank R cannot enter the global top-R)
+        # while bounding the merge at nq x P x R; caps below R starve
+        # queries whose candidates concentrate in few cells (measured:
+        # cap=32 recall 0.63-0.68 vs lossless 0.82-0.94 at 20k)
+        for nprobe in (4, 16, 64):
+            def _run(np_=nprobe):
+                cand = pq_search_ivf(
+                    codes, books, cents, cqueries[:ann_nq], k=rr,
+                    nprobe=np_, residual=True, per_task_cap=rr,
+                )
+                _noop_write(
+                    exact_rerank(cand, cemb, cqueries[:ann_nq], k=BENCH_K)
+                )
+
+            sec = _best_of(2, _run)
+            r_pdf = exact_rerank(
+                pq_search_ivf(
+                    codes, books, cents, cqueries[:n_probe], k=rr,
+                    nprobe=nprobe, residual=True, per_task_cap=rr,
+                ),
+                cemb, cqueries[:n_probe], k=BENCH_K,
+            ).toPandas()
+            sweep.append(
+                {
+                    "nprobe": nprobe,
+                    "recall": round(_recall_of(r_pdf, cex_pdf, n_probe), 3),
+                    "qps": round(ann_nq / sec, 2),
+                }
+            )
+        result["ivfpq_sweep"] = sweep
+
+    def _bench_ivfpq_1m():
+        # The crossover run, driver-timed (round-4 finding: the 1M
+        # numbers lived only in scripts/pq_scale.py): at 10x the bench
+        # corpus the residual-IVFPQ path overtakes exact GEMM — the
+        # sub-exact-time >=0.8-recall point the compressed path exists
+        # for. Same distribution/parameters as the offline experiment
+        # (C=4096, nprobe=128, R=400 into exact re-rank).
+        from zvdb_spark.operators.kmeans import kmeans_fit_sample
+        from zvdb_spark.operators.knn import exact_search_blocked
+        from zvdb_spark.operators.pq import (
+            exact_rerank,
+            ivfpq_build,
+            pq_search_ivf,
+        )
+
+        n1 = 10 * BENCH_N
+        nq1 = BENCH_NQ
+        nc1 = max(20, n1 // 500)
+
+        def _gen1(batches):
+            import pandas as pd
+
+            centers = np.random.default_rng(SEED + 1).random((nc1, BENCH_DIM))
+            for pdf in batches:
+                ids = pdf["id"].to_numpy()
+                rows = []
+                for i in ids:
+                    r = np.random.default_rng(SEED + 1 + int(i))
+                    c = int(r.integers(0, nc1))
+                    rows.append(centers[c] + 0.08 * r.standard_normal(BENCH_DIM))
+                yield pd.DataFrame({"vec_id": ids, "emb": rows})
+
+        cemb1 = (
+            spark.range(n1)
+            .repartition(CPUS)
+            .mapInPandas(_gen1, "vec_id long, emb array<double>")
+            .localCheckpoint(eager=True)
+        )
+        c1, npr1, rr1 = 4096, 128, 400
+        t0 = time.perf_counter()
+        cents = kmeans_fit_sample(
+            cemb1, k=c1, n_iter=6, sample_n=100_000, n_rows=n1
+        )
+        books, codes = ivfpq_build(
+            cemb1, cents, m_sub=16, k_codes=256, n_iter=4,
+            sample_n=20_000, n_rows=n1,
+        )
+        codes = codes.localCheckpoint(eager=True)
+        build_sec = time.perf_counter() - t0
+        timings["ivfpq_1m_build"] = round(build_sec, 3)
+
+        centers = np.random.default_rng(SEED + 1).random((nc1, BENCH_DIM))
+        crng = np.random.default_rng(SEED + 7)
+        cq = centers[crng.integers(0, nc1, nq1)] + 0.08 * crng.standard_normal(
+            (nq1, BENCH_DIM)
+        )
+
+        def _ivfpq(qarr, k):
+            cand = pq_search_ivf(
+                codes, books, cents, qarr, k=rr1, nprobe=npr1,
+                per_task_cap=64, residual=True,
+            )
+            return exact_rerank(cand, cemb1, qarr, k=k)
+
+        _noop_write(_ivfpq(cq, BENCH_K))  # warm
+        t0 = time.perf_counter()
+        _noop_write(_ivfpq(cq, BENCH_K))
+        iv_sec = time.perf_counter() - t0
+        timings["ivfpq_1m_search"] = round(iv_sec, 3)
+
+        qdf1 = _qdf(cq)
+        _noop_write(
+            exact_search_blocked(cemb1, qdf1, k=BENCH_K, n_corpus=n1,
+                                 n_probes=nq1)
+        )
+        t0 = time.perf_counter()
+        _noop_write(
+            exact_search_blocked(cemb1, qdf1, k=BENCH_K, n_corpus=n1,
+                                 n_probes=nq1)
+        )
+        ex_sec = time.perf_counter() - t0
+        timings["ivfpq_1m_exact_baseline"] = round(ex_sec, 3)
+
+        got = _ivfpq(cq[:n_probe], BENCH_K).toPandas()
+        ex_pdf1 = exact_search_blocked(
+            cemb1, _qdf(cq[:n_probe]), k=BENCH_K, n_corpus=n1,
+            n_probes=n_probe,
+        ).toPandas()
+        result["ivfpq_1m"] = {
+            "n": n1,
+            "cells": c1,
+            "nprobe": npr1,
+            "rerank_r": rr1,
+            "qps": round(nq1 / iv_sec, 2),
+            "exact_qps": round(nq1 / ex_sec, 2),
+            "recall_at_k": round(_recall_of(got, ex_pdf1, n_probe), 3),
+        }
 
     def _bench_pq():
         # Product quantization on the uniform corpus (operators/pq.py):
@@ -481,7 +690,9 @@ def main() -> None:
                     "qps": round(ann_nq / sec, 2),
                 }
             )
-            timings["vector_search_pq"] = round(sec, 3)
+            # keyed by R: both sweep points' timings survive (a single
+            # key silently kept only the last R — round-4 advice)
+            timings[f"vector_search_pq_r{rr}"] = round(sec, 3)
         result["pq_rerank_sweep"] = sweep
 
     def _bench_incremental_append():
@@ -580,38 +791,56 @@ def main() -> None:
         _section("vector_search_exact", _bench_exact)
         if _section("vector_search_ann_uniform", _bench_ann_uniform):
             _section("pq", _bench_pq)
+        _section("insert_parallelism", _bench_insert_parallelism)
     if _section("vector_search_ann_clustered", _bench_ann_clustered):
         _section("ann_ef_sweep", _bench_ef_sweep)
         _section("search_parallelism", _bench_parallelism)
+        _section("ivfpq", _bench_ivfpq)
+        # 10x crossover run only at full bench scale (smoke runs skip)
+        if BENCH_N >= 100_000 and os.environ.get(
+            "SPARK_GRAFT_BENCH_IVFPQ_1M", "1"
+        ) != "0":
+            _section("ivfpq_1m", _bench_ivfpq_1m)
         _section("vector_index_append", _bench_incremental_append)
     if GRID_ON:
         _section("grid", _bench_grid)
 
     total = round(sum(timings.values()), 3)
-    result.update(
-        {
-            "metric": "bench_total",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
-            "ann_bench_distribution": "clustered (seeded Gaussian mixture, "
-            f"{n_clust} clusters, sigma 0.08)",
-            "ann_routing_contract": "graph ANN serves clustered/real "
-            "embedding corpora; uniform/adversarial distributions route "
-            "to the exact GEMM path (see SCALING.md: distance "
-            "concentration)",
-            "baseline_insert_pts_per_s": 8392.22,
-            "baseline_search_qps": 2678.13,
-            "bench_n": BENCH_N,
-            "bench_dim": BENCH_DIM,
-            "bench_nq": BENCH_NQ,
-            "cold_run_sec": cold_runs,
-            "grid": grid_rows,
-            "errors": errors,
-        }
-    )
-    print(json.dumps(result))
+    # Key order is load-bearing: the driver records the TAIL of stdout,
+    # and BENCH_r04 lost insert_pts_per_s / search_qps when the queries
+    # section outgrew the capture window. Bulky sub-objects print
+    # FIRST; every scalar headline metric prints LAST, so any tail cut
+    # eats detail, never the numbers the 2x bar is judged on.
+    front = {
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "bench_n": BENCH_N,
+        "bench_dim": BENCH_DIM,
+        "bench_nq": BENCH_NQ,
+        "ann_bench_distribution": "clustered (seeded Gaussian mixture, "
+        f"{n_clust} clusters, sigma 0.08)",
+        "ann_routing_contract": "graph ANN serves clustered/real "
+        "embedding corpora; uniform/adversarial distributions route "
+        "to the exact GEMM path (see SCALING.md: distance "
+        "concentration)",
+        "queries": timings,
+        "cold_run_sec": cold_runs,
+        "grid": grid_rows,
+        "errors": errors,
+    }
+    bulky = {
+        k: v for k, v in result.items()
+        if k not in front and isinstance(v, (list, dict))
+    }
+    scalars = {
+        k: v for k, v in result.items()
+        if k not in front and not isinstance(v, (list, dict))
+    }
+    scalars.setdefault("baseline_insert_pts_per_s", 8392.22)
+    scalars.setdefault("baseline_search_qps", 2678.13)
+    print(json.dumps({**front, **bulky, **scalars}))
     sys.stdout.flush()
     spark.stop()
 
