@@ -465,6 +465,7 @@ def main() -> None:
                 gi = GraphIndex(m=16, ef=128, seed=SEED, n_shards=p)
                 gi.build(d, n_rows=BENCH_N)
                 gi.state()
+                gi.retire()  # throwaway index: return the disk now
 
             # low rungs serialize the whole build onto 2-4 tasks —
             # one sample there keeps ladder cost bounded; contended

@@ -282,3 +282,30 @@ def test_n_shards_override_controls_build_parallelism(spark, sf_dir):
         res = idx.search(q, k=5, n_queries=10).toPandas()
         ex = exact_search_blocked(emb, q, k=5).toPandas()
         assert _recall(res, ex, 5) >= 0.9, f"n_shards={p}"
+
+
+def test_retire_reclaims_segment_files(spark, sf_dir):
+    """Public R9 teardown: retire() + reap past the grace window
+    unlinks every file the index owned; a separate live index is
+    untouched (two-index isolation)."""
+    import glob
+    import time as _t
+
+    import zvdb_spark.operators.segments as S
+
+    emb = _emb(spark, sf_dir).localCheckpoint(eager=True)
+    idx = GraphIndex(m=8, ef=64).build(emb)
+    idx.state()  # fully packed: vectors + edges + adjacency on disk
+    other = GraphIndex(m=8, ef=64, seed=7).build(emb)
+    other.state()
+    own = [p for p, _, _ in idx._vec_meta.values()]
+    keep = [p for p, _, _ in other._vec_meta.values()]
+    assert own and keep
+    assert all(glob.glob(f"{p}.*") for p in own)
+
+    idx.retire()
+    S.reap_retired(now=_t.time() + S._RETIRE_GRACE_SECS + 1)
+    assert not any(glob.glob(f"{p}.*") for p in own)
+    assert all(glob.glob(f"{p}.*") for p in keep)  # live index intact
+    q = _queries(spark, emb, n=5)
+    assert other.search(q, k=3, n_queries=5).count() == 15

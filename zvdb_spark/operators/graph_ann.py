@@ -1006,6 +1006,26 @@ class GraphIndex:
         return self
 
     # -- search (R7) -------------------------------------------------
+    def retire(self) -> None:
+        """R9 teardown made public (``deinit``, src/hnsw.zig:64-71):
+        retire every segment file this index owns — vectors, capped
+        edges, packed adjacency. Readers in flight survive (an open
+        mmap holds the inode; files are unlinked only after the grace
+        window, segments.reap_retired), and without an explicit call
+        a dead build is still reclaimed by the 24 h stale purge — this
+        just returns the disk promptly for short-lived indexes
+        (bench ladders, tests)."""
+        _retire_prefixes(p for p, _, _ in self._vec_meta.values())
+        _retire_prefixes(p for p in self._edge_meta.values() if p)
+        _retire_prefixes(a for *_, a in self._adj_meta.values() if a)
+        self._vec_meta = {}
+        self._edge_meta = {}
+        self._adj_meta = {}
+        self._pending_edges = None
+        self._state = None
+        self.celled = None
+        self.n_rows = 0
+
     def state(self) -> DataFrame:
         """Adjacency segments + search metadata. Builds the padded
         position-mapped adjacency for each DIRTY shard by merging the
