@@ -497,3 +497,70 @@ def test_persisted_ivfpq_declared_query(spark, sf_dir):
     # the persisted path must answer exactly like the in-memory path
     mem = q_ann_ivfpq(spark, sf_dir).toPandas()
     assert pdf[["vec_id", "rn"]].equals(mem[["vec_id", "rn"]])
+
+
+def test_ivf_layout_append_is_delta_scoped(spark, emb, tmp_path):
+    """Appending a delta to the persisted layout touches only the
+    cells the delta lands in (standing files untouched), and search
+    over the appended layout equals search over the in-memory union
+    — codebooks frozen, per-row state, no rebuild."""
+    import glob
+    import os
+
+    from zvdb_spark.operators.kmeans import kmeans_fit_sample
+    from zvdb_spark.operators.pq import (
+        append_ivf_layout,
+        ivfpq_build,
+        pq_search_ivf,
+        residual_encode,
+        write_ivf_layout,
+    )
+
+    base = emb.filter("vec_id < 400")
+    delta = emb.filter("vec_id >= 400")
+    cents = kmeans_fit_sample(base, k=8, n_iter=3, sample_n=1000)
+    books, base_codes = ivfpq_build(
+        base, cents, m_sub=8, k_codes=16, n_iter=2, sample_n=1000
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_layout(base_codes, path)
+    before = {
+        d: set(os.listdir(d))
+        for d in glob.glob(path + "/cell_id=*")
+    }
+
+    # delta encoded under the FROZEN quantizer + codebooks
+    delta_codes = residual_encode(delta, cents, books)
+    append_ivf_layout(delta_codes, path)
+
+    touched = {
+        int(r.cell_id) for r in delta_codes.select("cell_id").distinct().collect()
+    }
+    for d, files in before.items():
+        cell = int(d.rsplit("=", 1)[1])
+        now = set(os.listdir(d))
+        if cell in touched:
+            assert files < now  # gained file(s), old ones untouched
+        else:
+            assert files == now  # untouched cell: byte-for-byte same dir
+
+    # search parity: appended layout == in-memory union
+    q = np.stack(
+        [np.asarray(r.emb) for r in emb.orderBy("vec_id").limit(3).collect()]
+    )
+    key = ["query_id", "rn"]
+    got = (
+        pq_search_ivf(
+            spark.read.parquet(path), books, cents, q, k=5, nprobe=8,
+            residual=True,
+        ).toPandas().sort_values(key, ignore_index=True)
+    )
+    want = (
+        pq_search_ivf(
+            base_codes.unionByName(delta_codes), books, cents, q, k=5,
+            nprobe=8, residual=True,
+        ).toPandas().sort_values(key, ignore_index=True)
+    )
+    assert got[["query_id", "vec_id", "rn"]].equals(
+        want[["query_id", "vec_id", "rn"]]
+    )

@@ -499,6 +499,28 @@ def write_ivf_layout(
     )
 
 
+def append_ivf_layout(
+    new_codes_with_cell: DataFrame, path: str, id_col: str = "vec_id"
+) -> None:
+    """Append a delta's codes into an existing cell-partitioned
+    layout. PQ state is PER ROW (codebooks and coarse centroids are
+    frozen at train time, as in production), so append touches
+    exactly the arriving rows: one 16 B/row shuffle groups the delta
+    by cell, and dynamic-partition append writes at most one new
+    file into each cell directory the delta actually touches —
+    standing cells' files are never rewritten, listed, or read.
+    The compressed-path analog of GraphIndex.append's dirty-shard
+    scoping (and of the reference's incremental ``insert``,
+    src/hnsw.zig:73-117); re-training codebooks would be a rebuild,
+    not an append."""
+    (
+        new_codes_with_cell.repartition("cell_id")
+        .write.mode("append")
+        .partitionBy("cell_id")
+        .parquet(path)
+    )
+
+
 def read_ivf_cells(spark, path: str, cells: list[int]) -> DataFrame:
     """Scan ONLY the probed cells of a persisted IVF layout. The
     isin() predicate on the partition column becomes a PartitionFilter
