@@ -642,6 +642,31 @@ def main() -> None:
             "recall_at_k": round(_recall_of(got, ex_pdf1, n_probe), 3),
         }
 
+        # graph path on the same 10x corpus and queries: the OTHER
+        # crossover claim (README cites offline 1M runs) driver-timed
+        # against the identical exact baseline
+        t0 = time.perf_counter()
+        gidx1 = GraphIndex(m=16, ef=128, seed=SEED).build(cemb1, n_rows=n1)
+        gidx1.state()
+        g_build = time.perf_counter() - t0
+        timings["graph_1m_build"] = round(g_build, 3)
+        _noop_write(gidx1.search(qdf1, k=BENCH_K, n_queries=nq1))  # warm
+        t0 = time.perf_counter()
+        _noop_write(gidx1.search(qdf1, k=BENCH_K, n_queries=nq1))
+        g_sec = time.perf_counter() - t0
+        timings["graph_1m_search"] = round(g_sec, 3)
+        g_pdf = gidx1.search(
+            _qdf(cq[:n_probe]), k=BENCH_K, n_queries=n_probe
+        ).toPandas()
+        result["graph_1m"] = {
+            "n": n1,
+            "build_pts_per_s": round(n1 / g_build, 2),
+            "qps": round(nq1 / g_sec, 2),
+            "exact_qps": round(nq1 / ex_sec, 2),
+            "recall_at_k": round(_recall_of(g_pdf, ex_pdf1, n_probe), 3),
+        }
+        gidx1.retire()  # throwaway 10x index: return the disk now
+
     def _bench_pq():
         # Product quantization on the uniform corpus (operators/pq.py):
         # 128 f32 (512 B) -> 16 one-byte codes, ADC candidate scan +
@@ -797,10 +822,10 @@ def main() -> None:
         _section("ann_ef_sweep", _bench_ef_sweep)
         _section("search_parallelism", _bench_parallelism)
         _section("ivfpq", _bench_ivfpq)
-        # 10x crossover run only at full bench scale (smoke runs skip)
-        if BENCH_N >= 100_000 and os.environ.get(
-            "SPARK_GRAFT_BENCH_IVFPQ_1M", "1"
-        ) != "0":
+        # 10x crossover run only at full bench scale (smoke runs
+        # skip; env "1" forces it at reduced scale for testing)
+        _iv1m = os.environ.get("SPARK_GRAFT_BENCH_IVFPQ_1M", "")
+        if _iv1m == "1" or (_iv1m != "0" and BENCH_N >= 100_000):
             _section("ivfpq_1m", _bench_ivfpq_1m)
         _section("vector_index_append", _bench_incremental_append)
     if GRID_ON:
