@@ -85,3 +85,27 @@ def test_frame_sampling_invariants(spark, sf_dir):
 
     bad = frames.filter(F.octet_length("frame") != 16).count()
     assert bad == 0
+
+
+def test_deinit_releases_and_index_is_reusable(spark, sf_dir):
+    """R9 parity (src/hnsw.zig:64-71): deinit retires the segment
+    files and empties the index; a fresh insert_batch + build works
+    on the same object."""
+    import glob
+    import time as _t
+
+    import zvdb_spark.operators.segments as S
+    from zvdb_spark.api import VectorIndex
+    from zvdb_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").limit(200)
+    idx = VectorIndex(spark, m=8).insert_batch(emb).build()
+    own = [p for p, _, _ in idx._graph._vec_meta.values()]
+    assert own and all(glob.glob(f"{p}.*") for p in own)
+    idx.deinit()
+    S.reap_retired(now=_t.time() + S._RETIRE_GRACE_SECS + 1)
+    assert not any(glob.glob(f"{p}.*") for p in own)
+    assert idx.count() == 0
+    assert idx.search([0.0] * 64, k=3).count() == 0  # empty contract
+    idx.insert_batch(emb).build()
+    assert idx.count() == 200

@@ -151,3 +151,16 @@ class VectorIndex:
 
     def edges(self) -> DataFrame | None:
         return self._graph.edges if self._graph is not None else None
+
+    # -- teardown (R9) -----------------------------------------------
+    def deinit(self) -> None:
+        """R9 teardown (``deinit``, src/hnsw.zig:64-71): retire the
+        graph's segment files (unlinked after the grace window —
+        in-flight readers survive, GraphIndex.retire) and drop every
+        reference. The index is reusable: insert_batch starts fresh.
+        Unlike the reference there is no allocator to free — the
+        vector DataFrames are GC'd lineage, not owned memory."""
+        if self._graph is not None:
+            self._graph.retire()
+            self._graph = None
+        self._vectors = None
