@@ -177,3 +177,87 @@ def test_dedup_incremental_verdict_invariants(spark, sf_dir):
             assert r.match_id is not None and r.match_id % BATCH_MOD != 0
         if r.verdict == "near_dup":
             assert r.jaccard is not None and r.jaccard >= 0.8
+
+
+def test_sample_stratified_matches_oracle(spark, sf_dir):
+    from zvdb_spark.queries.sampling import (
+        STRATIFIED_ORACLE,
+        q_sample_stratified,
+    )
+
+    assert_matches_oracle(
+        q_sample_stratified(spark, sf_dir), STRATIFIED_ORACLE, sf_dir
+    )
+
+
+def test_sample_stratified_rates_and_determinism(spark, sf_dir):
+    """Kept fraction tracks the configured rate per stratum (binomial
+    tolerance at fixture scale) and the sample is identical across
+    repartitionings — hash-based, not rand()-based."""
+    from zvdb_spark.queries.sampling import (
+        DEFAULT_RATE,
+        SAMPLE_RATES,
+        q_sample_stratified,
+    )
+
+    pdf = q_sample_stratified(spark, sf_dir).toPandas()
+    for r in pdf.itertuples():
+        rate = SAMPLE_RATES.get(r.lang, DEFAULT_RATE)
+        assert 0 <= r.n_kept <= r.n_total
+        # 4-sigma binomial band: small fixtures, honest tolerance
+        import math
+
+        sigma = math.sqrt(r.n_total * rate * (1 - rate))
+        assert abs(r.n_kept - r.n_total * rate) <= 4 * sigma + 1, (
+            r.lang, r.n_kept, r.n_total, rate
+        )
+    again = q_sample_stratified(spark, sf_dir).toPandas()
+    key = ["lang"]
+    assert pdf.sort_values(key, ignore_index=True).equals(
+        again.sort_values(key, ignore_index=True)
+    )
+
+
+def test_pack_sequences_matches_oracle(spark, sf_dir):
+    from zvdb_spark.queries.sampling import PACKING_ORACLE, q_pack_sequences
+
+    assert_matches_oracle(
+        q_pack_sequences(spark, sf_dir), PACKING_ORACLE, sf_dir
+    )
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Token conservation (every doc lands in exactly one sequence),
+    budget-bounded interior sequences, and bucket-partitioned plan
+    (no global-order single-task window)."""
+    from zvdb_spark.queries.sampling import (
+        N_PACK_BUCKETS,
+        SEQ_TOKEN_BUDGET,
+        q_pack_sequences,
+    )
+    from zvdb_spark.sources.tables import load
+
+    pdf = q_pack_sequences(spark, sf_dir).toPandas()
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    total_tok = docs.select(
+        F.sum(F.size(F.split("text", " ")))
+    ).head()[0]
+    assert int(pdf.n_docs.sum()) == n_docs
+    assert int(pdf.seq_tokens.sum()) == int(total_tok)
+    assert set(pdf.bucket) <= set(range(N_PACK_BUCKETS))
+    # greedy-contiguous bound: an interior sequence spans from its
+    # first doc's start (anywhere inside its window, because the
+    # previous doc may spill across the cut) to the next sequence's
+    # first doc (at or past the next cut) — so its token total is
+    # > budget − max_doc_tokens and its ids are dense
+    max_tok = docs.select(
+        F.max(F.size(F.split("text", " ")))
+    ).head()[0]
+    for b, grp in pdf.groupby("bucket"):
+        grp = grp.sort_values("seq_id")
+        assert list(grp.seq_id) == list(range(len(grp)))  # dense ids
+        for _, row in grp.iloc[:-1].iterrows():
+            assert row.seq_tokens > SEQ_TOKEN_BUDGET - max_tok, (
+                b, row.seq_id, row.seq_tokens, max_tok
+            )

@@ -121,6 +121,8 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_ann_cosine",
     "q_ann_ivfpq_persisted",
     "q_dedup_incremental",
+    "q_sample_stratified",
+    "q_pack_sequences",
 )
 
 
@@ -170,6 +172,7 @@ def _ensure_loaded() -> None:
         multimodal,
         pipeline,
         relational,
+        sampling,
         scalar,
         setops,
         streaming_twins,
