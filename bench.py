@@ -608,7 +608,12 @@ def main() -> None:
             )
             return exact_rerank(cand, cemb1, qarr, k=k)
 
-        _noop_write(_ivfpq(cq, BENCH_K))  # warm
+        # warm with a 1k slice (worker pool + page-in), then ONE timed
+        # full batch: a second full-batch run at 1M costs minutes of
+        # wall-clock per path and the slice warmup removes the same
+        # cold costs (measured equivalent within host noise)
+        n_warm = min(1000, nq1)
+        _noop_write(_ivfpq(cq[:n_warm], BENCH_K))
         t0 = time.perf_counter()
         _noop_write(_ivfpq(cq, BENCH_K))
         iv_sec = time.perf_counter() - t0
@@ -616,8 +621,8 @@ def main() -> None:
 
         qdf1 = _qdf(cq)
         _noop_write(
-            exact_search_blocked(cemb1, qdf1, k=BENCH_K, n_corpus=n1,
-                                 n_probes=nq1)
+            exact_search_blocked(cemb1, _qdf(cq[:n_warm]), k=BENCH_K,
+                                 n_corpus=n1, n_probes=n_warm)
         )
         t0 = time.perf_counter()
         _noop_write(
@@ -650,7 +655,9 @@ def main() -> None:
         gidx1.state()
         g_build = time.perf_counter() - t0
         timings["graph_1m_build"] = round(g_build, 3)
-        _noop_write(gidx1.search(qdf1, k=BENCH_K, n_queries=nq1))  # warm
+        _noop_write(
+            gidx1.search(_qdf(cq[:n_warm]), k=BENCH_K, n_queries=n_warm)
+        )  # slice warm: worker pool + segment page-in
         t0 = time.perf_counter()
         _noop_write(gidx1.search(qdf1, k=BENCH_K, n_queries=nq1))
         g_sec = time.perf_counter() - t0
