@@ -175,3 +175,22 @@ def test_embedding_lsh_candidates_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in a["plan"]
     assert "BroadcastNestedLoopJoin" not in a["plan"]
     assert a["n_sortmerge_joins"] + a["n_broadcast_joins"] >= 1, a["plan"]
+
+
+def test_pack_sequences_window_is_bucket_partitioned(spark, sf_dir):
+    """The packing cumsum must never run over a global total order: a
+    window without a partition key compiles to Exchange
+    SinglePartition — one task at any scale. The plan must shuffle on
+    the bucket key instead."""
+    a = plan_audit(all_queries()["q_pack_sequences"].fn(spark, sf_dir))
+    assert "SinglePartition" not in a["plan"], a["plan"]
+    assert "bucket" in a["plan"]
+
+
+def test_sample_stratified_no_rand_no_extra_shuffle(spark, sf_dir):
+    """The sample is a hash predicate, not rand() (rand(seed) is
+    partition-layout-dependent), and the only exchange is the report
+    aggregation's."""
+    a = plan_audit(all_queries()["q_sample_stratified"].fn(spark, sf_dir))
+    assert "rand(" not in a["plan"].lower()
+    assert a["n_exchanges"] <= 1, a["plan"]
