@@ -309,3 +309,39 @@ def test_retire_reclaims_segment_files(spark, sf_dir):
     assert all(glob.glob(f"{p}.*") for p in keep)  # live index intact
     q = _queries(spark, emb, n=5)
     assert other.search(q, k=3, n_queries=5).count() == 15
+
+
+def test_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """Persistence (absent from the reference, whose index dies with
+    the process): save() writes a KB-scale manifest next to the
+    segment files; load() reopens without running a job, and every
+    surface — graph search, exact search, append — answers
+    identically to the original index."""
+    emb = _emb(spark, sf_dir).localCheckpoint(eager=True)
+    idx = GraphIndex(m=8, ef=64, cell_target_rows=60).build(emb)
+    q = _queries(spark, emb, n=10)
+    want = idx.search(q, k=5, n_queries=10).toPandas()
+    want_ex = idx.exact_search(q, k=5, n_queries=10).toPandas()
+
+    path = str(tmp_path / "idx")
+    idx.save(path)
+    idx2 = GraphIndex.load(spark, path)
+    assert idx2.n_rows == idx.n_rows
+    key = ["query_id", "vec_id"]
+    got = idx2.search(q, k=5, n_queries=10).toPandas()
+    assert got.sort_values(key, ignore_index=True)[key].equals(
+        want.sort_values(key, ignore_index=True)[key]
+    )
+    kex = ["query_id", "neighbor_id"]
+    got_ex = idx2.exact_search(q, k=5, n_queries=10).toPandas()
+    assert got_ex.sort_values(kex, ignore_index=True)[kex].equals(
+        want_ex.sort_values(kex, ignore_index=True)[kex]
+    )
+
+    # the reopened index is live: append works and search sees the rows
+    delta = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "emb"
+    ).limit(20).localCheckpoint(eager=True)
+    idx2.append(delta)
+    idx2.state()
+    assert idx2.n_rows == idx.n_rows + 20

@@ -904,13 +904,15 @@ class GraphIndex:
         # independent cell.
         return work.repartition(ntasks).mapInPandas(_task, _EDGE_SCHEMA)
 
-    def _celled_from_segments(self) -> DataFrame:
+    def _celled_from_segments(self, spark=None) -> DataFrame:
         """(cell_id, vec_id, emb) read back from the packed segments —
         the authoritative snapshot of what the index actually holds.
         append() consumes THIS rather than re-evaluating the original
         input plan, so packed rows, edges, and n_rows can never
-        diverge even if the input DataFrame were nondeterministic."""
-        spark = self.celled.sparkSession
+        diverge even if the input DataFrame were nondeterministic.
+        ``spark`` is only needed when no ``celled`` frame exists yet
+        (load() reopening a persisted index)."""
+        spark = spark if spark is not None else self.celled.sparkSession
         meta = [
             (int(p), prefix)
             for p, (prefix, _, _) in sorted(self._vec_meta.items())
@@ -1006,6 +1008,93 @@ class GraphIndex:
         return self
 
     # -- search (R7) -------------------------------------------------
+    # -- persistence (the capability the reference lacks entirely:
+    # its index dies with the process, src/hnsw.zig:64-71) ----------
+    _SAVE_CONFIG = (
+        "m", "ef", "cell_target_rows", "shard_target_rows", "r_build",
+        "nseed", "seeds_per_cell", "seed", "index_dir",
+    )
+
+    def save(self, path: str) -> str:
+        """Persist the index so a FUTURE SESSION can reopen it without
+        a rebuild. The heavy state (vectors, adjacency) already lives
+        in the mmap segment files; this writes only the driver-side
+        metadata next to them: config, centroids/shard-map/seeds
+        arrays (.npz) and the segment-prefix tables (.json), a few KB
+        regardless of corpus size. Pending work is flushed first
+        (state()) so the snapshot is complete; files are written to a
+        temp name and atomically renamed, so a reader never sees a
+        half-written manifest. Returns ``path``."""
+        import json
+
+        self.state()  # flush deltas: metadata must describe disk truth
+        arrays = {
+            "centroids": np.asarray(self.centroids),
+            "cell_shard": np.asarray(self.cell_shard),
+            "cell_seeds": np.asarray(self.cell_seeds),
+        }
+        with open(f"{path}.arrays.npz.tmp", "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(f"{path}.arrays.npz.tmp", f"{path}.arrays.npz")
+        manifest = {
+            "config": {k: getattr(self, k) for k in self._SAVE_CONFIG},
+            "n_rows": self.n_rows,
+            "structure_ratio": self.structure_ratio,
+            "vec_meta": {
+                str(p): list(v) for p, v in self._vec_meta.items()
+            },
+            "adj_meta": {
+                str(p): list(v) for p, v in self._adj_meta.items()
+            },
+            "edge_meta": dict(
+                (str(p), e) for p, e in self._edge_meta.items()
+            ),
+        }
+        with open(f"{path}.json.tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(f"{path}.json.tmp", f"{path}.json")
+        return path
+
+    @classmethod
+    def load(cls, spark, path: str) -> "GraphIndex":
+        """Reopen a saved index: metadata from the manifest, vectors/
+        adjacency straight from the existing segment files — no jobs
+        run, no data moves. The loaded index is fully live: search,
+        exact_search, append, state and retire all work. Segment
+        mtimes are refreshed so the 24 h dead-build purge never reaps
+        a reopened index's files."""
+        import json
+
+        from zvdb_spark.operators.segments import touch_prefixes
+
+        with open(f"{path}.json") as f:
+            manifest = json.load(f)
+        idx = cls(**manifest["config"])
+        arrays = np.load(f"{path}.arrays.npz")
+        idx.centroids = arrays["centroids"]
+        idx.cell_shard = arrays["cell_shard"]
+        idx.cell_seeds = arrays["cell_seeds"]
+        idx.n_rows = int(manifest["n_rows"])
+        idx.structure_ratio = manifest["structure_ratio"]
+        idx._vec_meta = {
+            int(p): (v[0], int(v[1]), int(v[2]))
+            for p, v in manifest["vec_meta"].items()
+        }
+        idx._adj_meta = {
+            int(p): (int(v[0]), int(v[1]), int(v[2]), v[3], v[4])
+            for p, v in manifest["adj_meta"].items()
+        }
+        idx._edge_meta = {
+            int(p): e for p, e in manifest["edge_meta"].items()
+        }
+        touch_prefixes(p for p, _, _ in idx._vec_meta.values())
+        touch_prefixes(a for *_, a in idx._adj_meta.values() if a)
+        touch_prefixes(e for e in idx._edge_meta.values() if e)
+        idx.celled = idx._celled_from_segments(spark)
+        idx._dirty = set()  # nothing pending: disk is the truth
+        idx._pending_edges = None
+        return idx
+
     def retire(self) -> None:
         """R9 teardown made public (``deinit``, src/hnsw.zig:64-71):
         retire every segment file this index owns — vectors, capped
