@@ -109,3 +109,34 @@ def test_deinit_releases_and_index_is_reusable(spark, sf_dir):
     assert idx.search([0.0] * 64, k=3).count() == 0  # empty contract
     idx.insert_batch(emb).build()
     assert idx.count() == 200
+
+
+def test_facade_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """VectorIndex.save/load: the persisted index answers identically
+    in a 'new session' (same Spark here, but zero shared driver
+    state) and remains appendable."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.api import VectorIndex
+    from zvdb_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").limit(300)
+    idx = VectorIndex(spark, m=8).insert_batch(emb).build()
+    probe = [float(x) for x in emb.orderBy("vec_id").head()["embedding"]]
+    want = idx.search(probe, k=5).toPandas()
+
+    path = str(tmp_path / "vidx")
+    idx.save(path)
+    idx2 = VectorIndex.load(spark, path)
+    assert idx2.count() == 300
+    got = idx2.search(probe, k=5).toPandas()
+    key = ["query_id", "rn"]
+    assert got.sort_values(key, ignore_index=True)[
+        ["neighbor_id", "rn"]
+    ].equals(want.sort_values(key, ignore_index=True)[["neighbor_id", "rn"]])
+    # still appendable after reopen
+    delta = emb.select(
+        (F.col("vec_id") + F.lit(5_000_000)).alias("vec_id"), "embedding"
+    ).limit(10)
+    idx2.insert_batch(delta)
+    assert idx2.count() == 310

@@ -152,6 +152,30 @@ class VectorIndex:
     def edges(self) -> DataFrame | None:
         return self._graph.edges if self._graph is not None else None
 
+    # -- persistence (engine extra: the reference has no storage) ----
+    def save(self, path: str) -> str:
+        """Persist the index (builds first if needed); reopen in any
+        later session with ``VectorIndex.load``. Forwarded to
+        GraphIndex.save — a KB-scale manifest beside the mmap segment
+        files, no corpus movement."""
+        if self._graph is None:
+            self.build()
+        return self._graph.save(path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "VectorIndex":
+        """Reopen a saved index without running a job; the vector
+        frame is lazily re-derived from the segments (the
+        authoritative snapshot), so search/insert_batch/count all
+        work as if built in this session."""
+        g = GraphIndex.load(spark, path)
+        idx = cls(spark, m=g.m, seed=g.seed)
+        idx._graph = g
+        idx._vectors = g._celled_from_segments(spark).select(
+            "vec_id", "emb"
+        )
+        return idx
+
     # -- teardown (R9) -----------------------------------------------
     def deinit(self) -> None:
         """R9 teardown (``deinit``, src/hnsw.zig:64-71): retire the
