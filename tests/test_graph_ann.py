@@ -345,3 +345,39 @@ def test_save_load_roundtrip(spark, sf_dir, tmp_path):
     idx2.append(delta)
     idx2.state()
     assert idx2.n_rows == idx.n_rows + 20
+
+
+def test_saved_index_survives_retire_and_purge(spark, sf_dir, tmp_path):
+    """Ownership handoff: save() pins the segment files, so neither
+    retire()+reap (the normal persist-and-release flow) nor the 24h
+    dead-build purge can destroy a persisted index — load() still
+    answers afterwards. This is the contract 'an index outlives its
+    driver' actually requires; without pins any later activity in the
+    shared segment dir would garbage-collect the save."""
+    import glob
+    import os
+    import time as _t
+
+    import zvdb_spark.operators.segments as S
+
+    emb = _emb(spark, sf_dir).localCheckpoint(eager=True)
+    idx = GraphIndex(m=8, ef=64).build(emb)
+    idx.state()
+    own = [p for p, _, _ in idx._vec_meta.values()]
+    d = os.path.dirname(own[0])
+    path = str(tmp_path / "saved")
+    idx.save(path)
+    assert all(os.path.exists(f"{p}.pin") for p in own)
+
+    # persist-and-release: retire + forced reap must NOT touch pins
+    idx.retire()
+    S.reap_retired(now=_t.time() + S._RETIRE_GRACE_SECS + 1)
+    assert all(glob.glob(f"{p}.ids.npy") for p in own)
+
+    # the 24h dead-build purge must skip pinned prefixes too
+    S.purge_stale(d, _t.time() + 25 * 3600)
+    assert all(glob.glob(f"{p}.ids.npy") for p in own)
+
+    idx2 = GraphIndex.load(spark, path)
+    q = _queries(spark, emb, n=5)
+    assert idx2.search(q, k=3, n_queries=5).count() == 15

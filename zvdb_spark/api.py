@@ -171,9 +171,9 @@ class VectorIndex:
         g = GraphIndex.load(spark, path)
         idx = cls(spark, m=g.m, seed=g.seed)
         idx._graph = g
-        idx._vectors = g._celled_from_segments(spark).select(
-            "vec_id", "emb"
-        )
+        # reuse the graph's own segment-read frame — one lineage, not
+        # two independent plans over the same files
+        idx._vectors = g.celled.select("vec_id", "emb")
         return idx
 
     # -- teardown (R9) -----------------------------------------------

@@ -1024,10 +1024,23 @@ class GraphIndex:
         regardless of corpus size. Pending work is flushed first
         (state()) so the snapshot is complete; files are written to a
         temp name and atomically renamed, so a reader never sees a
-        half-written manifest. Returns ``path``."""
+        half-written manifest.
+
+        Every referenced segment file is PINNED
+        (segments.pin_prefixes): ownership transfers to the manifest,
+        so neither the 24h dead-build purge nor a later
+        retire()/deinit() on this object can destroy the saved files
+        — without the pin, any other index activity in the shared
+        segment dir more than 24h after the save would silently
+        garbage-collect the persisted index. Returns ``path``."""
         import json
 
+        from zvdb_spark.operators.segments import pin_prefixes
+
         self.state()  # flush deltas: metadata must describe disk truth
+        pin_prefixes(p for p, _, _ in self._vec_meta.values())
+        pin_prefixes(a for *_, a in self._adj_meta.values() if a)
+        pin_prefixes(e for e in self._edge_meta.values() if e)
         arrays = {
             "centroids": np.asarray(self.centroids),
             "cell_shard": np.asarray(self.cell_shard),
@@ -1103,7 +1116,10 @@ class GraphIndex:
         window, segments.reap_retired), and without an explicit call
         a dead build is still reclaimed by the 24 h stale purge — this
         just returns the disk promptly for short-lived indexes
-        (bench ladders, tests)."""
+        (bench ladders, tests). Files pinned by a prior save() are
+        NOT deleted (the manifest owns them): save-then-retire is the
+        normal persist-and-release flow, and load() still works
+        afterwards."""
         _retire_prefixes(p for p, _, _ in self._vec_meta.values())
         _retire_prefixes(p for p in self._edge_meta.values() if p)
         _retire_prefixes(a for *_, a in self._adj_meta.values() if a)

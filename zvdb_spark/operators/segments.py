@@ -127,13 +127,36 @@ def save_npy(prefix: str, name: str, arr: np.ndarray) -> None:
     os.replace(tmp, f"{prefix}.{name}.npy")
 
 
+def pin_prefixes(prefixes) -> None:
+    """Mark segment prefixes as OWNED BY A SAVED INDEX: a tiny
+    ``<prefix>.pin`` marker makes both deletion paths —
+    unlink_prefixes (the retire/reap lifecycle) and purge_stale (the
+    24h dead-build sweep) — skip every file of the prefix. Without
+    this, GraphIndex.save's manifest would point at files the shared
+    segment dir is free to garbage-collect: any later build in the
+    dir would purge a >24h-old saved index, and retire()/deinit()
+    after save() would queue the saved files for reaping. Pins are
+    touched on load() like any live segment, and removing a saved
+    index is an explicit act (delete the manifest and its pinned
+    files), never a side effect."""
+    for p in prefixes:
+        try:
+            with open(f"{p}.pin", "a"):
+                pass
+        except OSError:
+            pass
+
+
 def unlink_prefixes(prefixes) -> None:
     """Remove superseded segment files. POSIX-safe under concurrent
     readers: an mmap holds the inode, so in-flight searches on the
-    old build finish unharmed."""
+    old build finish unharmed. Pinned prefixes (saved indexes) are
+    skipped — a manifest owns them now."""
     import glob as _glob
 
     for p in prefixes:
+        if os.path.exists(f"{p}.pin"):
+            continue
         for f in _glob.glob(f"{p}.*"):
             try:
                 os.unlink(f)
@@ -144,17 +167,27 @@ def unlink_prefixes(prefixes) -> None:
 def purge_stale(d: str, now: float) -> None:
     """Opportunistic reap of segments older than 24h (dead builds
     from past sessions). Live indexes re-pack far more often than
-    that; the per-build token keeps names unique."""
+    that; the per-build token keeps names unique. Pinned prefixes
+    (saved indexes) and the pin markers themselves are never purged
+    — persistence must survive arbitrary idle gaps."""
     try:
-        for f in os.listdir(d):
-            path = os.path.join(d, f)
-            try:
-                if now - os.path.getmtime(path) > _PURGE_AGE_SECS:
-                    os.unlink(path)
-            except OSError:
-                pass
+        entries = os.listdir(d)
     except OSError:
-        pass
+        return
+    pinned = tuple(
+        os.path.join(d, f[: -len(".pin")]) + "."
+        for f in entries
+        if f.endswith(".pin")
+    )
+    for f in entries:
+        path = os.path.join(d, f)
+        if f.endswith(".pin") or (pinned and path.startswith(pinned)):
+            continue
+        try:
+            if now - os.path.getmtime(path) > _PURGE_AGE_SECS:
+                os.unlink(path)
+        except OSError:
+            pass
 
 
 _SEARCH_SCHEMA = "query_id long, neighbor_id long, score double"
