@@ -609,9 +609,14 @@ def main() -> None:
         )
 
         def _ivfpq(qarr, k):
+            # lossless per-task cap (= R, the pq_search_ivf default)
+            # — the offline experiment's cap=64 << R=400 was the
+            # recall-starving configuration SCALING.md's cap law
+            # documents; the driver-timed number must measure the
+            # recommended one
             cand = pq_search_ivf(
                 codes, books, cents, qarr, k=rr1, nprobe=npr1,
-                per_task_cap=64, residual=True,
+                residual=True,
             )
             return exact_rerank(cand, cemb1, qarr, k=k)
 

@@ -379,9 +379,11 @@ def pq_search_ivf(
     O(nq x P x cap) rows. The DEFAULT is ``k`` — LOSSLESS for the
     global top-k (a row a task drops past local rank k has k better
     rows in that task, so it cannot enter the global top-k) while
-    bounding the merge independent of nprobe; without it every
-    probed cell surrenders its full top-k and the merge grows
-    O(nq x nprobe x k). Caps BELOW k trade recall for merge size:
+    bounding the merge independent of nprobe; an unbounded mode
+    (every probed cell surrendering its full top-k, an
+    O(nq x nprobe x k) merge at deep probes) existed before round 5
+    and is deliberately gone — the lossless cap strictly dominates
+    it. Caps BELOW k trade recall for merge size:
     they starve queries whose candidates concentrate in few cells
     (measured: cap=32 under budget 100 plateaued recall at 0.63-0.68
     where the lossless default gives 0.82-0.94).
@@ -422,7 +424,7 @@ def pq_search_ivf(
     # cell materializes its full top-k per query and the task-local
     # concat grows O(nprobe x k) per query before the cap trims it
     # (measured: 6x task-frame blowup at 1M rows, 1024 cells)
-    emit_cell = kk if cap is None else min(kk, cap)
+    emit_cell = min(kk, cap)
 
     def _part(batches):
         task_frames: list[pd.DataFrame] = []
@@ -459,11 +461,8 @@ def pq_search_ivf(
                         "adc_dist_sq": rows.ravel(),
                     }
                 )
-                if cap is None:
-                    yield frame
-                else:
-                    task_frames.append(frame)
-        if cap is not None and task_frames:
+                task_frames.append(frame)
+        if task_frames:
             allf = pd.concat(task_frames, ignore_index=True)
             allf = allf.sort_values(
                 ["query_id", "adc_dist_sq", id_col], ignore_index=True
@@ -485,9 +484,7 @@ def pq_search_ivf(
     )
 
 
-def write_ivf_layout(
-    codes_with_cell: DataFrame, path: str, id_col: str = "vec_id"
-) -> None:
+def write_ivf_layout(codes_with_cell: DataFrame, path: str) -> None:
     """Persist (id, cell_id, code) partitioned BY CELL — the inverted
     file made literal in the storage layout (one directory per cell,
     Jégou et al. 2011 §V's list structure as parquet partitions).
@@ -508,9 +505,7 @@ def write_ivf_layout(
     )
 
 
-def append_ivf_layout(
-    new_codes_with_cell: DataFrame, path: str, id_col: str = "vec_id"
-) -> None:
+def append_ivf_layout(new_codes_with_cell: DataFrame, path: str) -> None:
     """Append a delta's codes into an existing cell-partitioned
     layout. PQ state is PER ROW (codebooks and coarse centroids are
     frozen at train time, as in production), so append touches
