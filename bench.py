@@ -608,29 +608,37 @@ def main() -> None:
             (nq1, BENCH_DIM)
         )
 
-        def _ivfpq(qarr, k):
-            # lossless per-task cap (= R, the pq_search_ivf default)
-            # — the offline experiment's cap=64 << R=400 was the
-            # recall-starving configuration SCALING.md's cap law
-            # documents; the driver-timed number must measure the
-            # recommended one
+        def _ivfpq(qarr, k, cap):
             cand = pq_search_ivf(
                 codes, books, cents, qarr, k=rr1, nprobe=npr1,
-                residual=True,
+                residual=True, per_task_cap=cap,
             )
             return exact_rerank(cand, cemb1, qarr, k=k)
 
         # warm with a 1k slice (worker pool + page-in), then ONE timed
-        # full batch: a second full-batch run at 1M costs minutes of
-        # wall-clock per path and the slice warmup removes the same
+        # full batch per point: a second full-batch run at 1M costs
+        # minutes of wall-clock and the slice warmup removes the same
         # cold costs (measured equivalent within host noise)
         n_warm = min(1000, nq1)
-        _noop_write(_ivfpq(cq[:n_warm], BENCH_K))
-        t0 = time.perf_counter()
-        _noop_write(_ivfpq(cq, BENCH_K))
-        iv_sec = time.perf_counter() - t0
-        timings["ivfpq_1m_search"] = round(iv_sec, 3)
-
+        _noop_write(_ivfpq(cq[:n_warm], BENCH_K, rr1))
+        # The per-task cap is the recall/qps KNOB at deep probes and
+        # both ends are published (the repo's sweep discipline):
+        # cap = R (the lossless pq_search_ivf default) maximizes
+        # recall for the budget, a sub-R cap shrinks the merge ~R/cap
+        # and buys throughput at a measured recall cost
+        # (1M measured: 0.999 @ ~55 q/s lossless vs 0.842 @ ~256 q/s
+        # at cap=64, exact ~50-66 q/s under the same load).
+        iv_points = []
+        for cap in (64, rr1):
+            t0 = time.perf_counter()
+            _noop_write(_ivfpq(cq, BENCH_K, cap))
+            sec = time.perf_counter() - t0
+            timings[f"ivfpq_1m_search_cap{cap}"] = round(sec, 3)
+            got_c = _ivfpq(cq[:n_probe], BENCH_K, cap).toPandas()
+            iv_points.append(
+                {"per_task_cap": cap, "qps": round(nq1 / sec, 2),
+                 "pdf": got_c}
+            )
         qdf1 = _qdf(cq)
         _noop_write(
             exact_search_blocked(cemb1, _qdf(cq[:n_warm]), k=BENCH_K,
@@ -644,7 +652,6 @@ def main() -> None:
         ex_sec = time.perf_counter() - t0
         timings["ivfpq_1m_exact_baseline"] = round(ex_sec, 3)
 
-        got = _ivfpq(cq[:n_probe], BENCH_K).toPandas()
         ex_pdf1 = exact_search_blocked(
             cemb1, _qdf(cq[:n_probe]), k=BENCH_K, n_corpus=n1,
             n_probes=n_probe,
@@ -654,9 +661,17 @@ def main() -> None:
             "cells": c1,
             "nprobe": npr1,
             "rerank_r": rr1,
-            "qps": round(nq1 / iv_sec, 2),
             "exact_qps": round(nq1 / ex_sec, 2),
-            "recall_at_k": round(_recall_of(got, ex_pdf1, n_probe), 3),
+            "cap_sweep": [
+                {
+                    "per_task_cap": p["per_task_cap"],
+                    "qps": p["qps"],
+                    "recall_at_k": round(
+                        _recall_of(p["pdf"], ex_pdf1, n_probe), 3
+                    ),
+                }
+                for p in iv_points
+            ],
         }
 
         # graph path on the same 10x corpus and queries: the OTHER
