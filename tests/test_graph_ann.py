@@ -381,3 +381,74 @@ def test_saved_index_survives_retire_and_purge(spark, sf_dir, tmp_path):
     idx2 = GraphIndex.load(spark, path)
     q = _queries(spark, emb, n=5)
     assert idx2.search(q, k=3, n_queries=5).count() == 15
+
+
+def test_resave_unpins_superseded_generation(spark, sf_dir, tmp_path):
+    """The save/append/save cycle must not leak: after an append
+    re-packs touched shards under fresh prefixes, a re-save to the
+    SAME path unpins the prior generation's files (no manifest
+    references them anymore) so they are actually deleted — not
+    immortal pinned orphans skipped by every GC path forever. A
+    second manifest holding the same prefixes keeps them alive
+    (owner refcount)."""
+    import glob
+    import os
+
+    emb = _emb(spark, sf_dir).localCheckpoint(eager=True)
+    idx = GraphIndex(m=8, ef=64).build(emb)
+    idx.state()
+    path = str(tmp_path / "gen")
+    other_path = str(tmp_path / "other")
+    idx.save(path)
+    gen1 = {p for p, _, _ in idx._vec_meta.values()}
+
+    delta = emb.select(
+        (F.col("vec_id") + F.lit(2_000_000)).alias("vec_id"), "emb"
+    ).limit(20).localCheckpoint(eager=True)
+    idx.append(delta)
+    idx.state()
+    gen2 = {p for p, _, _ in idx._vec_meta.values()}
+    superseded = gen1 - gen2
+    assert superseded, "append should have re-packed at least one shard"
+
+    # a second manifest also claims the CURRENT generation: the
+    # refcount must keep shared prefixes alive across the re-save
+    idx.save(other_path)
+
+    idx.save(path)  # re-save: prior generation loses its last owner...
+    # ...except prefixes other_path also pinned (none of `superseded`,
+    # which predates other_path's save)
+    for p in superseded:
+        assert not os.path.exists(f"{p}.pin"), p
+        assert not glob.glob(f"{p}.*"), f"leaked superseded files: {p}"
+    for p in gen2:
+        assert glob.glob(f"{p}.ids.npy"), p
+
+    # both manifests still load and answer
+    q = _queries(spark, emb, n=5)
+    assert GraphIndex.load(spark, path).search(
+        q, k=3, n_queries=5
+    ).count() == 15
+    assert GraphIndex.load(spark, other_path).search(
+        q, k=3, n_queries=5
+    ).count() == 15
+
+
+def test_retired_index_raises_cleanly(spark, sf_dir):
+    """After retire(), every entry point must fail with the clean
+    'build() first' ValueError — not an AttributeError off stale
+    quantizer arrays (retire resets centroids/cell_shard/cell_seeds
+    too)."""
+    import pytest
+
+    emb = _emb(spark, sf_dir).localCheckpoint(eager=True)
+    idx = GraphIndex(m=8, ef=64).build(emb)
+    q = _queries(spark, emb, n=2)
+    idx.retire()
+    assert idx.centroids is None and idx.cell_seeds is None
+    with pytest.raises(ValueError, match="build"):
+        idx.search(q, k=3, n_queries=2)
+    with pytest.raises(ValueError, match="build"):
+        idx.exact_search(q, k=3, n_queries=2)
+    with pytest.raises(ValueError, match="build"):
+        idx.append(emb.limit(5))

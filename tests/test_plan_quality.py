@@ -187,6 +187,41 @@ def test_pack_sequences_window_is_bucket_partitioned(spark, sf_dir):
     assert "bucket" in a["plan"]
 
 
+def test_exact_rerank_no_corpus_shuffle(spark, sf_dir):
+    """exact_rerank is the confirm stage of the whole PQ/IVFPQ family:
+    the nq x R candidate id-pairs are small BY CONTRACT, so they must
+    ride a broadcast — the raw-vector corpus must never shuffle on
+    vec_id (at 100 TB that re-moves the very bytes the ADC stage
+    existed to avoid touching). Pinned: no SortMergeJoin, and the only
+    shuffle Exchange is the top-k window's hash partition on query_id."""
+    import numpy as np
+    import pandas as pd
+
+    from zvdb_spark.functions.vector import as_double_array
+    from zvdb_spark.operators.pq import exact_rerank
+    from zvdb_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    dim = len(emb.select("emb").head()[0])
+    ids = [r[0] for r in emb.select("vec_id").limit(40).collect()]
+    cand = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": np.repeat(np.arange(4, dtype=np.int64), 10),
+                "vec_id": np.asarray(ids, dtype=np.int64),
+            }
+        ),
+        schema="query_id long, vec_id long",
+    )
+    q = np.zeros((4, dim))
+    a = plan_audit(exact_rerank(cand, emb, q, k=3, cand_rows=40))
+    assert a["n_sortmerge_joins"] == 0, a["plan"]
+    assert a["n_broadcast_joins"] >= 2, a["plan"]  # cand AND query batch
+    assert a["n_exchanges"] <= 1, a["plan"]  # the window's, nothing else
+
+
 def test_sample_stratified_no_rand_no_extra_shuffle(spark, sf_dir):
     """The sample is a hash predicate, not rand() (rand(seed) is
     partition-layout-dependent), and the only exchange is the report

@@ -1032,15 +1032,44 @@ class GraphIndex:
         retire()/deinit() on this object can destroy the saved files
         — without the pin, any other index activity in the shared
         segment dir more than 24h after the save would silently
-        garbage-collect the persisted index. Returns ``path``."""
+        garbage-collect the persisted index. Pins carry this
+        manifest's path as an owner line: re-saving to the same path
+        after an append UNPINS the prefixes the new manifest no
+        longer references (releasing the superseded generation's
+        files unless another manifest also owns them), so a
+        save/append/save loop cannot leak pinned-but-orphaned
+        segments. A pin failure raises — save() never reports
+        success while part of the index is still purge-eligible.
+        Returns ``path``."""
         import json
 
-        from zvdb_spark.operators.segments import pin_prefixes
+        from zvdb_spark.operators.segments import (
+            pin_prefixes,
+            unpin_prefixes,
+        )
 
         self.state()  # flush deltas: metadata must describe disk truth
-        pin_prefixes(p for p, _, _ in self._vec_meta.values())
-        pin_prefixes(a for *_, a in self._adj_meta.values() if a)
-        pin_prefixes(e for e in self._edge_meta.values() if e)
+        owner = os.path.abspath(f"{path}.json")
+        old_pins: set[str] = set()
+        if os.path.exists(f"{path}.json"):
+            try:
+                with open(f"{path}.json") as f:
+                    prior = json.load(f)
+                old_pins = (
+                    {v[0] for v in prior["vec_meta"].values()}
+                    | {v[4] for v in prior["adj_meta"].values() if v[4]}
+                    | {e for e in prior["edge_meta"].values() if e}
+                )
+            except (OSError, ValueError, KeyError, IndexError):
+                old_pins = set()  # unreadable prior manifest: pin-only
+        new_pins = (
+            {p for p, _, _ in self._vec_meta.values()}
+            | {a for *_, a in self._adj_meta.values() if a}
+            | {e for e in self._edge_meta.values() if e}
+        )
+        # pin BEFORE the manifest lands: a failure here aborts the
+        # save with no manifest claiming durability it doesn't have
+        pin_prefixes(new_pins, owner=owner)
         arrays = {
             "centroids": np.asarray(self.centroids),
             "cell_shard": np.asarray(self.cell_shard),
@@ -1066,6 +1095,10 @@ class GraphIndex:
         with open(f"{path}.json.tmp", "w") as f:
             json.dump(manifest, f)
         os.replace(f"{path}.json.tmp", f"{path}.json")
+        # the new manifest is durable; release this path's claim on
+        # prefixes it no longer references (prior generation files
+        # superseded by appends since the last save)
+        unpin_prefixes(old_pins - new_pins, owner=owner)
         return path
 
     @classmethod
@@ -1130,6 +1163,15 @@ class GraphIndex:
         self._state = None
         self.celled = None
         self.n_rows = 0
+        # full reset to the pre-build state: leaving the quantizer
+        # arrays populated lets a later append()/search() limp past
+        # the guards with stale routing instead of the clean
+        # "build() first" ValueError
+        self.centroids = None
+        self.cell_shard = None
+        self.cell_seeds = None
+        self._dirty = None
+        self.structure_ratio = None
 
     def state(self) -> DataFrame:
         """Adjacency segments + search metadata. Builds the padded

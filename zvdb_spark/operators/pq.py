@@ -293,8 +293,17 @@ def pq_search_rerank(
         per_part_cap=cap,
     ).select("query_id", id_col)
     return exact_rerank(
-        cand, corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+        cand, corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        cand_rows=len(queries) * int(rerank_r),
     )
+
+
+# Broadcast gate for the candidate frame in exact_rerank: rows are
+# two longs (query_id, id), so 16 M rows ~ 256 MB serialized — safe to
+# ship to every executor, and far past the nq x R any caller produces
+# (bench max 10k x 400 = 4 M). Past the gate the join falls back to
+# shuffle, which a caller with an unbounded candidate set must accept.
+RERANK_BROADCAST_CAP_ROWS = 16_000_000
 
 
 def exact_rerank(
@@ -304,12 +313,23 @@ def exact_rerank(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "emb",
+    cand_rows: int | None = None,
 ) -> DataFrame:
     """Exact squared-L2 re-rank of a (query_id, id) candidate frame
     against the raw vectors: the confirm stage shared by every
     approximate candidate generator (flat PQ, IVF+PQ, LSH buckets).
     Join candidates -> raw rows, broadcast the query batch, HOF
-    distance, window top-k by (dist, id)."""
+    distance, window top-k by (dist, id).
+
+    The candidate frame is nq x R id pairs — small BY CONTRACT (that
+    selectivity is the whole point of the candidate generator) — so it
+    is explicitly broadcast: the corpus side must never shuffle on
+    ``id_col`` (at 100 TB that re-moves the raw vectors the ADC stage
+    existed to avoid touching). Callers that can bound the candidate
+    count pass ``cand_rows`` (= nq*R); sets past
+    ``RERANK_BROADCAST_CAP_ROWS`` fall back to a shuffle join.
+    Plan-pinned by tests/test_plan_quality.py (no corpus-side
+    Exchange)."""
     from zvdb_spark.functions.vector import dist_sq as _dist_sq
 
     spark = cand.sparkSession
@@ -323,8 +343,11 @@ def exact_rerank(
         ),
         schema="query_id long, qemb array<double>",
     )
+    cand_ids = cand.select("query_id", id_col)
+    if cand_rows is None or cand_rows <= RERANK_BROADCAST_CAP_ROWS:
+        cand_ids = F.broadcast(cand_ids)
     scored = (
-        cand.select("query_id", id_col)
+        cand_ids
         .join(corpus.select(id_col, vec_col), id_col)
         .join(F.broadcast(qdf), "query_id")
         .select(

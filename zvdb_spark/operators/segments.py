@@ -127,7 +127,7 @@ def save_npy(prefix: str, name: str, arr: np.ndarray) -> None:
     os.replace(tmp, f"{prefix}.{name}.npy")
 
 
-def pin_prefixes(prefixes) -> None:
+def pin_prefixes(prefixes, owner: str | None = None) -> None:
     """Mark segment prefixes as OWNED BY A SAVED INDEX: a tiny
     ``<prefix>.pin`` marker makes both deletion paths —
     unlink_prefixes (the retire/reap lifecycle) and purge_stale (the
@@ -136,13 +136,68 @@ def pin_prefixes(prefixes) -> None:
     segment dir is free to garbage-collect: any later build in the
     dir would purge a >24h-old saved index, and retire()/deinit()
     after save() would queue the saved files for reaping. Pins are
-    touched on load() like any live segment, and removing a saved
-    index is an explicit act (delete the manifest and its pinned
-    files), never a side effect."""
+    touched on load() like any live segment.
+
+    ``owner`` (the manifest path doing the pinning) is recorded as a
+    line in the marker — a refcount, so two manifests may pin the
+    same prefix and unpin_prefixes releases files only when the LAST
+    owner lets go. Pin failures RAISE (after attempting every
+    prefix): a save() that returns success with some files unpinned
+    would let the 24h purge silently eat part of a "persisted"
+    index, so the durability contract demands the error surface."""
+    errs: list[str] = []
     for p in prefixes:
+        marker = f"{p}.pin"
         try:
-            with open(f"{p}.pin", "a"):
-                pass
+            if owner is None:
+                with open(marker, "a"):
+                    pass
+            else:
+                try:
+                    with open(marker) as fh:
+                        lines = fh.read().splitlines()
+                except OSError:
+                    lines = []
+                if owner not in lines:
+                    with open(marker, "a") as fh:
+                        fh.write(owner + "\n")
+        except OSError as e:
+            errs.append(f"{marker}: {e}")
+    if errs:
+        raise OSError(
+            f"failed to pin {len(errs)} segment prefix(es); the index "
+            f"is NOT durably saved: " + "; ".join(errs[:3])
+        )
+
+
+def unpin_prefixes(prefixes, owner: str) -> None:
+    """Release ``owner``'s claim on segment prefixes (the inverse of
+    pin_prefixes with an owner). When the last owner line goes, the
+    marker AND the segment files are unlinked — this closes the leak
+    where a save/append/save cycle left the superseded generation's
+    pinned files immortal (referenced by no manifest, skipped by both
+    unlink_prefixes and purge_stale forever). Ownerless legacy
+    markers (empty files) are treated as foreign and left alone;
+    POSIX-safe for in-flight readers (open mmaps hold the inode)."""
+    for p in prefixes:
+        marker = f"{p}.pin"
+        try:
+            with open(marker) as fh:
+                lines = [ln for ln in fh.read().splitlines() if ln]
+        except OSError:
+            continue
+        if owner not in lines:
+            continue
+        rest = [ln for ln in lines if ln != owner]
+        try:
+            if rest:
+                tmp = f"{marker}.{os.getpid()}.tmp"
+                with open(tmp, "w") as fh:
+                    fh.write("\n".join(rest) + "\n")
+                os.replace(tmp, marker)
+            else:
+                os.unlink(marker)
+                unlink_prefixes([p])
         except OSError:
             pass
 

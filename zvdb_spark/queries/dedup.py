@@ -695,8 +695,15 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if small:
         labels = labels.coalesce(1)
-    # Component sizes are tiny here; bound iterations by a safe cap and
-    # stop early at fixpoint (count of changed labels == 0).
+    # Component sizes are tiny here; bound iterations by a safe cap
+    # and stop early at fixpoint. Fixpoint detection is a LABEL-SUM
+    # CHECKSUM, not a join: min-propagation only ever DECREASES a
+    # label, so the exact (decimal, overflow-free) sum of labels is
+    # strictly monotone until convergence — an unchanged sum IS the
+    # fixpoint. One tiny aggregate over the just-checkpointed labels
+    # per round, where a diff-join would re-shuffle both label
+    # generations every iteration of the declared scale contract.
+    prev_sum = None
     for _ in range(20):
         nbr_min = (
             edges.join(labels, edges.ib == labels.id)
@@ -712,15 +719,13 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("label"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
         labels = new_labels.localCheckpoint(eager=True)
-        if changed == 0:
+        label_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).head()["s"]
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
     return (
         labels.join(sizes, "label")
