@@ -823,8 +823,27 @@ def main() -> None:
 
     def _bench_grid():
         for dim in GRID_DIMS:
-            gemb = gen_vectors(spark, GRID_N, dim, SEED + dim)
-            gcorp = SegmentCorpus().pack(gemb, n_rows=GRID_N)
+            gemb = gen_vectors(spark, GRID_N, dim, SEED + dim).localCheckpoint(
+                eager=True
+            )  # materialized: the pack timing below measures ingest,
+            # not vector generation
+            # per-dim INSERT cell: the reference harness benches
+            # insertion at every dim of its grid
+            # (benchmarks/shared_benchmarks.zig:61-88 via
+            # single_threaded_benchmarks.zig:28-33); pack() on the
+            # same instance retires the prior sample's segments, so
+            # best-of-2 leaves exactly one live corpus
+            gcorp = SegmentCorpus()
+            ins_sec = _best_of(
+                2, lambda c=gcorp, d=gemb: c.pack(d, n_rows=GRID_N)
+            )
+            grid_rows.append(
+                {
+                    "dim": dim,
+                    "n": GRID_N,
+                    "insert_pts_per_s": round(GRID_N / ins_sec, 2),
+                }
+            )
             gq = np.random.default_rng(SEED + dim).random((GRID_NQ, dim))
             gqdf = _qdf(gq)
             _noop_write(
