@@ -282,6 +282,7 @@ def main() -> None:
         )
         timings["vector_search_exact"] = round(exact_sec, 3)
         result["search_qps"] = round(BENCH_NQ / exact_sec, 2)
+        state["qdf_full"] = qdf_full
 
     def _bench_ann_uniform():
         # ANN on the reference's own distribution (uniform random — the
@@ -382,6 +383,26 @@ def main() -> None:
         )
         timings["vector_search_ann"] = round(cann_sec, 3)
         result["ann_search_qps"] = round(ann_nq / cann_sec, 2)
+        state["qdf_c"] = qdf_c
+        # Round-6 finding: the exact headline swung 5,017 -> 3,477 q/s
+        # across rounds of UNCHANGED code — host load sampled minutes
+        # apart, not the engine. Two extra exact samples HERE, minutes
+        # after _bench_exact and adjacent to the ANN headline, make
+        # search_qps a best-of-5 spread across the bench timeline and
+        # give the published ann/exact ratio a shared load window.
+        gidx = state.get("gidx")
+        if gidx is not None and "qdf_full" in state:
+            qdf_full = state["qdf_full"]
+            late_sec = _best_of(
+                2,
+                lambda: _noop_write(
+                    gidx.exact_search(qdf_full, k=BENCH_K, n_queries=BENCH_NQ)
+                ),
+            )
+            timings["vector_search_exact_late"] = round(late_sec, 3)
+            if late_sec < timings.get("vector_search_exact", float("inf")):
+                timings["vector_search_exact"] = round(late_sec, 3)
+                result["search_qps"] = round(BENCH_NQ / late_sec, 2)
         cann_pdf = cgidx.search(
             _qdf(cqueries[:n_probe]), k=BENCH_K, n_queries=n_probe
         ).toPandas()
@@ -531,7 +552,8 @@ def main() -> None:
                     nprobe=np_, residual=True, per_task_cap=rr,
                 )
                 _noop_write(
-                    exact_rerank(cand, cemb, cqueries[:ann_nq], k=BENCH_K)
+                    exact_rerank(cand, cemb, cqueries[:ann_nq], k=BENCH_K,
+                                 cand_rows=ann_nq * rr)
                 )
 
             sec = _best_of(2, _run)
@@ -541,6 +563,7 @@ def main() -> None:
                     nprobe=nprobe, residual=True, per_task_cap=rr,
                 ),
                 cemb, cqueries[:n_probe], k=BENCH_K,
+                cand_rows=n_probe * rr,
             ).toPandas()
             sweep.append(
                 {
@@ -613,7 +636,8 @@ def main() -> None:
                 codes, books, cents, qarr, k=rr1, nprobe=npr1,
                 residual=True, per_task_cap=cap,
             )
-            return exact_rerank(cand, cemb1, qarr, k=k)
+            return exact_rerank(cand, cemb1, qarr, k=k,
+                                cand_rows=len(qarr) * rr1)
 
         # warm with a 1k slice (worker pool + page-in), then ONE timed
         # full batch per point: a second full-batch run at 1M costs

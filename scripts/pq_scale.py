@@ -173,7 +173,7 @@ def main() -> None:
             ccodes, cbooks, cents, qarr, k=R, nprobe=NPROBE,
             per_task_cap=64, residual=True,
         )
-        return exact_rerank(cand, cemb, qarr, k=k)
+        return exact_rerank(cand, cemb, qarr, k=k, cand_rows=len(qarr) * R)
 
     _noop(_ivfpq(cq, K))
     t0 = time.perf_counter()

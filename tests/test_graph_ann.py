@@ -367,7 +367,7 @@ def test_saved_index_survives_retire_and_purge(spark, sf_dir, tmp_path):
     d = os.path.dirname(own[0])
     path = str(tmp_path / "saved")
     idx.save(path)
-    assert all(os.path.exists(f"{p}.pin") for p in own)
+    assert all(S._pin_markers(p) for p in own)
 
     # persist-and-release: retire + forced reap must NOT touch pins
     idx.retire()
@@ -417,9 +417,18 @@ def test_resave_unpins_superseded_generation(spark, sf_dir, tmp_path):
 
     idx.save(path)  # re-save: prior generation loses its last owner...
     # ...except prefixes other_path also pinned (none of `superseded`,
-    # which predates other_path's save)
+    # which predates other_path's save). Release is RETIRE, not
+    # unlink: markers go now, files only after the grace window, so
+    # lazy plans still reading the old generation stay re-executable.
+    import time as _t
+
+    import zvdb_spark.operators.segments as S
+
     for p in superseded:
-        assert not os.path.exists(f"{p}.pin"), p
+        assert not S._pin_markers(p), p
+        assert glob.glob(f"{p}.*"), f"grace window should protect: {p}"
+    S.reap_retired(now=_t.time() + S._RETIRE_GRACE_SECS + 1)
+    for p in superseded:
         assert not glob.glob(f"{p}.*"), f"leaked superseded files: {p}"
     for p in gen2:
         assert glob.glob(f"{p}.ids.npy"), p

@@ -221,6 +221,21 @@ def test_exact_rerank_no_corpus_shuffle(spark, sf_dir):
     assert a["n_broadcast_joins"] >= 2, a["plan"]  # cand AND query batch
     assert a["n_exchanges"] <= 1, a["plan"]  # the window's, nothing else
 
+    # The gate fails SAFE: an UNBOUNDED candidate frame (cand_rows
+    # omitted) must NOT get the broadcast HINT — only size-aware
+    # auto-broadcast (statistics) or the always-nq-bounded query
+    # batch may broadcast. Simulate "statistics say too big" by
+    # disabling auto-broadcast: the cand join must then plan as a
+    # shuffle join, never an executor-OOM forced broadcast.
+    thresh = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(thresh)
+    spark.conf.set(thresh, "-1")
+    try:
+        a2 = plan_audit(exact_rerank(cand, emb, q, k=3))
+    finally:
+        spark.conf.set(thresh, prev)
+    assert a2["n_broadcast_joins"] <= 1, a2["plan"]  # query batch only
+
 
 def test_sample_stratified_no_rand_no_extra_shuffle(spark, sf_dir):
     """The sample is a hash predicate, not rand() (rand(seed) is

@@ -1032,15 +1032,15 @@ class GraphIndex:
         retire()/deinit() on this object can destroy the saved files
         — without the pin, any other index activity in the shared
         segment dir more than 24h after the save would silently
-        garbage-collect the persisted index. Pins carry this
-        manifest's path as an owner line: re-saving to the same path
-        after an append UNPINS the prefixes the new manifest no
-        longer references (releasing the superseded generation's
-        files unless another manifest also owns them), so a
-        save/append/save loop cannot leak pinned-but-orphaned
-        segments. A pin failure raises — save() never reports
-        success while part of the index is still purge-eligible.
-        Returns ``path``."""
+        garbage-collect the persisted index. Each pin is a per-owner
+        marker file keyed by this manifest's path: re-saving to the
+        same path after an append UNPINS the prefixes the new
+        manifest no longer references (retiring the superseded
+        generation's files behind the reader grace window, unless
+        another manifest also owns them), so a save/append/save loop
+        cannot leak pinned-but-orphaned segments. A pin failure
+        raises — save() never reports success while part of the
+        index is still purge-eligible. Returns ``path``."""
         import json
 
         from zvdb_spark.operators.segments import (

@@ -301,8 +301,9 @@ def pq_search_rerank(
 # Broadcast gate for the candidate frame in exact_rerank: rows are
 # two longs (query_id, id), so 16 M rows ~ 256 MB serialized — safe to
 # ship to every executor, and far past the nq x R any caller produces
-# (bench max 10k x 400 = 4 M). Past the gate the join falls back to
-# shuffle, which a caller with an unbounded candidate set must accept.
+# (bench max 10k x 400 = 4 M). Past the gate — or when the caller
+# passes NO bound — the join falls back to shuffle: broadcast is
+# opt-in-with-evidence, never the default for an unbounded set.
 RERANK_BROADCAST_CAP_ROWS = 16_000_000
 
 
@@ -322,14 +323,17 @@ def exact_rerank(
     distance, window top-k by (dist, id).
 
     The candidate frame is nq x R id pairs — small BY CONTRACT (that
-    selectivity is the whole point of the candidate generator) — so it
-    is explicitly broadcast: the corpus side must never shuffle on
-    ``id_col`` (at 100 TB that re-moves the raw vectors the ADC stage
-    existed to avoid touching). Callers that can bound the candidate
-    count pass ``cand_rows`` (= nq*R); sets past
-    ``RERANK_BROADCAST_CAP_ROWS`` fall back to a shuffle join.
-    Plan-pinned by tests/test_plan_quality.py (no corpus-side
-    Exchange)."""
+    selectivity is the whole point of the candidate generator) — so
+    callers that bound the candidate count pass ``cand_rows``
+    (= nq*R) and get an explicit broadcast: the corpus side must
+    never shuffle on ``id_col`` (at 100 TB that re-moves the raw
+    vectors the ADC stage existed to avoid touching). ``cand_rows``
+    past ``RERANK_BROADCAST_CAP_ROWS`` — or OMITTED — falls back to
+    a shuffle join: an unbounded candidate set must never default
+    into an executor-OOM broadcast, so the gate fails SAFE and the
+    fast path is opt-in-with-evidence. Plan-pinned by
+    tests/test_plan_quality.py (no corpus-side Exchange when
+    cand_rows is under the cap)."""
     from zvdb_spark.functions.vector import dist_sq as _dist_sq
 
     spark = cand.sparkSession
@@ -344,7 +348,7 @@ def exact_rerank(
         schema="query_id long, qemb array<double>",
     )
     cand_ids = cand.select("query_id", id_col)
-    if cand_rows is None or cand_rows <= RERANK_BROADCAST_CAP_ROWS:
+    if cand_rows is not None and cand_rows <= RERANK_BROADCAST_CAP_ROWS:
         cand_ids = F.broadcast(cand_ids)
     scored = (
         cand_ids

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import tempfile
 import time
 import uuid
@@ -127,40 +128,69 @@ def save_npy(prefix: str, name: str, arr: np.ndarray) -> None:
     os.replace(tmp, f"{prefix}.{name}.npy")
 
 
+def _pin_marker(prefix: str, owner: str) -> str:
+    """Per-owner pin marker path. One FILE per (prefix, owner) — not
+    one line in a shared file — so pin and unpin are a single atomic
+    create/unlink with no read-modify-write: two sessions saving
+    manifests that share prefixes over NFS can never interleave a
+    read-filter-replace and drop each other's claim."""
+    import hashlib
+
+    h = hashlib.sha1(owner.encode("utf-8")).hexdigest()[:16]
+    return f"{prefix}.pin.{h}"
+
+
+def _pin_markers(prefix: str) -> list[str]:
+    """Every live pin marker for a prefix: the bare legacy
+    ``<prefix>.pin`` plus any per-owner ``<prefix>.pin.<sha1-16>``."""
+    import glob as _glob
+
+    return [
+        f
+        for f in _glob.glob(f"{prefix}.pin*")
+        if f == f"{prefix}.pin" or _PIN_SUFFIX_RE.search(f)
+    ]
+
+
+_PIN_SUFFIX_RE = re.compile(r"\.pin\.[0-9a-f]{16}$")
+
+
 def pin_prefixes(prefixes, owner: str | None = None) -> None:
     """Mark segment prefixes as OWNED BY A SAVED INDEX: a tiny
-    ``<prefix>.pin`` marker makes both deletion paths —
-    unlink_prefixes (the retire/reap lifecycle) and purge_stale (the
-    24h dead-build sweep) — skip every file of the prefix. Without
-    this, GraphIndex.save's manifest would point at files the shared
+    pin marker makes both deletion paths — unlink_prefixes (the
+    retire/reap lifecycle) and purge_stale (the 24h dead-build
+    sweep) — skip every file of the prefix. Without this,
+    GraphIndex.save's manifest would point at files the shared
     segment dir is free to garbage-collect: any later build in the
     dir would purge a >24h-old saved index, and retire()/deinit()
     after save() would queue the saved files for reaping. Pins are
     touched on load() like any live segment.
 
-    ``owner`` (the manifest path doing the pinning) is recorded as a
-    line in the marker — a refcount, so two manifests may pin the
-    same prefix and unpin_prefixes releases files only when the LAST
-    owner lets go. Pin failures RAISE (after attempting every
-    prefix): a save() that returns success with some files unpinned
-    would let the 24h purge silently eat part of a "persisted"
-    index, so the durability contract demands the error surface."""
+    ``owner`` (the manifest path doing the pinning) gets its OWN
+    marker file ``<prefix>.pin.<sha1-16-of-owner>`` — a refcount
+    where each claim is an independent atomic create, so two
+    manifests may pin the same prefix concurrently (even over NFS)
+    and unpin_prefixes releases files only when the LAST owner's
+    marker is gone. ``owner=None`` touches the bare legacy
+    ``<prefix>.pin`` marker, which no named owner can ever release.
+    Pin failures RAISE (after attempting every prefix): a save()
+    that returns success with some files unpinned would let the 24h
+    purge silently eat part of a "persisted" index, so the
+    durability contract demands the error surface."""
     errs: list[str] = []
     for p in prefixes:
-        marker = f"{p}.pin"
+        marker = f"{p}.pin" if owner is None else _pin_marker(p, owner)
         try:
             if owner is None:
                 with open(marker, "a"):
                     pass
             else:
-                try:
-                    with open(marker) as fh:
-                        lines = fh.read().splitlines()
-                except OSError:
-                    lines = []
-                if owner not in lines:
-                    with open(marker, "a") as fh:
-                        fh.write(owner + "\n")
+                # tmp + rename: the marker appears atomically with its
+                # owner recorded (debuggability; the NAME is the claim)
+                tmp = f"{marker}.{os.getpid()}.tmp"
+                with open(tmp, "w") as fh:
+                    fh.write(owner + "\n")
+                os.replace(tmp, marker)
         except OSError as e:
             errs.append(f"{marker}: {e}")
     if errs:
@@ -172,45 +202,37 @@ def pin_prefixes(prefixes, owner: str | None = None) -> None:
 
 def unpin_prefixes(prefixes, owner: str) -> None:
     """Release ``owner``'s claim on segment prefixes (the inverse of
-    pin_prefixes with an owner). When the last owner line goes, the
-    marker AND the segment files are unlinked — this closes the leak
-    where a save/append/save cycle left the superseded generation's
-    pinned files immortal (referenced by no manifest, skipped by both
-    unlink_prefixes and purge_stale forever). Ownerless legacy
-    markers (empty files) are treated as foreign and left alone;
-    POSIX-safe for in-flight readers (open mmaps hold the inode)."""
+    pin_prefixes with an owner): unlink the owner's marker file —
+    atomic, no read-modify-write. When the LAST marker goes, the
+    segment files are RETIRED (grace-window reap, not immediate
+    unlink): lazy DataFrames or another live GraphIndex may still be
+    reading the superseded generation, and Spark may legally re-run
+    a stage against it — retire_prefixes gives those readers the
+    same protection the normal repack lifecycle provides, and
+    reap-time unlink_prefixes re-checks pins, so a prefix re-pinned
+    during the grace window survives. Bare legacy ``<prefix>.pin``
+    markers are never touched and keep the files alive forever —
+    a pre-refcount manifest may reference them."""
     for p in prefixes:
-        marker = f"{p}.pin"
         try:
-            with open(marker) as fh:
-                lines = [ln for ln in fh.read().splitlines() if ln]
+            os.unlink(_pin_marker(p, owner))
         except OSError:
             continue
-        if owner not in lines:
-            continue
-        rest = [ln for ln in lines if ln != owner]
-        try:
-            if rest:
-                tmp = f"{marker}.{os.getpid()}.tmp"
-                with open(tmp, "w") as fh:
-                    fh.write("\n".join(rest) + "\n")
-                os.replace(tmp, marker)
-            else:
-                os.unlink(marker)
-                unlink_prefixes([p])
-        except OSError:
-            pass
+        if not _pin_markers(p):
+            retire_prefixes([p])
 
 
 def unlink_prefixes(prefixes) -> None:
     """Remove superseded segment files. POSIX-safe under concurrent
     readers: an mmap holds the inode, so in-flight searches on the
     old build finish unharmed. Pinned prefixes (saved indexes) are
-    skipped — a manifest owns them now."""
+    skipped — a manifest owns them now. Pins are re-checked HERE, at
+    reap time, so a last-owner unpin followed by a fresh pin inside
+    the retire grace window does not lose the re-pinned files."""
     import glob as _glob
 
     for p in prefixes:
-        if os.path.exists(f"{p}.pin"):
+        if _pin_markers(p):
             continue
         for f in _glob.glob(f"{p}.*"):
             try:
@@ -223,20 +245,27 @@ def purge_stale(d: str, now: float) -> None:
     """Opportunistic reap of segments older than 24h (dead builds
     from past sessions). Live indexes re-pack far more often than
     that; the per-build token keeps names unique. Pinned prefixes
-    (saved indexes) and the pin markers themselves are never purged
-    — persistence must survive arbitrary idle gaps."""
+    (saved indexes) and the pin markers themselves — bare legacy
+    ``.pin`` or per-owner ``.pin.<sha1-16>`` — are never purged:
+    persistence must survive arbitrary idle gaps."""
     try:
         entries = os.listdir(d)
     except OSError:
         return
+
+    def _is_marker(f: str) -> bool:
+        return f.endswith(".pin") or bool(_PIN_SUFFIX_RE.search(f))
+
     pinned = tuple(
-        os.path.join(d, f[: -len(".pin")]) + "."
-        for f in entries
-        if f.endswith(".pin")
+        {
+            os.path.join(d, f[: f.rindex(".pin")]) + "."
+            for f in entries
+            if _is_marker(f)
+        }
     )
     for f in entries:
         path = os.path.join(d, f)
-        if f.endswith(".pin") or (pinned and path.startswith(pinned)):
+        if _is_marker(f) or (pinned and path.startswith(pinned)):
             continue
         try:
             if now - os.path.getmtime(path) > _PURGE_AGE_SECS:

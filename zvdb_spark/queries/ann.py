@@ -280,7 +280,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes, books, cents, qvec, k=50, nprobe=4, residual=True
     )
     return (
-        exact_rerank(cand, e, qvec, k=ANN_K)
+        exact_rerank(cand, e, qvec, k=ANN_K, cand_rows=len(qvec) * 50)
         .select("vec_id", F.round("dist_sq", 4).alias("dist_sq"), "rn")
         .orderBy("rn")
     )
@@ -338,7 +338,7 @@ def q_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             pruned, books, cents, qvec, k=50, nprobe=4, residual=True
         )
         return (
-            exact_rerank(cand, e, qvec, k=ANN_K)
+            exact_rerank(cand, e, qvec, k=ANN_K, cand_rows=len(qvec) * 50)
             .select("vec_id", F.round("dist_sq", 4).alias("dist_sq"), "rn")
             .orderBy("rn")
             .localCheckpoint(eager=True)

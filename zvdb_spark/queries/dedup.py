@@ -703,7 +703,12 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixpoint. One tiny aggregate over the just-checkpointed labels
     # per round, where a diff-join would re-shuffle both label
     # generations every iteration of the declared scale contract.
-    prev_sum = None
+    # Seed with the INITIAL labels' sum so an already-converged label
+    # set (or a single-round convergence) breaks on the first
+    # unchanged round instead of paying one extra join+aggregate.
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).head()["s"]
     for _ in range(20):
         nbr_min = (
             edges.join(labels, edges.ib == labels.id)
