@@ -20,6 +20,13 @@ Two parts:
      - ann_search_qps   : graph-traversal ANN path, best of 3
      - ivfpq_sweep      : residual IVF+PQ (nprobe, recall, qps) on the
                           clustered corpus (the compressed scale path)
+     - ivfpq_persisted  : same search over the CELL-PARTITIONED
+                          parquet layout (write_ivf_layout /
+                          read_ivf_cells) with behavioral files-read
+                          accounting — the at-rest 100 TB shape
+     - search_qps_loaded: the ann headline re-run on a save()d and
+                          load()ed index (zero-job reopen), with a
+                          churn + clean-release pin check at the end
      - search_qps_by_parallelism / insert_pts_per_s_by_parallelism:
                           concurrency ladders (beam tasks / forced
                           shard count), the thread-scaling analogs of
@@ -384,25 +391,39 @@ def main() -> None:
         timings["vector_search_ann"] = round(cann_sec, 3)
         result["ann_search_qps"] = round(ann_nq / cann_sec, 2)
         state["qdf_c"] = qdf_c
-        # Round-6 finding: the exact headline swung 5,017 -> 3,477 q/s
-        # across rounds of UNCHANGED code — host load sampled minutes
-        # apart, not the engine. Two extra exact samples HERE, minutes
-        # after _bench_exact and adjacent to the ANN headline, make
-        # search_qps a best-of-5 spread across the bench timeline and
-        # give the published ann/exact ratio a shared load window.
+        # Round-6/7 finding: the exact AND ann headlines each swung
+        # ±35-70% across rounds of UNCHANGED code — host load sampled
+        # minutes apart, not the engine. Late samples HERE, minutes
+        # after _bench_exact, INTERLEAVED exact/ann back-to-back:
+        # both headlines become best-of-5 spread across the bench
+        # timeline, and the published ann/exact ratio comes from ONE
+        # shared load window instead of mins taken under different
+        # neighbors (r7: the exact side alone got this treatment and
+        # stabilized +35% while the untouched ann side swung -40%).
         gidx = state.get("gidx")
         if gidx is not None and "qdf_full" in state:
             qdf_full = state["qdf_full"]
-            late_sec = _best_of(
-                2,
-                lambda: _noop_write(
+            ex_late = ann_late = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _noop_write(
                     gidx.exact_search(qdf_full, k=BENCH_K, n_queries=BENCH_NQ)
-                ),
+                )
+                ex_late = min(ex_late, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                _noop_write(cgidx.search(qdf_c, k=BENCH_K, n_queries=ann_nq))
+                ann_late = min(ann_late, time.perf_counter() - t0)
+            timings["vector_search_exact_late"] = round(ex_late, 3)
+            timings["vector_search_ann_late"] = round(ann_late, 3)
+            result["ann_exact_qps_ratio_shared_window"] = round(
+                (ann_nq / ann_late) / (BENCH_NQ / ex_late), 3
             )
-            timings["vector_search_exact_late"] = round(late_sec, 3)
-            if late_sec < timings.get("vector_search_exact", float("inf")):
-                timings["vector_search_exact"] = round(late_sec, 3)
-                result["search_qps"] = round(BENCH_NQ / late_sec, 2)
+            if ex_late < timings.get("vector_search_exact", float("inf")):
+                timings["vector_search_exact"] = round(ex_late, 3)
+                result["search_qps"] = round(BENCH_NQ / ex_late, 2)
+            if ann_late < timings.get("vector_search_ann", float("inf")):
+                timings["vector_search_ann"] = round(ann_late, 3)
+                result["ann_search_qps"] = round(ann_nq / ann_late, 2)
         cann_pdf = cgidx.search(
             _qdf(cqueries[:n_probe]), k=BENCH_K, n_queries=n_probe
         ).toPandas()
@@ -444,6 +465,14 @@ def main() -> None:
                     "qps": round(ann_nq / sec, 2),
                 }
             )
+            # the sweep point at the HEADLINE ef is one more sample of
+            # the headline measurement, minutes later — fold it in
+            # (same best-of-across-the-timeline discipline as exact)
+            if ef == cgidx.ef and sec < timings.get(
+                "vector_search_ann", float("inf")
+            ):
+                timings["vector_search_ann"] = round(sec, 3)
+                result["ann_search_qps"] = round(ann_nq / sec, 2)
         result["ann_ef_sweep"] = sweep
 
     def _bench_parallelism():
@@ -573,6 +602,101 @@ def main() -> None:
                 }
             )
         result["ivfpq_sweep"] = sweep
+        state["ivf_books"] = books
+        state["ivf_codes"] = codes
+        state["ivf_cents"] = cents
+        state["ivf_rr"] = rr
+
+    def _bench_ivfpq_persisted():
+        # The persisted inverted-file layout (write_ivf_layout /
+        # read_ivf_cells, pq.py) — the at-rest shape the 100 TB story
+        # actually deploys — timed at bench scale for the first time
+        # (it was exercised only at pytest scale through round 7).
+        # Publishes (nprobe, recall, qps, files_read) with the same
+        # behavioral files-read accounting as
+        # tests/test_pq.py::test_ivf_layout_partition_pruning:
+        # input_file_name over the EXECUTED scan, not the plan's
+        # promise.
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from zvdb_spark.operators.pq import (
+            exact_rerank,
+            pq_search_ivf,
+            probed_cells,
+            read_ivf_cells,
+            write_ivf_layout,
+        )
+
+        books = state["ivf_books"]
+        codes = state["ivf_codes"]
+        cents = state["ivf_cents"]
+        rr = state["ivf_rr"]
+        cqueries = state["cqueries"]
+        cex_pdf = state["cex_pdf"]
+        nprobe = 16  # the ivfpq_sweep's mid point, for direct compare
+        path = tempfile.mkdtemp(prefix="zvdb_bench_ivf_layout_")
+        try:
+            t0 = time.perf_counter()
+            write_ivf_layout(codes, path)
+            write_sec = time.perf_counter() - t0
+            timings["ivfpq_layout_write"] = round(write_sec, 3)
+
+            def _persisted(qarr, k):
+                # probe selection + partition-pruned scan inside the
+                # timed path: this IS the search a deployed layout runs
+                cells = probed_cells(cents, qarr, nprobe)
+                pruned = read_ivf_cells(spark, path, cells)
+                cand = pq_search_ivf(
+                    pruned, books, cents, qarr, k=rr, nprobe=nprobe,
+                    residual=True, per_task_cap=rr,
+                )
+                return exact_rerank(cand, state["cemb"], qarr, k=k,
+                                    cand_rows=len(qarr) * rr)
+
+            _noop_write(_persisted(cqueries[:ann_nq], BENCH_K))  # warm
+            sec = _best_of(
+                2, lambda: _noop_write(_persisted(cqueries[:ann_nq], BENCH_K))
+            )
+            timings["ivfpq_persisted_search"] = round(sec, 3)
+            r_pdf = _persisted(cqueries[:n_probe], BENCH_K).toPandas()
+
+            # files-read accounting on a SINGLE-CLUSTER query slice —
+            # the deployment unit where pruning shows: a 10k batch
+            # spanning every cluster legitimately probes most cells,
+            # one tenant/topic's batch must only open ~nprobe dirs
+            centers = np.random.default_rng(SEED + 1).random(
+                (n_clust, BENCH_DIM)
+            )
+            one_rng = np.random.default_rng(SEED + 9)
+            one_q = centers[0] + 0.08 * one_rng.standard_normal(
+                (32, BENCH_DIM)
+            )
+            one_cells = probed_cells(cents, one_q, nprobe)
+            files_read = (
+                read_ivf_cells(spark, path, one_cells)
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .count()
+            )
+            files_total = len(spark.read.parquet(path).inputFiles())
+            result["ivfpq_persisted"] = {
+                "nprobe": nprobe,
+                "qps": round(ann_nq / sec, 2),
+                "recall_at_k": round(_recall_of(r_pdf, cex_pdf, n_probe), 3),
+                "layout_write_sec": round(write_sec, 3),
+                "cells_probed_10k_batch": len(
+                    probed_cells(cents, cqueries[:ann_nq], nprobe)
+                ),
+                "cells_probed_single_cluster_32q": len(one_cells),
+                "files_read_single_cluster_32q": files_read,
+                "files_total": files_total,
+                "partition_pruned": bool(0 < files_read < files_total),
+            }
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
 
     def _bench_ivfpq_1m():
         # The crossover run, driver-timed (round-4 finding: the 1M
@@ -639,42 +763,61 @@ def main() -> None:
             return exact_rerank(cand, cemb1, qarr, k=k,
                                 cand_rows=len(qarr) * rr1)
 
-        # warm with a 1k slice (worker pool + page-in), then ONE timed
-        # full batch per point: a second full-batch run at 1M costs
-        # minutes of wall-clock and the slice warmup removes the same
-        # cold costs (measured equivalent within host noise)
+        # graph index on the same 10x corpus, built BEFORE any timed
+        # search so all three search paths can interleave below
+        t0 = time.perf_counter()
+        gidx1 = GraphIndex(m=16, ef=128, seed=SEED).build(cemb1, n_rows=n1)
+        gidx1.state()
+        g_build = time.perf_counter() - t0
+        timings["graph_1m_build"] = round(g_build, 3)
+
+        # warm every path with a 1k slice (worker pool + page-in); a
+        # slice warmup removes the same cold costs as a full run
+        # (measured equivalent within host noise) at 1/10 the minutes
         n_warm = min(1000, nq1)
-        _noop_write(_ivfpq(cq[:n_warm], BENCH_K, rr1))
-        # The per-task cap is the recall/qps KNOB at deep probes and
-        # both ends are published (the repo's sweep discipline):
-        # cap = R (the lossless pq_search_ivf default) maximizes
-        # recall for the budget, a sub-R cap shrinks the merge ~R/cap
-        # and buys throughput at a measured recall cost
-        # (1M measured: 0.999 @ ~55 q/s lossless vs 0.842 @ ~256 q/s
-        # at cap=64, exact ~50-66 q/s under the same load).
-        iv_points = []
-        for cap in (64, rr1):
-            t0 = time.perf_counter()
-            _noop_write(_ivfpq(cq, BENCH_K, cap))
-            sec = time.perf_counter() - t0
-            timings[f"ivfpq_1m_search_cap{cap}"] = round(sec, 3)
-            got_c = _ivfpq(cq[:n_probe], BENCH_K, cap).toPandas()
-            iv_points.append(
-                {"per_task_cap": cap, "qps": round(nq1 / sec, 2),
-                 "pdf": got_c}
-            )
         qdf1 = _qdf(cq)
+        qdf_warm = _qdf(cq[:n_warm])
+        _noop_write(_ivfpq(cq[:n_warm], BENCH_K, rr1))
         _noop_write(
-            exact_search_blocked(cemb1, _qdf(cq[:n_warm]), k=BENCH_K,
+            exact_search_blocked(cemb1, qdf_warm, k=BENCH_K,
                                  n_corpus=n1, n_probes=n_warm)
         )
-        t0 = time.perf_counter()
-        _noop_write(
-            exact_search_blocked(cemb1, qdf1, k=BENCH_K, n_corpus=n1,
-                                 n_probes=nq1)
-        )
-        ex_sec = time.perf_counter() - t0
+        _noop_write(gidx1.search(qdf_warm, k=BENCH_K, n_queries=n_warm))
+
+        # The crossover RATIOS are the published claim, and rounds 6
+        # and 7 showed the points drifting against each other when
+        # timed minutes apart on this loaded host (lossless cap
+        # "lost" to an exact baseline sampled in a different load
+        # window twice). So: TWO INTERLEAVED PASSES — every point
+        # timed back-to-back with the exact baseline, best-of-2 per
+        # point — and the ratios computed within that shared window.
+        # The per-task cap remains the recall/qps KNOB at deep probes
+        # and both ends are published (the repo's sweep discipline):
+        # cap = R (the lossless pq_search_ivf default) maximizes
+        # recall for the budget, a sub-R cap shrinks the merge ~R/cap
+        # and buys throughput at a measured recall cost.
+        points = {
+            "exact": lambda: _noop_write(
+                exact_search_blocked(cemb1, qdf1, k=BENCH_K, n_corpus=n1,
+                                     n_probes=nq1)
+            ),
+            "cap64": lambda: _noop_write(_ivfpq(cq, BENCH_K, 64)),
+            f"cap{rr1}": lambda: _noop_write(_ivfpq(cq, BENCH_K, rr1)),
+            "graph": lambda: _noop_write(
+                gidx1.search(qdf1, k=BENCH_K, n_queries=nq1)
+            ),
+        }
+        secs = {name: float("inf") for name in points}
+        for _ in range(2):
+            for name, fn in points.items():
+                t0 = time.perf_counter()
+                fn()
+                secs[name] = min(secs[name], time.perf_counter() - t0)
+        ex_sec = secs["exact"]
         timings["ivfpq_1m_exact_baseline"] = round(ex_sec, 3)
+        timings["ivfpq_1m_search_cap64"] = round(secs["cap64"], 3)
+        timings[f"ivfpq_1m_search_cap{rr1}"] = round(secs[f"cap{rr1}"], 3)
+        timings["graph_1m_search"] = round(secs["graph"], 3)
 
         ex_pdf1 = exact_search_blocked(
             cemb1, _qdf(cq[:n_probe]), k=BENCH_K, n_corpus=n1,
@@ -686,44 +829,117 @@ def main() -> None:
             "nprobe": npr1,
             "rerank_r": rr1,
             "exact_qps": round(nq1 / ex_sec, 2),
+            "shared_load_window": "2 interleaved passes, best-of-2",
             "cap_sweep": [
                 {
-                    "per_task_cap": p["per_task_cap"],
-                    "qps": p["qps"],
+                    "per_task_cap": cap,
+                    "qps": round(nq1 / secs[f"cap{cap}"], 2),
+                    "qps_ratio_vs_exact": round(
+                        ex_sec / secs[f"cap{cap}"], 3
+                    ),
                     "recall_at_k": round(
-                        _recall_of(p["pdf"], ex_pdf1, n_probe), 3
+                        _recall_of(
+                            _ivfpq(cq[:n_probe], BENCH_K, cap).toPandas(),
+                            ex_pdf1, n_probe,
+                        ), 3
                     ),
                 }
-                for p in iv_points
+                for cap in (64, rr1)
             ],
         }
-
-        # graph path on the same 10x corpus and queries: the OTHER
-        # crossover claim (README cites offline 1M runs) driver-timed
-        # against the identical exact baseline
-        t0 = time.perf_counter()
-        gidx1 = GraphIndex(m=16, ef=128, seed=SEED).build(cemb1, n_rows=n1)
-        gidx1.state()
-        g_build = time.perf_counter() - t0
-        timings["graph_1m_build"] = round(g_build, 3)
-        _noop_write(
-            gidx1.search(_qdf(cq[:n_warm]), k=BENCH_K, n_queries=n_warm)
-        )  # slice warm: worker pool + segment page-in
-        t0 = time.perf_counter()
-        _noop_write(gidx1.search(qdf1, k=BENCH_K, n_queries=nq1))
-        g_sec = time.perf_counter() - t0
-        timings["graph_1m_search"] = round(g_sec, 3)
         g_pdf = gidx1.search(
             _qdf(cq[:n_probe]), k=BENCH_K, n_queries=n_probe
         ).toPandas()
         result["graph_1m"] = {
             "n": n1,
             "build_pts_per_s": round(n1 / g_build, 2),
-            "qps": round(nq1 / g_sec, 2),
+            "qps": round(nq1 / secs["graph"], 2),
             "exact_qps": round(nq1 / ex_sec, 2),
+            "qps_ratio_vs_exact": round(ex_sec / secs["graph"], 3),
+            "shared_load_window": "2 interleaved passes, best-of-2",
             "recall_at_k": round(_recall_of(g_pdf, ex_pdf1, n_probe), 3),
         }
         gidx1.retire()  # throwaway 10x index: return the disk now
+
+    def _bench_save_load():
+        # save/load + the per-owner pin machinery at BENCH scale (it
+        # ran only under pytest churn through round 7, and the pin
+        # mechanism was rewritten twice in rounds 6-7): save the built
+        # 100k clustered index, reopen it, and re-run the search
+        # headline on the loaded instance. load() must run ZERO Spark
+        # jobs (metadata + mmap only), and search_qps_loaded should
+        # sit within noise of ann_search_qps — the loaded index IS
+        # the index, not a degraded replica. The companion
+        # save_load_verify section re-checks the pins after the
+        # bench's append/rebuild churn and then releases them.
+        import tempfile
+
+        cgidx = state["cgidx"]
+        qdf_c = state["qdf_c"]
+        d = tempfile.mkdtemp(prefix="zvdb_bench_save_")
+        path = os.path.join(d, "clustered_100k")
+        t0 = time.perf_counter()
+        cgidx.save(path)
+        timings["graph_index_save"] = round(time.perf_counter() - t0, 3)
+        tracker = spark.sparkContext.statusTracker()
+        jobs_before = len(tracker.getJobIdsForGroup(None))
+        t0 = time.perf_counter()
+        loaded = GraphIndex.load(spark, path)
+        timings["graph_index_load"] = round(time.perf_counter() - t0, 3)
+        jobs_after = len(tracker.getJobIdsForGroup(None))
+        result["graph_load_zero_jobs"] = bool(jobs_after == jobs_before)
+        _noop_write(loaded.search(qdf_c, k=BENCH_K, n_queries=ann_nq))
+        sec = _best_of(
+            2,
+            lambda: _noop_write(
+                loaded.search(qdf_c, k=BENCH_K, n_queries=ann_nq)
+            ),
+        )
+        timings["vector_search_ann_loaded"] = round(sec, 3)
+        result["search_qps_loaded"] = round(ann_nq / sec, 2)
+        state["saved_dir"] = d
+        state["saved_path"] = path
+        state["saved_pins"] = sorted(
+            {p for p, _, _ in loaded._vec_meta.values()}
+            | {a for *_, a in loaded._adj_meta.values() if a}
+            | {e for e in loaded._edge_meta.values() if e}
+        )
+
+    def _bench_save_load_verify():
+        # Runs LAST, after the append/rebuild/retire churn of the
+        # sections in between (cgidx.append re-packs the saved
+        # generation's dirty shards and retires the superseded
+        # prefixes — which are exactly the files the manifest pinned):
+        # force the reaper past the grace window, prove every pinned
+        # file survived and the save still answers, then release the
+        # manifest's claim and prove the pins retire CLEANLY — zero
+        # leaked markers, files actually reclaimed.
+        import glob
+        import shutil
+
+        import zvdb_spark.operators.segments as S
+
+        if "saved_path" not in state:
+            return
+        path = state["saved_path"]
+        pins = state["saved_pins"]
+        try:
+            S.reap_retired(now=time.time() + S._RETIRE_GRACE_SECS + 1)
+            intact = all(glob.glob(f"{p}.*") for p in pins)
+            loaded = GraphIndex.load(spark, path)
+            qp = _qdf(state["cqueries"][:n_probe])
+            n = loaded.search(qp, k=BENCH_K, n_queries=n_probe).count()
+            result["saved_index_survives_churn"] = bool(
+                intact and n == n_probe * BENCH_K
+            )
+            owner = os.path.abspath(f"{path}.json")
+            S.unpin_prefixes(pins, owner=owner)
+            leaked = [p for p in pins if S._pin_markers(p)]
+            S.reap_retired(now=time.time() + S._RETIRE_GRACE_SECS + 1)
+            lingering = [p for p in pins if glob.glob(f"{p}.*")]
+            result["save_release_clean"] = not leaked and not lingering
+        finally:
+            shutil.rmtree(state["saved_dir"], ignore_errors=True)
 
     def _bench_pq():
         # Product quantization on the uniform corpus (operators/pq.py):
@@ -898,13 +1114,18 @@ def main() -> None:
     if _section("vector_search_ann_clustered", _bench_ann_clustered):
         _section("ann_ef_sweep", _bench_ef_sweep)
         _section("search_parallelism", _bench_parallelism)
-        _section("ivfpq", _bench_ivfpq)
+        if _section("ivfpq", _bench_ivfpq):
+            _section("ivfpq_persisted", _bench_ivfpq_persisted)
+        _section("save_load", _bench_save_load)
         # 10x crossover run only at full bench scale (smoke runs
         # skip; env "1" forces it at reduced scale for testing)
         _iv1m = os.environ.get("SPARK_GRAFT_BENCH_IVFPQ_1M", "")
         if _iv1m == "1" or (_iv1m != "0" and BENCH_N >= 100_000):
             _section("ivfpq_1m", _bench_ivfpq_1m)
         _section("vector_index_append", _bench_incremental_append)
+        # save/load churn verification runs LAST on purpose: the
+        # append/rebuild sections above are the churn under test
+        _section("save_load_verify", _bench_save_load_verify)
     if GRID_ON:
         _section("grid", _bench_grid)
 

@@ -461,3 +461,47 @@ def test_retired_index_raises_cleanly(spark, sf_dir):
         idx.exact_search(q, k=3, n_queries=2)
     with pytest.raises(ValueError, match="build"):
         idx.append(emb.limit(5))
+
+
+def test_shared_pin_format_migration(tmp_path):
+    """Upgrade path for the retired shared-pin format (owner lines in
+    one <prefix>.pin): unpin must MIGRATE the lines to per-owner
+    atomic markers before releasing, so an index persisted under the
+    old format can still release its superseded generation — not
+    become an immortal pinned orphan. A ZERO-byte bare .pin (the real
+    owner=None legacy marker) stays untouchable."""
+    import os
+    import time as _t
+
+    import zvdb_spark.operators.segments as S
+
+    pref = str(tmp_path / "seg_0001")
+    with open(f"{pref}.ids.npy", "wb") as f:
+        f.write(b"x")
+    owner_a = str(tmp_path / "a.json")
+    owner_b = str(tmp_path / "b.json")
+    with open(f"{pref}.pin", "w") as f:
+        f.write(owner_a + "\n" + owner_b + "\n")
+
+    # releasing owner_a migrates the shared file: bare marker gone,
+    # owner_b's per-owner marker survives, files stay (refcount > 0)
+    S.unpin_prefixes([pref], owner=owner_a)
+    assert not os.path.exists(f"{pref}.pin")
+    assert S._pin_markers(pref) == [S._pin_marker(pref, owner_b)]
+    assert os.path.exists(f"{pref}.ids.npy")
+
+    # last owner out: retired, reaped after the grace window
+    S.unpin_prefixes([pref], owner=owner_b)
+    assert not S._pin_markers(pref)
+    S.reap_retired(now=_t.time() + S._RETIRE_GRACE_SECS + 1)
+    assert not os.path.exists(f"{pref}.ids.npy")
+
+    # zero-byte bare marker = owner=None legacy: immortal to named owners
+    pref2 = str(tmp_path / "seg_0002")
+    with open(f"{pref2}.ids.npy", "wb") as f:
+        f.write(b"x")
+    open(f"{pref2}.pin", "a").close()
+    S.unpin_prefixes([pref2], owner=owner_a)
+    assert os.path.exists(f"{pref2}.pin")
+    S.reap_retired(now=_t.time() + S._RETIRE_GRACE_SECS + 1)
+    assert os.path.exists(f"{pref2}.ids.npy")

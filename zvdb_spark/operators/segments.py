@@ -155,6 +155,36 @@ def _pin_markers(prefix: str) -> list[str]:
 _PIN_SUFFIX_RE = re.compile(r"\.pin\.[0-9a-f]{16}$")
 
 
+def _migrate_shared_pin(prefix: str) -> None:
+    """One-time migration of the retired shared-pin format: an older
+    save wrote owner PATHS as lines into one ``<prefix>.pin`` file
+    (read-modify-write refcount). Without migration that file now
+    reads as a bare legacy marker no named owner can release, so
+    re-saving an index persisted under the old format leaks its
+    superseded generation forever. Convert each line to the
+    per-owner atomic marker it would have today, then drop the
+    shared file. A ZERO-byte ``<prefix>.pin`` is the real legacy
+    owner=None marker and stays immortal. Idempotent and safe under
+    concurrent migrators (marker writes are atomic replaces, the
+    second unlink just fails); a concurrent OLD-format writer could
+    still lose a just-appended line, but old-format writers no
+    longer exist — this is a one-time upgrade path."""
+    marker = f"{prefix}.pin"
+    try:
+        with open(marker) as fh:
+            owners = [ln.strip() for ln in fh if ln.strip()]
+    except OSError:
+        return
+    if not owners:
+        return  # zero-byte bare marker: owner=None legacy, immortal
+    for ow in owners:
+        pin_prefixes([prefix], owner=ow)
+    try:
+        os.unlink(marker)
+    except OSError:
+        pass
+
+
 def pin_prefixes(prefixes, owner: str | None = None) -> None:
     """Mark segment prefixes as OWNED BY A SAVED INDEX: a tiny
     pin marker makes both deletion paths — unlink_prefixes (the
@@ -210,10 +240,22 @@ def unpin_prefixes(prefixes, owner: str) -> None:
     a stage against it — retire_prefixes gives those readers the
     same protection the normal repack lifecycle provides, and
     reap-time unlink_prefixes re-checks pins, so a prefix re-pinned
-    during the grace window survives. Bare legacy ``<prefix>.pin``
-    markers are never touched and keep the files alive forever —
-    a pre-refcount manifest may reference them."""
+    during the grace window survives. ZERO-byte bare legacy
+    ``<prefix>.pin`` markers are never touched and keep the files
+    alive forever — a pre-refcount owner=None pin may reference
+    them; a NON-empty bare marker is the retired shared-line format
+    and is migrated to per-owner markers first
+    (``_migrate_shared_pin``), so old-format saves stay releasable.
+
+    The grace window is PROCESS-LOCAL by design (``_retired`` is in
+    memory): if the process dies after the last unpin, or two owners
+    unpin concurrently and each still sees the other's marker, the
+    files are retired by nobody and linger until the 24 h
+    purge_stale sweep — a bounded disk leak, never data loss, and
+    the accepted tradeoff over an on-disk retire ledger (which would
+    reintroduce cross-process read-modify-write)."""
     for p in prefixes:
+        _migrate_shared_pin(p)
         try:
             os.unlink(_pin_marker(p, owner))
         except OSError:

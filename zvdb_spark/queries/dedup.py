@@ -703,12 +703,13 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixpoint. One tiny aggregate over the just-checkpointed labels
     # per round, where a diff-join would re-shuffle both label
     # generations every iteration of the declared scale contract.
-    # Seed with the INITIAL labels' sum so an already-converged label
-    # set (or a single-round convergence) breaks on the first
-    # unchanged round instead of paying one extra join+aggregate.
-    prev_sum = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    ).head()["s"]
+    # No pre-loop seed aggregate: labels are id-seeded and edges are
+    # symmetrized, so any non-empty graph lowers at least one label in
+    # round 1 (the min-id endpoint's neighbors) — a seeded checksum
+    # can never match after round 1 and only costs one extra
+    # aggregate job per call; the empty-graph case breaks after one
+    # round against prev_sum=None anyway (sum of zero rows is NULL).
+    prev_sum = None
     for _ in range(20):
         nbr_min = (
             edges.join(labels, edges.ib == labels.id)
