@@ -889,14 +889,26 @@ def main() -> None:
         jobs_after = len(tracker.getJobIdsForGroup(None))
         result["graph_load_zero_jobs"] = bool(jobs_after == jobs_before)
         _noop_write(loaded.search(qdf_c, k=BENCH_K, n_queries=ann_nq))
-        sec = _best_of(
-            2,
-            lambda: _noop_write(
-                loaded.search(qdf_c, k=BENCH_K, n_queries=ann_nq)
-            ),
+        # loaded-vs-live INTERLEAVED (same shared-window discipline as
+        # every other published ratio): the claim is "the loaded index
+        # IS the index", so the comparison must not straddle a host
+        # load swing. The live samples also fold into the ann headline.
+        live_sec = load_sec = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _noop_write(cgidx.search(qdf_c, k=BENCH_K, n_queries=ann_nq))
+            live_sec = min(live_sec, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _noop_write(loaded.search(qdf_c, k=BENCH_K, n_queries=ann_nq))
+            load_sec = min(load_sec, time.perf_counter() - t0)
+        timings["vector_search_ann_loaded"] = round(load_sec, 3)
+        result["search_qps_loaded"] = round(ann_nq / load_sec, 2)
+        result["loaded_live_qps_ratio_shared_window"] = round(
+            live_sec / load_sec, 3
         )
-        timings["vector_search_ann_loaded"] = round(sec, 3)
-        result["search_qps_loaded"] = round(ann_nq / sec, 2)
+        if live_sec < timings.get("vector_search_ann", float("inf")):
+            timings["vector_search_ann"] = round(live_sec, 3)
+            result["ann_search_qps"] = round(ann_nq / live_sec, 2)
         state["saved_dir"] = d
         state["saved_path"] = path
         state["saved_pins"] = sorted(
