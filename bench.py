@@ -153,11 +153,29 @@ def main() -> None:
     result: dict = {}
     qs = all_queries()
 
+    # Host-load canary: a CONSTANT-WORK single-thread GEMM sampled
+    # before every section. Rounds 4-7 showed the same search timing
+    # swinging ±70% across rounds of unchanged code, and round 8's
+    # intra-run samples swung 3.3 -> 11.4 s for the identical
+    # operation within ONE process — the canary makes that
+    # attributable: a section timed while the canary runs slow was
+    # measuring the neighbors, not the engine. BLAS is pinned to one
+    # thread above, so canary wall time tracks core contention only.
+    probe_mat = np.random.default_rng(0).random((384, 384))
+    load_probe: dict[str, float] = {}
+
+    def _load_probe_ms() -> float:
+        t0 = time.perf_counter()
+        for _ in range(8):
+            probe_mat @ probe_mat
+        return round((time.perf_counter() - t0) * 1000, 1)
+
     # Round 2 shipped ZERO bench numbers because one broken loader
     # killed the warmup before any timing ran. Every section is now
     # fenced: a failure records an error string and the JSON line still
     # lands with whatever numbers the other sections produced.
     def _section(name: str, fn) -> bool:
+        load_probe[name] = _load_probe_ms()
         try:
             fn()
             return True
@@ -1141,6 +1159,7 @@ def main() -> None:
     if GRID_ON:
         _section("grid", _bench_grid)
 
+    load_probe["final"] = _load_probe_ms()
     total = round(sum(timings.values()), 3)
     # Key order is load-bearing: the driver records the TAIL of stdout,
     # and BENCH_r04 lost insert_pts_per_s / search_qps when the queries
@@ -1161,6 +1180,7 @@ def main() -> None:
         "queries": timings,
         "cold_run_sec": cold_runs,
         "grid": grid_rows,
+        "host_load_probe_ms": load_probe,
         "errors": errors,
     }
     bulky = {
