@@ -177,8 +177,15 @@ def _migrate_shared_pin(prefix: str) -> None:
         return
     if not owners:
         return  # zero-byte bare marker: owner=None legacy, immortal
-    for ow in owners:
-        pin_prefixes([prefix], owner=ow)
+    try:
+        for ow in owners:
+            pin_prefixes([prefix], owner=ow)
+    except OSError:
+        # Best-effort: migration runs inside RELEASE paths
+        # (unpin_prefixes), which must never raise after the caller's
+        # save already succeeded. Leaving the shared marker in place
+        # keeps the files protected; the next unpin retries.
+        return
     try:
         os.unlink(marker)
     except OSError:
