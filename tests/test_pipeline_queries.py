@@ -261,3 +261,42 @@ def test_pack_sequences_invariants(spark, sf_dir):
             assert row.seq_tokens > SEQ_TOKEN_BUDGET - max_tok, (
                 b, row.seq_id, row.seq_tokens, max_tok
             )
+
+
+def test_decontaminate_matches_oracle(spark, sf_dir):
+    from zvdb_spark.queries.dedup import DECON_ORACLE, q_decontaminate
+
+    assert_matches_oracle(
+        q_decontaminate(spark, sf_dir), DECON_ORACLE, sf_dir
+    )
+
+
+def test_decontaminate_invariants(spark, sf_dir):
+    """Row conservation (one verdict per TRAINING doc, eval docs
+    excluded), verdict/threshold consistency, ratio bounds, and a
+    non-degenerate split (the fixture must exercise both verdicts for
+    the parity check to mean anything)."""
+    from zvdb_spark.queries.dedup import (
+        DECON_TAU,
+        EVAL_MOD,
+        q_decontaminate,
+    )
+    from zvdb_spark.sources.tables import load
+
+    n_train = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % EVAL_MOD != 0)
+        .count()
+    )
+    rows = q_decontaminate(spark, sf_dir).collect()
+    assert len(rows) == n_train
+    verdicts = {r.verdict for r in rows}
+    assert verdicts == {"keep", "drop"}
+    for r in rows:
+        assert r.doc_id % EVAL_MOD != 0  # eval docs never verdicted
+        assert 0 <= r.n_eval_grams <= r.n_grams
+        assert 0.0 <= r.contamination <= 1.0
+        want = "drop" if (
+            r.n_grams > 0 and r.n_eval_grams / r.n_grams >= DECON_TAU
+        ) else "keep"
+        assert r.verdict == want, (r.doc_id, r.contamination, r.verdict)

@@ -897,3 +897,110 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("mid", "cid").alias("match_id"),
         F.when(F.col("mid").isNull(), F.round("j", 4)).alias("jaccard"),
     )
+
+
+# -------------------------------------------------- decontamination
+
+# "Remove the eval set from the training data" — the pre-training
+# hygiene step every LLM data pipeline runs alongside dedup: a
+# training document sharing too many long n-grams with a held-out
+# benchmark/eval document leaks test answers into the weights, so
+# each training doc gets a contamination ratio (fraction of ITS
+# distinct n-grams that appear anywhere in the eval set) and a
+# keep/drop verdict. Distinct from dedup: the comparison is
+# asymmetric (training vs a privileged eval universe, not pairwise),
+# the unit is the n-gram universe of the WHOLE eval side, and a doc
+# is dropped for overlapping many eval docs a little as surely as
+# one eval doc a lot. Deterministic split so the flow is
+# DuckDB-parity-checkable: doc_id % EVAL_MOD == 0 plays the held-out
+# eval set (distinct from incremental dedup's % 5 batch split), the
+# rest is the training corpus.
+EVAL_MOD = 13
+DECON_N = 3  # longer n-grams than dedup's 2: membership, not similarity
+DECON_TAU = 0.2
+
+DECON_ORACLE = f"""
+WITH {_shingles_duck(DECON_N)},
+ev AS (SELECT DISTINCT unnest(shingles) AS g FROM sh
+       WHERE doc_id % {EVAL_MOD} = 0),
+evl AS (SELECT list(g) AS gl FROM ev),
+tr AS (SELECT doc_id, shingles FROM sh WHERE doc_id % {EVAL_MOD} <> 0),
+r AS (SELECT doc_id, len(shingles) AS n_grams,
+             len(list_intersect(shingles, evl.gl)) AS n_eval_grams
+      FROM tr, evl)
+SELECT doc_id, n_grams, n_eval_grams,
+       CASE WHEN n_grams > 0
+            THEN round(n_eval_grams * 1.0 / n_grams, 4)
+            ELSE 0.0 END AS contamination,
+       CASE WHEN n_grams > 0
+             AND n_eval_grams * 1.0 / n_grams >= {DECON_TAU}
+            THEN 'drop' ELSE 'keep' END AS verdict
+FROM r
+"""
+
+
+@register(
+    "q_decontaminate",
+    oracle=None,  # past the driver cap; DuckDB parity via
+    # tests/test_pipeline_queries.py against DECON_ORACLE
+    tags=("dedup", "decontamination", "pipeline"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination against a held-out eval set:
+    every training doc's distinct word {DECON_N}-grams are checked
+    for membership in the union of the eval set's n-grams, and docs
+    whose contamination ratio reaches DECON_TAU are verdict 'drop'.
+
+    Scale shape: the eval side collapses to its DISTINCT n-gram
+    universe once (real eval sets are benchmark-sized — metadata
+    next to a 100 TB corpus — though the declared %{EVAL_MOD}
+    stand-in scales with the fixture, so the membership join is left
+    to AQE rather than force-broadcast; with a production eval set
+    the broadcast is the expected plan). The training side is one
+    shingle pass, one semi-join shuffle on the n-gram, and one
+    per-doc count — never doc x doc, and the eval universe is never
+    re-derived per training partition. Semantics follow the
+    published n-gram-collision decontamination recipe (cf.
+    PAPERS.md); the reference engine has no text surface at all
+    (`src/zvdb.zig:1` exposes only vector insert/search), so this is
+    north-star pipeline coverage, not reference parity.
+
+    Rows-only at the driver (past the 50-entry cap);
+    tests/test_pipeline_queries.py pins DuckDB value parity
+    (DECON_ORACLE), the verdict/threshold consistency, and the
+    eval-exclusion invariant.
+    """
+    sh = _shingles_spark(spark, sf_dir, DECON_N)
+    is_eval = (F.col("doc_id") % EVAL_MOD) == 0
+    eval_grams = (
+        sh.filter(is_eval)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    train = sh.filter(~is_eval)
+    hits = (
+        train.select("doc_id", F.explode("shingles").alias("g"))
+        .join(eval_grams, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_eval_grams"))
+    )
+    ratio = F.col("n_eval_grams") * F.lit(1.0) / F.col("n_grams")
+    return (
+        train.select("doc_id", F.size("shingles").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .withColumn("n_eval_grams", F.coalesce("n_eval_grams", F.lit(0)))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_eval_grams",
+            F.when(F.col("n_grams") > 0, F.round(ratio, 4))
+            .otherwise(F.lit(0.0))
+            .alias("contamination"),
+            F.when(
+                (F.col("n_grams") > 0) & (ratio >= DECON_TAU),
+                F.lit("drop"),
+            )
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+    )

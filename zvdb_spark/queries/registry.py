@@ -123,6 +123,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_dedup_incremental",
     "q_sample_stratified",
     "q_pack_sequences",
+    "q_decontaminate",
 )
 
 
