@@ -956,9 +956,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     next to a 100 TB corpus — though the declared %{EVAL_MOD}
     stand-in scales with the fixture, so the membership join is left
     to AQE rather than force-broadcast; with a production eval set
-    the broadcast is the expected plan). The training side is one
-    shingle pass, one semi-join shuffle on the n-gram, and one
-    per-doc count — never doc x doc, and the eval universe is never
+    the broadcast is the expected plan). The training side is ONE
+    shingle pass — per-doc gram count and eval-hit count come out of
+    a single aggregation over the exploded grams joined against the
+    eval universe — never doc x doc, and the eval universe is never
     re-derived per training partition. Semantics follow the
     published n-gram-collision decontamination recipe (cf.
     PAPERS.md); the reference engine has no text surface at all
@@ -976,31 +977,35 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.filter(is_eval)
         .select(F.explode("shingles").alias("g"))
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    train = sh.filter(~is_eval)
-    hits = (
-        train.select("doc_id", F.explode("shingles").alias("g"))
-        .join(eval_grams, "g", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_eval_grams"))
+    # ONE pass over the training side: n_grams rides the exploded
+    # rows (explode_outer keeps zero-shingle docs as a null-gram row,
+    # which the left join can never match), so denominator and hit
+    # count come out of the same aggregation — the training shingle
+    # transform is never recomputed for a second lineage use.
+    grams = sh.filter(~is_eval).select(
+        "doc_id",
+        F.size("shingles").alias("n_grams"),
+        F.explode_outer("shingles").alias("g"),
+    )
+    agg = (
+        grams.join(eval_grams, "g", "left")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count("hit").alias("n_eval_grams"))
     )
     ratio = F.col("n_eval_grams") * F.lit(1.0) / F.col("n_grams")
-    return (
-        train.select("doc_id", F.size("shingles").alias("n_grams"))
-        .join(hits, "doc_id", "left")
-        .withColumn("n_eval_grams", F.coalesce("n_eval_grams", F.lit(0)))
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_eval_grams",
-            F.when(F.col("n_grams") > 0, F.round(ratio, 4))
-            .otherwise(F.lit(0.0))
-            .alias("contamination"),
-            F.when(
-                (F.col("n_grams") > 0) & (ratio >= DECON_TAU),
-                F.lit("drop"),
-            )
-            .otherwise(F.lit("keep"))
-            .alias("verdict"),
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_eval_grams",
+        F.when(F.col("n_grams") > 0, F.round(ratio, 4))
+        .otherwise(F.lit(0.0))
+        .alias("contamination"),
+        F.when(
+            (F.col("n_grams") > 0) & (ratio >= DECON_TAU),
+            F.lit("drop"),
         )
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
     )
