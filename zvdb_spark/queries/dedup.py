@@ -923,7 +923,7 @@ DECON_ORACLE = f"""
 WITH {_shingles_duck(DECON_N)},
 ev AS (SELECT DISTINCT unnest(shingles) AS g FROM sh
        WHERE doc_id % {EVAL_MOD} = 0),
-evl AS (SELECT list(g) AS gl FROM ev),
+evl AS (SELECT coalesce(list(g), []) AS gl FROM ev),
 tr AS (SELECT doc_id, shingles FROM sh WHERE doc_id % {EVAL_MOD} <> 0),
 r AS (SELECT doc_id, len(shingles) AS n_grams,
              len(list_intersect(shingles, evl.gl)) AS n_eval_grams
@@ -947,14 +947,15 @@ FROM r
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set decontamination against a held-out eval set:
-    every training doc's distinct word {DECON_N}-grams are checked
+    every training doc's distinct word 3-grams (DECON_N) are checked
     for membership in the union of the eval set's n-grams, and docs
     whose contamination ratio reaches DECON_TAU are verdict 'drop'.
 
     Scale shape: the eval side collapses to its DISTINCT n-gram
     universe once (real eval sets are benchmark-sized — metadata
-    next to a 100 TB corpus — though the declared %{EVAL_MOD}
-    stand-in scales with the fixture, so the membership join is left
+    next to a 100 TB corpus — though the declared doc_id % 13
+    (EVAL_MOD) stand-in scales with the fixture, so the membership
+    join is left
     to AQE rather than force-broadcast; with a production eval set
     the broadcast is the expected plan). The training side is ONE
     shingle pass — per-doc gram count and eval-hit count come out of
