@@ -244,3 +244,20 @@ def test_sample_stratified_no_rand_no_extra_shuffle(spark, sf_dir):
     a = plan_audit(all_queries()["q_sample_stratified"].fn(spark, sf_dir))
     assert "rand(" not in a["plan"].lower()
     assert a["n_exchanges"] <= 1, a["plan"]
+
+
+def test_decontaminate_single_training_scan(spark, sf_dir):
+    """The training side is ONE shingle pass: exactly two scans of
+    documents total (eval branch + training branch), so a refactor
+    that re-derives the training shingles for a second lineage use
+    (the denominator's original shape) re-fails here. No cartesian
+    anywhere: the eval membership check is an equi-join on the gram."""
+    a = plan_audit(all_queries()["q_decontaminate"].fn(spark, sf_dir))
+    plan = a["plan"]
+    # formatted mode prints each scan's source once as a Location line
+    n_doc_scans = sum(
+        1 for ln in plan.splitlines()
+        if "Location" in ln and "documents.parquet" in ln
+    )
+    assert n_doc_scans == 2, f"{n_doc_scans} document scans:\n{plan}"
+    assert "CartesianProduct" not in plan
