@@ -124,6 +124,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_sample_stratified",
     "q_pack_sequences",
     "q_decontaminate",
+    "q_source_formats",
 )
 
 

@@ -176,3 +176,77 @@ def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="zvdb_sink_")
     write_result(out, f"{tmp}/topk", n_files=1)
     return read_result(spark, f"{tmp}/topk")
+
+
+@register(
+    "q_source_formats",
+    oracle=None,  # past the driver cap; cross-format parity pinned by
+    # tests/test_pipeline_queries.py (checksums must agree exactly)
+    tags=("sources", "formats"),
+)
+def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-connector parity across file formats: the customer
+    table (int64/int32/string/double columns) is written out as CSV
+    and JSON-lines, each read back through an EXPLICIT schema — never
+    inferSchema, which is a full extra scan per read at 100 TB and a
+    type lottery besides — and summarized per format as (n_rows,
+    key_sum, row_checksum), where row_checksum sums the portable
+    md5-based hash of every row's canonical string form. Identical
+    rows across parquet/csv/json prove the text connectors neither
+    lose, duplicate, nor retype rows (the checksum catches a double
+    that came back as a truncated decimal or a shifted column). The
+    reference has no file sources at all — data enters only via
+    ``insert`` from process memory (src/hnsw.zig:73) — so this is
+    engine surface, not reference parity.
+
+    Rows-only at the driver (3 summary rows; the comparison the
+    driver would hash is exactly what the pytest suite asserts:
+    all three rows agree and match the parquet footer count).
+    """
+    import shutil
+    import tempfile
+
+    base = load(spark, sf_dir, "customer")
+    cols = base.columns
+    # 15 hex digits -> up to 2^60 per row: summed raw this overflows
+    # BIGINT under ANSI within a few rows, so the per-row hash is
+    # bounded mod 2^31-1 and the sum runs in DECIMAL(38,0) —
+    # overflow-free for any table size (the CC checksum's recipe)
+    row_hash = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols])),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long") % F.lit(2_147_483_647)
+
+    def _summary(df: DataFrame, fmt: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("c_custkey").alias("key_sum"),
+            F.sum(row_hash.cast("decimal(38,0)")).alias("row_checksum"),
+        ).select(F.lit(fmt).alias("format"), "*")
+
+    tmp = tempfile.mkdtemp(prefix="zvdb_sources_")
+    try:
+        base.write.mode("overwrite").option("header", "true").csv(
+            f"{tmp}/csv"
+        )
+        base.write.mode("overwrite").json(f"{tmp}/json")
+        csv_df = (
+            spark.read.schema(base.schema)
+            .option("header", "true")
+            .csv(f"{tmp}/csv")
+        )
+        json_df = spark.read.schema(base.schema).json(f"{tmp}/json")
+        return (
+            _summary(base, "parquet")
+            .unionByName(_summary(csv_df, "csv"))
+            .unionByName(_summary(json_df, "json"))
+            .orderBy("format")
+            .localCheckpoint(eager=True)  # materialize before rmtree
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
