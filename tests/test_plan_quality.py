@@ -252,12 +252,14 @@ def test_decontaminate_single_training_scan(spark, sf_dir):
     that re-derives the training shingles for a second lineage use
     (the denominator's original shape) re-fails here. No cartesian
     anywhere: the eval membership check is an equi-join on the gram."""
+    import re
+
     a = plan_audit(all_queries()["q_decontaminate"].fn(spark, sf_dir))
     plan = a["plan"]
-    # formatted mode prints each scan's source once as a Location line
-    n_doc_scans = sum(
-        1 for ln in plan.splitlines()
-        if "Location" in ln and "documents.parquet" in ln
-    )
+    # count scan NODES via the formatted detail headers "(N) Scan
+    # parquet" — path-based counting breaks when maxMetadataStringLength
+    # truncates long Location lines. The query reads only documents,
+    # so every scan node is a documents scan.
+    n_doc_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert n_doc_scans == 2, f"{n_doc_scans} document scans:\n{plan}"
     assert "CartesianProduct" not in plan

@@ -206,21 +206,22 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from zvdb_spark.queries.text import H_SPARK
+
     base = load(spark, sf_dir, "customer")
     cols = base.columns
-    # 15 hex digits -> up to 2^60 per row: summed raw this overflows
-    # BIGINT under ANSI within a few rows, so the per-row hash is
-    # bounded mod 2^31-1 and the sum runs in DECIMAL(38,0) —
-    # overflow-free for any table size (the CC checksum's recipe)
-    row_hash = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols])),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long") % F.lit(2_147_483_647)
+    # Null-safe canonical row form: concat_ws SKIPS nulls, which would
+    # make ('a', NULL, 'x') collide with a column-shifted ('a', 'x',
+    # NULL) — exactly the corruption the checksum exists to catch —
+    # so every column carries an explicit NULL sentinel. The hash is
+    # the codebase's shared 15-hex-digit md5->bigint recipe (H_SPARK,
+    # text.py); per-row values are < 2^60, so the DECIMAL(38,0) sum
+    # below is overflow-free at any table size with no entropy-losing
+    # modulus (raw BIGINT summation overflows under ANSI within rows).
+    canon = ", ".join(
+        f"coalesce(cast({c} as string), '<NULL>')" for c in cols
+    )
+    row_hash = F.expr(H_SPARK.format(x=f"concat_ws('|', {canon})"))
 
     def _summary(df: DataFrame, fmt: str) -> DataFrame:
         return df.agg(
