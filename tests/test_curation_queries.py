@@ -1,0 +1,184 @@
+"""DuckDB parity + semantic invariants for the curation pack
+(queries/curation.py) — past-cap rows-only queries, so this suite IS
+their correctness gate (same row-count + schema + value comparison
+the driver runs, via tests/oracle_utils)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from tests.oracle_utils import assert_matches_oracle, duckdb_con
+from zvdb_spark.queries.curation import (
+    DUP_BIGRAM_PM,
+    MAX_TOK,
+    MIN_TOK,
+    MIX_TARGETS_PM,
+    MIXTURE_ORACLE,
+    PAT_EMAIL,
+    PAT_IP,
+    PAT_PHONE,
+    PII_ORACLE,
+    QUALITY_ORACLE,
+    RATE_M,
+    TOP_TOK_PM,
+    q_domain_mixture,
+    q_pii_redact,
+    q_quality_signals,
+)
+
+
+# --- quality signals ---
+
+
+def test_quality_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(q_quality_signals(spark, sf_dir), QUALITY_ORACLE, sf_dir)
+
+
+def test_quality_gate_cuts_and_keeps(spark, sf_dir):
+    """The gate must actually split the corpus at these thresholds —
+    a gate that keeps (or cuts) everything proves nothing."""
+    pdf = q_quality_signals(spark, sf_dir).toPandas()
+    assert (pdf.n_kept <= pdf.n_docs).all()
+    assert int(pdf.n_kept.sum()) > 0
+    assert int(pdf.n_kept.sum()) < int(pdf.n_docs.sum())
+    assert ((0 <= pdf.dup_tok_frac) & (pdf.dup_tok_frac <= 1)).all()
+    assert ((0 <= pdf.top_tok_frac) & (pdf.top_tok_frac <= 1)).all()
+    assert ((0 <= pdf.dup_bigram_frac) & (pdf.dup_bigram_frac <= 1)).all()
+
+
+def test_quality_verdict_matches_per_doc_recompute(spark, sf_dir):
+    """Recompute one language's verdicts per-doc in Python from the
+    raw text (independent of both engines' HOFs) and compare the
+    kept-id checksum."""
+    from zvdb_spark.sources.tables import load
+
+    rows = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert rows
+    kept_sum = n_kept = 0
+    for r in rows:
+        toks = r.text.split(" ")
+        n = len(toks)
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        nd2 = len(set(bigrams))
+        top_n = max(toks.count(t) for t in set(toks))
+        keep = (
+            MIN_TOK <= n <= MAX_TOK
+            and top_n * 1000 <= TOP_TOK_PM * n
+            and (n - 1 - nd2) * 1000 <= DUP_BIGRAM_PM * (n - 1)
+        )
+        if keep:
+            n_kept += 1
+            kept_sum += r.doc_id
+    got = (
+        q_quality_signals(spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .collect()[0]
+    )
+    assert got.n_kept == n_kept
+    assert got.kept_id_sum == kept_sum
+
+
+def test_quality_plan_has_no_join_or_explode(spark, sf_dir):
+    """The per-doc stats pass must stay shuffle-free: the max-run HOF
+    replaces explode -> groupBy -> join-back, so the executed plan has
+    exactly one aggregation pair (the per-lang rollup) and no join."""
+    plan = (
+        q_quality_signals(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+    n_shuffles = plan.count("Exchange")
+    assert n_shuffles <= 2, f"expected only the lang rollup:\n{plan}"
+
+
+# --- PII redaction ---
+
+
+def test_pii_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(q_pii_redact(spark, sf_dir), PII_ORACLE, sf_dir)
+
+
+def test_pii_counts_and_zero_residual(spark, sf_dir):
+    pdf = q_pii_redact(spark, sf_dir).toPandas()
+    # every doc got exactly one synthetic email; phones/ips per the
+    # deterministic doc_id % 3 / % 5 salts
+    assert int(pdf.emails.sum()) == int(pdf.n_docs.sum())
+    assert 0 < int(pdf.phones.sum()) < int(pdf.n_docs.sum())
+    assert 0 < int(pdf.ips.sum()) < int(pdf.n_docs.sum())
+    assert int(pdf.residual_pii.sum()) == 0
+
+
+def test_pii_patterns_match_python_re(spark, sf_dir):
+    """The Java-regex and RE2 subset used must also agree with
+    Python's re on a sample doc — guards against an escaping slip in
+    the shared pattern literals."""
+    s = "x user12@mail5.com 555-0042 10.0.33.232 y"
+    assert re.findall(PAT_EMAIL, s) == ["user12@mail5.com"]
+    assert re.findall(PAT_PHONE, s) == ["555-0042"]
+    assert re.findall(PAT_IP, s) == ["10.0.33.232"]
+    clean = re.sub(PAT_EMAIL, "<EMAIL>", s)
+    clean = re.sub(PAT_PHONE, "<PHONE>", clean)
+    clean = re.sub(PAT_IP, "<IP>", clean)
+    assert clean == "x <EMAIL> <PHONE> <IP> y"
+
+
+# --- domain mixture ---
+
+
+def test_mixture_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(q_domain_mixture(spark, sf_dir), MIXTURE_ORACLE, sf_dir)
+
+
+def test_mixture_semantics(spark, sf_dir):
+    """Thresholds are feasible (<= M), every domain appears, at least
+    one domain is the binding constraint (thr == M means rate 1.0 is
+    impossible unless it binds exactly), and the kept counts respect
+    the per-domain totals."""
+    pdf = q_domain_mixture(spark, sf_dir).toPandas()
+    assert set(pdf.domain) == set(MIX_TARGETS_PM)
+    assert (pdf.thr <= RATE_M).all()
+    assert (pdf.thr > 0).all()
+    assert (pdf.n_kept <= pdf.n_total).all()
+    # expected kept per domain is thr*n_total/M ~= t_pm*t_cap/1000, so
+    # ranking domains by thr*n_total must reproduce the target-mixture
+    # ranking — the sampled mixture has the declared SHAPE
+    pdf["expect"] = pdf.thr * pdf.n_total
+    by_expect = pdf.sort_values("expect").domain.tolist()
+    by_target = sorted(MIX_TARGETS_PM, key=MIX_TARGETS_PM.get)
+    assert by_expect == by_target
+
+
+def test_mixture_rates_derived_from_binding_domain(spark, sf_dir):
+    """Recompute t_cap and thresholds in Python from DuckDB counts and
+    compare with the query's thr column (integer math, exact)."""
+    con = duckdb_con(sf_dir)
+    try:
+        counts = dict(
+            con.execute(
+                "SELECT CASE (substr(source,4)::INT % 4) "
+                "WHEN 0 THEN 'web' WHEN 1 THEN 'books' "
+                "WHEN 2 THEN 'code' WHEN 3 THEN 'reference' END, count(*) "
+                "FROM documents GROUP BY 1"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    t_cap = min(
+        counts[d] * 1000 // pm for d, pm in MIX_TARGETS_PM.items()
+    )
+    want = {
+        d: (pm * t_cap * RATE_M) // (1000 * counts[d])
+        for d, pm in MIX_TARGETS_PM.items()
+    }
+    got = {
+        r.domain: r.thr for r in q_domain_mixture(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -125,6 +125,9 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_pack_sequences",
     "q_decontaminate",
     "q_source_formats",
+    "q_quality_signals",
+    "q_pii_redact",
+    "q_domain_mixture",
 )
 
 
@@ -169,6 +172,7 @@ def _ensure_loaded() -> None:
     from zvdb_spark.queries import (  # noqa: F401
         aggregates,
         ann,
+        curation,
         dedup,
         joins,
         multimodal,
