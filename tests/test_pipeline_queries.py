@@ -303,18 +303,19 @@ def test_decontaminate_invariants(spark, sf_dir):
 
 
 def test_source_formats_roundtrip_parity(spark, sf_dir):
-    """CSV and JSON sources must reproduce the parquet table exactly:
-    same row count, same key sum, same per-row checksum — a connector
-    that loses, duplicates, or retypes a row (double -> truncated
-    text, shifted CSV column) breaks the md5-based checksum."""
+    """CSV, JSON, and ORC sources must reproduce the parquet table
+    exactly: same row count, same key sum, same per-row checksum — a
+    connector that loses, duplicates, or retypes a row (double ->
+    truncated text, shifted CSV column) breaks the md5-based
+    checksum."""
     from zvdb_spark.queries.relational import q_source_formats
     from zvdb_spark.sources.tables import table_row_count
 
     rows = {r.format: r for r in q_source_formats(spark, sf_dir).collect()}
-    assert set(rows) == {"parquet", "csv", "json"}
+    assert set(rows) == {"parquet", "csv", "json", "orc"}
     p = rows["parquet"]
     assert p.n_rows == table_row_count(sf_dir, "customer")
-    for fmt in ("csv", "json"):
+    for fmt in ("csv", "json", "orc"):
         r = rows[fmt]
         assert r.n_rows == p.n_rows, fmt
         assert r.key_sum == p.key_sum, fmt

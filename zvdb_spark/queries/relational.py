@@ -186,8 +186,8 @@ def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-connector parity across file formats: the customer
-    table (int64/int32/string/double columns) is written out as CSV
-    and JSON-lines, each read back through an EXPLICIT schema — never
+    table (int64/int32/string/double columns) is written out as CSV,
+    JSON-lines, and ORC, each read back through an EXPLICIT schema — never
     inferSchema, which is a full extra scan per read at 100 TB and a
     type lottery besides — and summarized per format as (n_rows,
     key_sum, row_checksum), where row_checksum sums the portable
@@ -199,7 +199,7 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``insert`` from process memory (src/hnsw.zig:73) — so this is
     engine surface, not reference parity.
 
-    Rows-only at the driver (3 summary rows; the comparison the
+    Rows-only at the driver (4 summary rows; the comparison the
     driver would hash is exactly what the pytest suite asserts:
     all three rows agree and match the parquet footer count).
     """
@@ -236,16 +236,19 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{tmp}/csv"
         )
         base.write.mode("overwrite").json(f"{tmp}/json")
+        base.write.mode("overwrite").orc(f"{tmp}/orc")
         csv_df = (
             spark.read.schema(base.schema)
             .option("header", "true")
             .csv(f"{tmp}/csv")
         )
         json_df = spark.read.schema(base.schema).json(f"{tmp}/json")
+        orc_df = spark.read.schema(base.schema).orc(f"{tmp}/orc")
         return (
             _summary(base, "parquet")
             .unionByName(_summary(csv_df, "csv"))
             .unionByName(_summary(json_df, "json"))
+            .unionByName(_summary(orc_df, "orc"))
             .orderBy("format")
             .localCheckpoint(eager=True)  # materialize before rmtree
         )
