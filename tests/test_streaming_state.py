@@ -55,3 +55,25 @@ def test_pq_ingest_stream_matches_batch(spark, sf_dir):
     pdf = all_queries()["q_stream_demo_pq_ingest"].fn(spark, sf_dir).toPandas()
     assert pdf.n.sum() == 500  # all docs' vectors accounted for
     assert (pdf.n > 0).all()
+
+
+def test_stream_stream_join_matches_batch_twin(spark, sf_dir):
+    """The watermarked stream-stream interval join must produce
+    exactly the batch join's pairs: availableNow over the single
+    landing file is one micro-batch, so no row is watermark-late and
+    the summaries must be row-identical."""
+    from zvdb_spark.streaming.jobs import (
+        batch_stream_join_twin,
+        run_stream_stream_join_demo,
+    )
+
+    got = {
+        r.view_hour: (r.n_pairs, r.n_users, r.purchase_value)
+        for r in run_stream_stream_join_demo(spark, sf_dir).collect()
+    }
+    want = {
+        r.view_hour: (r.n_pairs, r.n_users, r.purchase_value)
+        for r in batch_stream_join_twin(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in want.values()) > 0, "join matched nothing"

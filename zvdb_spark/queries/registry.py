@@ -128,6 +128,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_quality_signals",
     "q_pii_redact",
     "q_domain_mixture",
+    "q_stream_demo_stream_join",
 )
 
 

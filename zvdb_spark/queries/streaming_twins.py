@@ -178,6 +178,19 @@ def q_stream_demo_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_session_demo(spark, sf_dir)
 
 
+@register("q_stream_demo_stream_join", oracle=None, tags=("streaming", "demo"))
+def q_stream_demo_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (view -> purchase
+    attribution within 30 minutes): both sides watermarked so join
+    state is evictable, time-range condition bounds the buffer,
+    append-mode sink. Rows-only check: micro-batch join-state
+    execution is not SQL-expressible; the summary is compared exactly
+    against its batch twin in tests/test_streaming_state.py."""
+    from zvdb_spark.streaming.jobs import run_stream_stream_join_demo
+
+    return run_stream_stream_join_demo(spark, sf_dir)
+
+
 @register("q_stream_demo_foreachbatch", oracle=None, tags=("streaming", "demo"))
 def q_stream_demo_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch incremental ingest — the streaming mirror of the

@@ -145,6 +145,77 @@ def run_streaming_session_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_join_summary(pairs: DataFrame) -> DataFrame:
+    """Shared per-view-hour rollup of (view, purchase) attribution
+    pairs — used by both the streaming demo and its batch twin so the
+    pytest equality check compares the JOIN, not two aggregations."""
+    return pairs.groupBy(
+        F.date_format(F.date_trunc("hour", "v_ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("view_hour")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("v_user").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("purchase_value"),
+    )
+
+
+def _attribution_sides(ev: DataFrame) -> tuple[DataFrame, DataFrame]:
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("buy_id"),
+        "value",
+    )
+    return views, buys
+
+
+_ATTRIBUTION_COND = (
+    "v_user = b_user AND b_ts >= v_ts "
+    "AND b_ts <= v_ts + interval 30 minutes"
+)
+
+
+def run_stream_stream_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (view -> purchase
+    attribution): each purchase is matched to every view by the same
+    user in the preceding 30 minutes. Both sides carry watermarks so
+    the join's state store can EVICT — the watermark plus the time-
+    range condition bound how long a buffered view can still match
+    (without them a stream-stream join retains both sides forever,
+    the canonical unbounded-state failure at production scale). The
+    joined pairs land in an append-mode sink; the returned summary is
+    a batch rollup of the sink, compared row-for-row against the
+    batch twin by tests/test_streaming_state.py."""
+    ev = _events_stream(spark, sf_dir)
+    views, buys = _attribution_sides(ev)
+    joined = views.withWatermark("v_ts", "1 hour").join(
+        buys.withWatermark("b_ts", "2 hours"),
+        F.expr(_ATTRIBUTION_COND),
+        "inner",
+    )
+    sunk = _run_to_memory(joined, "append")
+    _assert_windows_in_range(sunk, "v_ts")
+    return stream_join_summary(sunk)
+
+
+def batch_stream_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream join demo: identical sides,
+    identical interval condition, over the batch events table."""
+    from zvdb_spark.sources.tables import load
+
+    views, buys = _attribution_sides(load(spark, sf_dir, "events"))
+    return stream_join_summary(
+        views.join(buys, F.expr(_ATTRIBUTION_COND), "inner")
+    )
+
+
 def run_foreachbatch_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest via foreachBatch — the streaming mirror of
     the reference's ``insert`` (src/hnsw.zig:73-117): every micro-batch
