@@ -138,10 +138,11 @@ def test_mixture_matches_oracle(spark, sf_dir):
 
 
 def test_mixture_semantics(spark, sf_dir):
-    """Thresholds are feasible (<= M), every domain appears, at least
-    one domain is the binding constraint (thr == M means rate 1.0 is
-    impossible unless it binds exactly), and the kept counts respect
-    the per-domain totals."""
+    """Thresholds are feasible (0 < thr <= M), every domain appears,
+    the kept counts respect the per-domain totals, and ranking by
+    expected kept volume reproduces the target-mixture ranking. (That
+    t_cap really is the min over domains is pinned exactly by
+    test_mixture_rates_derived_from_binding_domain below.)"""
     pdf = q_domain_mixture(spark, sf_dir).toPandas()
     assert set(pdf.domain) == set(MIX_TARGETS_PM)
     assert (pdf.thr <= RATE_M).all()

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zvdb_spark.queries.registry import register
-from zvdb_spark.queries.text import H_DUCK, H_SPARK
+from zvdb_spark.queries.text import H_DUCK, H_SPARK, checksum_sum
 from zvdb_spark.sources.tables import load
 
 # --- quality gate thresholds (per-mille, integer cross-multiplied) ---
@@ -283,12 +283,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n_matches(F.col("salted"), PAT_PHONE)).alias("phones"),
         F.sum(n_matches(F.col("salted"), PAT_IP)).alias("ips"),
         F.count(F.when(residual, 1)).alias("residual_pii"),
-        # per-row hash < 2^60, so the DECIMAL(38,0) sum is overflow-
-        # free at any table size (raw BIGINT summation overflows under
-        # ANSI); stringified so the driver-style compare is exact.
-        F.sum(
-            F.expr(H_SPARK.format(x="clean")).cast("decimal(38,0)")
-        ).cast("string").alias("clean_checksum"),
+        checksum_sum("clean").cast("string").alias("clean_checksum"),
     )
 
 
@@ -297,7 +292,12 @@ def _domain_case_duck() -> str:
         f"WHEN {i} THEN '{name}'"
         for i, name in enumerate(MIX_TARGETS_PM)
     )
-    return f"CASE (substr(source, 4)::INT % 4) {whens} END"
+    # fail fast on fixture drift: an unmapped source value must error,
+    # not silently fall out of the mixture via a NULL join key
+    return (
+        f"CASE (substr(source, 4)::INT % 4) {whens} "
+        "ELSE error('q_domain_mixture: unmapped source ' || source) END"
+    )
 
 
 def _target_case_duck() -> str:
@@ -312,7 +312,14 @@ def _domain_col_spark():
     c = None
     for i, name in enumerate(MIX_TARGETS_PM):
         c = F.when(m == i, name) if c is None else c.when(m == i, name)
-    return c
+    # fail fast on fixture drift (Spark's non-ANSI cast turns a
+    # non-numeric suffix into NULL, which would otherwise silently
+    # drop the doc from the mixture via a NULL join key)
+    return c.otherwise(
+        F.raise_error(
+            F.concat(F.lit("q_domain_mixture: unmapped source "), F.col("source"))
+        )
+    )
 
 
 def _target_col_spark():

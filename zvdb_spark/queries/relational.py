@@ -192,7 +192,7 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     type lottery besides — and summarized per format as (n_rows,
     key_sum, row_checksum), where row_checksum sums the portable
     md5-based hash of every row's canonical string form. Identical
-    rows across parquet/csv/json prove the text connectors neither
+    rows across parquet/csv/json/orc prove the connectors neither
     lose, duplicate, nor retype rows (the checksum catches a double
     that came back as a truncated decimal or a shifted column). The
     reference has no file sources at all — data enters only via
@@ -201,33 +201,29 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only at the driver (4 summary rows; the comparison the
     driver would hash is exactly what the pytest suite asserts:
-    all three rows agree and match the parquet footer count).
+    all four rows agree and match the parquet footer count).
     """
     import shutil
     import tempfile
 
-    from zvdb_spark.queries.text import H_SPARK
+    from zvdb_spark.queries.text import checksum_sum
 
     base = load(spark, sf_dir, "customer")
     cols = base.columns
     # Null-safe canonical row form: concat_ws SKIPS nulls, which would
     # make ('a', NULL, 'x') collide with a column-shifted ('a', 'x',
     # NULL) — exactly the corruption the checksum exists to catch —
-    # so every column carries an explicit NULL sentinel. The hash is
-    # the codebase's shared 15-hex-digit md5->bigint recipe (H_SPARK,
-    # text.py); per-row values are < 2^60, so the DECIMAL(38,0) sum
-    # below is overflow-free at any table size with no entropy-losing
-    # modulus (raw BIGINT summation overflows under ANSI within rows).
+    # so every column carries an explicit NULL sentinel. The checksum
+    # is the shared overflow-free recipe (text.py:checksum_sum).
     canon = ", ".join(
         f"coalesce(cast({c} as string), '<NULL>')" for c in cols
     )
-    row_hash = F.expr(H_SPARK.format(x=f"concat_ws('|', {canon})"))
 
     def _summary(df: DataFrame, fmt: str) -> DataFrame:
         return df.agg(
             F.count("*").alias("n_rows"),
             F.sum("c_custkey").alias("key_sum"),
-            F.sum(row_hash.cast("decimal(38,0)")).alias("row_checksum"),
+            checksum_sum(f"concat_ws('|', {canon})").alias("row_checksum"),
         ).select(F.lit(fmt).alias("format"), "*")
 
     tmp = tempfile.mkdtemp(prefix="zvdb_sources_")

@@ -28,6 +28,16 @@ H_SPARK = "cast(conv(substr(md5({x}),1,15),16,10) as bigint)"
 # DuckDB-side twin.
 H_DUCK = "('0x' || substr(md5({x}),1,15))::BIGINT"
 
+
+def checksum_sum(x_sql: str):
+    """Overflow-free portable checksum aggregate: sum of H_SPARK over
+    rows. Per-row values are < 2^60, so the DECIMAL(38,0) sum never
+    overflows at any table size with no entropy-losing modulus (raw
+    BIGINT summation overflows under ANSI within ~2^3 rows of the
+    max). DuckDB twins need no cast — its BIGINT sum widens to
+    HUGEINT. Compare as strings for driver-style exactness."""
+    return F.sum(F.expr(H_SPARK.format(x=x_sql)).cast("decimal(38,0)"))
+
 TOP_TERMS = 10
 
 # Marker-word lists for the language-ID heuristic. The synthetic corpus

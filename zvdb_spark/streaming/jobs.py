@@ -92,7 +92,9 @@ def _assert_windows_in_range(df: DataFrame, col: str) -> DataFrame:
     return df
 
 
-def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
+def _run_to_memory_named(
+    result: DataFrame, output_mode: str
+) -> tuple[DataFrame, str]:
     name = f"stream_demo_{uuid.uuid4().hex[:8]}"
     q = (
         result.writeStream.format("memory")
@@ -102,7 +104,11 @@ def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
         .start()
     )
     _await_bounded(q)
-    return result.sparkSession.table(name)
+    return result.sparkSession.table(name), name
+
+
+def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
+    return _run_to_memory_named(result, output_mode)[0]
 
 
 def run_streaming_tumbling_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,9 +206,14 @@ def run_stream_stream_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ATTRIBUTION_COND),
         "inner",
     )
-    sunk = _run_to_memory(joined, "append")
+    sunk, name = _run_to_memory_named(joined, "append")
     _assert_windows_in_range(sunk, "v_ts")
-    return stream_join_summary(sunk)
+    # Unlike the other demos, this sink holds the RAW pair set, not a
+    # small aggregate — materialize the rollup and drop the sink table
+    # so the pairs don't stay pinned in session memory.
+    out = stream_join_summary(sunk).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def batch_stream_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
