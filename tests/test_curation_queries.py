@@ -183,3 +183,52 @@ def test_mixture_rates_derived_from_binding_domain(spark, sf_dir):
         r.domain: r.thr for r in q_domain_mixture(spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --- time-series gap-fill (queries/windows.py) ---
+
+
+def test_gapfill_matches_oracle(spark, sf_dir):
+    from zvdb_spark.queries.windows import GAPFILL_ORACLE, q_events_gapfill
+
+    assert_matches_oracle(q_events_gapfill(spark, sf_dir), GAPFILL_ORACLE, sf_dir)
+
+
+def test_gapfill_carries_values_across_gaps(spark, sf_dir):
+    """The spine is dense (active + gaps == hours), gaps exist at this
+    granularity, and ffill_total exceeds observed_total wherever a gap
+    follows a positive observation — the carried value is real, not a
+    re-aggregation of observed rows."""
+    from zvdb_spark.queries.windows import q_events_gapfill
+
+    pdf = q_events_gapfill(spark, sf_dir).toPandas()
+    assert (pdf.n_hours == pdf.n_active + pdf.n_gaps).all()
+    assert int(pdf.n_gaps.sum()) > 0
+    assert (pdf.ffill_total >= pdf.observed_total - 1e-9).all()
+    assert float(pdf.ffill_total.sum()) > float(pdf.observed_total.sum())
+
+
+def test_gapfill_spine_matches_span(spark, sf_dir):
+    """Each user's hour count equals their active span in hours + 1,
+    independently recomputed from the raw events table."""
+    from zvdb_spark.queries.windows import q_events_gapfill
+    from zvdb_spark.sources.tables import load
+
+    spans = {
+        r.user_id: r.span
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                (
+                    F.unix_timestamp(F.date_trunc("hour", F.max("ts")))
+                    - F.unix_timestamp(F.date_trunc("hour", F.min("ts")))
+                )
+                / 3600
+                + 1
+            ).cast("long").alias("span")
+        )
+        .collect()
+    }
+    got = {r.user_id: r.n_hours for r in q_events_gapfill(spark, sf_dir).collect()}
+    assert got == spans

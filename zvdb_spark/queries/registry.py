@@ -129,6 +129,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_pii_redact",
     "q_domain_mixture",
     "q_stream_demo_stream_join",
+    "q_events_gapfill",
 )
 
 

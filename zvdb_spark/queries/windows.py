@@ -136,3 +136,92 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ma7"),
         F.sum(rev_dec).over(w_rows).cast("double").alias("cum_revenue"),
     )
+
+
+GAPFILL_ORACLE = f"""
+WITH {EVENTS_CTE},
+hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr,
+         count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS v
+  FROM ev GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+  FROM bounds
+),
+j AS (
+  SELECT s.user_id, s.hr, h.n, h.v,
+         last_value(h.v IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
+  FROM spine s LEFT JOIN hourly h USING (user_id, hr)
+)
+SELECT user_id,
+       count(*) AS n_hours,
+       count(n) AS n_active,
+       count(*) - count(n) AS n_gaps,
+       CAST(sum(v_ff) AS DOUBLE) AS ffill_total,
+       CAST(sum(coalesce(v, 0)) AS DOUBLE) AS observed_total
+FROM j GROUP BY user_id
+"""
+
+
+@register(
+    "q_events_gapfill",
+    oracle=None,  # past the driver cap; DuckDB parity via
+    # tests/test_curation_queries.py against GAPFILL_ORACLE
+    tags=("window", "timeseries"),
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill: bucket each user's events into
+    an hourly grid, generate the dense hour spine between their first
+    and last active hour (``sequence`` + explode — no driver-side
+    calendar loop), left-join observations onto the spine, and
+    forward-fill the hourly value with ``last(v, ignorenulls)`` over a
+    per-user ordered window. The per-user rollup proves the fill:
+    ``ffill_total`` sums the carried value across gap hours, which no
+    observation-only aggregate can reproduce. All sums are
+    DECIMAL-exact (summation-order-independent), cast to double only
+    at the end.
+
+    Scale: the hourly aggregation is one (user, hour) shuffle with
+    map-side partials; the spine explode is bounded by each user's
+    active span (one row per user-hour, never a global calendar); the
+    fill window is partitioned by user — parallelism = #users, no
+    single-partition window. The reference has no time or event
+    surface at all (vectors only, src/hnsw.zig:12-16)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.col("value").cast("decimal(18,4)").alias("value"),
+    )
+    hourly = ev.groupBy("user_id", "hr").agg(
+        F.count("*").alias("n"), F.sum("value").alias("v")
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hr"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    j = spine.join(hourly, ["user_id", "hr"], "left").select(
+        "user_id", "hr", "n", "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_ff"),
+    )
+    return j.groupBy("user_id").agg(
+        F.count("*").alias("n_hours"),
+        F.count("n").alias("n_active"),
+        (F.count("*") - F.count("n")).alias("n_gaps"),
+        F.sum("v_ff").cast("double").alias("ffill_total"),
+        F.sum(F.coalesce(F.col("v"), F.lit(0))).cast("double")
+        .alias("observed_total"),
+    )
