@@ -232,3 +232,62 @@ def test_gapfill_spine_matches_span(spark, sf_dir):
     }
     got = {r.user_id: r.n_hours for r in q_events_gapfill(spark, sf_dir).collect()}
     assert got == spans
+
+
+# --- ordered funnel (queries/aggregates.py) ---
+
+
+def test_funnel_matches_oracle(spark, sf_dir):
+    from zvdb_spark.queries.aggregates import FUNNEL_ORACLE, q_events_funnel
+
+    assert_matches_oracle(q_events_funnel(spark, sf_dir), FUNNEL_ORACLE, sf_dir)
+
+
+def test_funnel_is_monotone_and_nonempty(spark, sf_dir):
+    from zvdb_spark.queries.aggregates import q_events_funnel
+
+    r = q_events_funnel(spark, sf_dir).collect()[0]
+    assert r.n_users >= r.n_viewed >= r.n_clicked >= r.n_converted
+    assert r.n_viewed > 0
+    assert (r.convert_us_sum > 0) == (r.n_converted > 0)
+
+
+def test_funnel_matches_python_recompute(spark, sf_dir):
+    """Replay the state machine in plain Python over the raw events
+    (independent of both engines' formulations)."""
+    from collections import defaultdict
+
+    from zvdb_spark.queries.aggregates import FUNNEL_STAGES, q_events_funnel
+    from zvdb_spark.sources.tables import load
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*FUNNEL_STAGES))
+        .select("user_id", "ts", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.ts, r.event_type))
+    n_viewed = n_clicked = n_converted = 0
+    convert_us = 0
+    for seq in by_user.values():
+        t1 = t2 = t3 = None
+        for ts, et in sorted(seq):
+            if t1 is None and et == "view":
+                t1 = ts
+            elif t2 is None and t1 is not None and et == "click" and ts > t1:
+                t2 = ts
+            elif t3 is None and t2 is not None and et == "purchase" and ts > t2:
+                t3 = ts
+        n_viewed += t1 is not None
+        n_clicked += t2 is not None
+        n_converted += t3 is not None
+        if t3 is not None:
+            convert_us += int((t3 - t1).total_seconds() * 1_000_000)
+    got = q_events_funnel(spark, sf_dir).collect()[0]
+    assert got.n_users == len(by_user)
+    assert (got.n_viewed, got.n_clicked, got.n_converted) == (
+        n_viewed, n_clicked, n_converted,
+    )
+    assert got.convert_us_sum == convert_us

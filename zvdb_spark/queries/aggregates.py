@@ -301,3 +301,101 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
+
+
+# --- ordered-funnel analytics (view -> click -> purchase) ---
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+# Per-user funnel state machine: one pass over the time-sorted event
+# sequence. Strict ts comparisons make the semantics identical to the
+# oracle's "first click strictly after first view, first purchase
+# strictly after that click" min-formulation even under same-timestamp
+# ties (where sort order between types is alphabetical and would
+# otherwise differ from the join formulation).
+_FUNNEL_STATE = """
+aggregate(
+  array_sort(seq),
+  named_struct(
+    't1', cast(null as timestamp),
+    't2', cast(null as timestamp),
+    't3', cast(null as timestamp)),
+  (a, x) -> named_struct(
+    't1', IF(a.t1 IS NULL AND x.event_type = 'view', x.ts, a.t1),
+    't2', IF(a.t2 IS NULL AND a.t1 IS NOT NULL
+             AND x.event_type = 'click' AND x.ts > a.t1, x.ts, a.t2),
+    't3', IF(a.t3 IS NULL AND a.t2 IS NOT NULL
+             AND x.event_type = 'purchase' AND x.ts > a.t2, x.ts, a.t3)),
+  a -> a)
+"""
+
+FUNNEL_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+s1 AS (
+  SELECT user_id, min(ts) AS v_ts FROM ev
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM ev e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.v_ts GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM ev e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.c_ts GROUP BY 1
+)
+SELECT
+  (SELECT count(DISTINCT user_id) FROM ev) AS n_users,
+  (SELECT count(*) FROM s1) AS n_viewed,
+  (SELECT count(*) FROM s2) AS n_clicked,
+  (SELECT count(*) FROM s3) AS n_converted,
+  (SELECT CAST(coalesce(sum(epoch_us(s3.p_ts) - epoch_us(s1.v_ts)), 0)
+          AS BIGINT)
+   FROM s3 JOIN s1 USING (user_id)) AS convert_us_sum
+"""
+
+
+@register(
+    "q_events_funnel",
+    oracle=None,  # past the driver cap; DuckDB parity via
+    # tests/test_curation_queries.py against FUNNEL_ORACLE
+    tags=("agg", "funnel", "sequence"),
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): for each user, the
+    first view, the first click strictly after it, and the first
+    purchase strictly after that — computed as a state-machine
+    ``aggregate`` HOF over the user's time-sorted event sequence, ONE
+    shuffle total (the per-user collect), where the classic
+    formulation needs three self-join + aggregate rounds (the oracle
+    keeps that shape to prove equivalence). Conversion time is summed
+    in exact integer microseconds.
+
+    Scale: the per-user sequence is bounded by per-user activity (the
+    same bound sessionization needs); a pathological power-user would
+    call for pre-bucketing by (user, day) first. Everything after the
+    collect is codegen expression work; the final global rollup moves
+    one row per user."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*FUNNEL_STAGES))
+        .select("user_id", "ts", "event_type")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts", "event_type")).alias("seq")
+    )
+    st = per_user.select(F.expr(_FUNNEL_STATE).alias("st"))
+    return st.agg(
+        F.count("*").alias("n_users"),
+        F.count("st.t1").alias("n_viewed"),
+        F.count("st.t2").alias("n_clicked"),
+        F.count("st.t3").alias("n_converted"),
+        F.coalesce(
+            F.sum(F.expr("unix_micros(st.t3) - unix_micros(st.t1)")),
+            F.lit(0),
+        ).cast("bigint").alias("convert_us_sum"),
+    )

@@ -130,6 +130,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_domain_mixture",
     "q_stream_demo_stream_join",
     "q_events_gapfill",
+    "q_events_funnel",
 )
 
 
