@@ -113,6 +113,10 @@ HEADLINE = [
     "q_knn_filtered",
     "q_pipeline_training_data",
     "q_join_supplier_volume",
+    "q_quality_signals",
+    "q_domain_mixture",
+    "q_events_gapfill",
+    "q_events_funnel",
 ]
 
 
