@@ -117,6 +117,8 @@ HEADLINE = [
     "q_domain_mixture",
     "q_events_gapfill",
     "q_events_funnel",
+    "q_dedup_spans",
+    "q_vocab_topk",
 ]
 
 

@@ -1,0 +1,162 @@
+"""DuckDB parity + semantic invariants for the tokenizer-prep pack
+(queries/vocab.py) — past-cap rows-only queries, so this suite IS
+their correctness gate (same row-count + schema + value comparison
+the driver runs, via tests/oracle_utils)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from tests.oracle_utils import assert_matches_oracle
+from zvdb_spark.queries.vocab import (
+    SPAN_K,
+    SPANS_ORACLE,
+    TOP_V,
+    VOCAB_ORACLE,
+    q_dedup_spans,
+    q_vocab_topk,
+)
+from zvdb_spark.sources.tables import load
+
+
+def _h(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# --- span dedup ---
+
+
+def test_spans_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(q_dedup_spans(spark, sf_dir), SPANS_ORACLE, sf_dir)
+
+
+def test_spans_cut_is_real_and_partial(spark, sf_dir):
+    """The corpus plants near-duplicate documents, so the cut must be
+    non-empty — and it must not consume the corpus either."""
+    pdf = q_dedup_spans(spark, sf_dir).toPandas()
+    assert int(pdf.spans_cut.sum()) > 0
+    assert int(pdf.spans_cut.sum()) < int(pdf.spans_total.sum())
+    assert (pdf.docs_touched <= pdf.n_docs).all()
+    assert (pdf.docs_emptied <= pdf.docs_touched).all()
+
+
+def test_spans_matches_python_recompute(spark, sf_dir):
+    """Recompute the whole contract in plain Python from the raw text
+    (independent of both engines): chunking, cross-doc span verdicts,
+    reassembly, checksums."""
+    rows = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    span_docs: dict[str, set[int]] = defaultdict(set)
+    chunks: dict[int, list[str]] = {}
+    lang_of: dict[int, str] = {}
+    for r in rows:
+        toks = r.text.split(" ")
+        spans = [
+            " ".join(toks[i : i + SPAN_K])
+            for i in range(0, len(toks), SPAN_K)
+        ]
+        chunks[r.doc_id] = spans
+        lang_of[r.doc_id] = r.lang
+        for s in spans:
+            span_docs[s].add(r.doc_id)
+    want: dict[str, dict[str, int]] = defaultdict(
+        lambda: dict(
+            n_docs=0, spans_total=0, spans_cut=0, docs_touched=0,
+            docs_emptied=0, cut_id_sum=0, clean_checksum=0,
+        )
+    )
+    for did, spans in chunks.items():
+        kept = [s for s in spans if len(span_docs[s]) == 1]
+        cut = len(spans) - len(kept)
+        w = want[lang_of[did]]
+        w["n_docs"] += 1
+        w["spans_total"] += len(spans)
+        w["spans_cut"] += cut
+        if cut:
+            w["docs_touched"] += 1
+            w["cut_id_sum"] += did
+        if cut == len(spans):
+            w["docs_emptied"] += 1
+        w["clean_checksum"] += _h(" ".join(kept))
+    got = q_dedup_spans(spark, sf_dir).toPandas()
+    assert len(got) == len(want)
+    for _, g in got.iterrows():
+        w = want[g.lang]
+        for k in (
+            "n_docs", "spans_total", "spans_cut", "docs_touched",
+            "docs_emptied", "cut_id_sum",
+        ):
+            assert int(g[k]) == w[k], (g.lang, k)
+        assert int(g.clean_checksum) == w["clean_checksum"], g.lang
+
+
+def test_spans_cut_set_insensitive_to_partitioning(spark, sf_dir):
+    """The cross-doc verdict must not depend on the scan's partition
+    layout (a hash-shuffle invariant, not a coincidence of layout)."""
+    base = q_dedup_spans(spark, sf_dir).toPandas().sort_values("lang")
+    docs = load(spark, sf_dir, "documents").repartition(13, "lang")
+    docs.createOrReplaceTempView("__vocab_repart")
+    try:
+        import zvdb_spark.sources.tables as tables
+
+        orig = tables.load
+
+        def patched(s, d, name):
+            return docs if name == "documents" else orig(s, d, name)
+
+        tables.load = patched
+        import zvdb_spark.queries.vocab as vocab
+
+        vocab.load = patched
+        try:
+            re = q_dedup_spans(spark, sf_dir).toPandas().sort_values("lang")
+        finally:
+            tables.load = orig
+            vocab.load = orig
+    finally:
+        spark.catalog.dropTempView("__vocab_repart")
+    assert list(base.clean_checksum) == list(re.clean_checksum)
+    assert list(base.spans_cut) == list(re.spans_cut)
+
+
+# --- vocabulary top-k ---
+
+
+def test_vocab_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(q_vocab_topk(spark, sf_dir), VOCAB_ORACLE, sf_dir)
+
+
+def test_vocab_matches_python_recompute(spark, sf_dir):
+    rows = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    cf: Counter = Counter()
+    df: Counter = Counter()
+    for r in rows:
+        toks = r.text.split(" ")
+        cf.update(toks)
+        df.update(set(toks))
+    total = sum(cf.values())
+    order = sorted(cf, key=lambda t: (-cf[t], t))[:TOP_V]
+    got = q_vocab_topk(spark, sf_dir).toPandas().sort_values("rank")
+    assert list(got.term) == order
+    cum = 0
+    for i, t in enumerate(order):
+        g = got.iloc[i]
+        cum += cf[t]
+        assert int(g.cf) == cf[t]
+        assert int(g.df) == df[t]
+        assert int(g["rank"]) == i + 1
+        assert int(g.coverage_pm) == cum * 1000 // total
+
+
+def test_vocab_coverage_monotone_and_bounded(spark, sf_dir):
+    pdf = q_vocab_topk(spark, sf_dir).toPandas().sort_values("rank")
+    assert len(pdf) == TOP_V
+    assert pdf.coverage_pm.is_monotonic_increasing
+    assert int(pdf.coverage_pm.iloc[-1]) <= 1000
+    assert (pdf.cf.values[:-1] >= pdf.cf.values[1:]).all()

@@ -131,6 +131,8 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_stream_demo_stream_join",
     "q_events_gapfill",
     "q_events_funnel",
+    "q_dedup_spans",
+    "q_vocab_topk",
 )
 
 
@@ -187,6 +189,7 @@ def _ensure_loaded() -> None:
         streaming_twins,
         text,
         vector,
+        vocab,
         windows,
     )
 
