@@ -119,6 +119,7 @@ HEADLINE = [
     "q_events_funnel",
     "q_dedup_spans",
     "q_vocab_topk",
+    "q_dedup_semantic",
 ]
 
 

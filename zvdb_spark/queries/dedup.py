@@ -633,6 +633,98 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- semantic dedup (SemDeDup-style)
+
+SEM_CELLS = 8  # k-means cells (scale: pick k ~ N / target cell size)
+SEM_ITERS = 4
+SEM_TAU = COSINE_TAU  # same near-duplicate threshold as the pair ops
+
+
+@register(
+    "q_dedup_semantic",
+    oracle=None,  # past the driver cap; numpy full-pipeline recompute
+    # parity via tests/test_semantic_dedup.py (kmeans is not
+    # SQL-expressible, so the gate is an independent-recompute, the
+    # same pattern as tests/test_pq.py)
+    tags=("dedup", "vector", "pipeline"),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings (deterministic
+    seeded Lloyd's, ``operators/kmeans.py``), then WITHIN each cell
+    keep a greedy min-id set of representatives — a vector is dropped
+    iff its cosine to an already-kept representative in its cell
+    clears τ. Returns per-cell (size, kept, dropped, kept-id-sum,
+    max dropped-cosine).
+
+    The existing pair ops (``q_dedup_embedding`` exact GEMM,
+    ``q_dedup_embedding_lsh`` hyperplane-routed) emit the duplicate
+    PAIRS; this op emits the deduplicated KEPT SET — the artifact a
+    training run consumes — with cluster routing as the candidate
+    pruner, so cross-cell duplicates are out of scope by design
+    (the paper's recall/efficiency trade).
+
+    Scale posture: assignment is one broadcast-centroid Arrow-batch
+    argmin (no shuffle); the greedy pass is one shuffle on cell_id
+    into an ``applyInPandas`` whose per-group work is
+    O(cell_size × kept) — bounded by choosing k ~ N / target cell
+    size exactly as the paper does (11k clusters at 100M docs), never
+    corpus-quadratic. Within-cell greedy order is ascending vec_id,
+    so the kept set is deterministic on any cluster size or
+    partition layout."""
+    import numpy as np
+    import pandas as pd
+
+    from zvdb_spark.operators.kmeans import assign_cells, kmeans_fit
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    cents = kmeans_fit(e, k=SEM_CELLS, n_iter=SEM_ITERS)
+    assigned = assign_cells(e, cents)
+    tau = SEM_TAU
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id", ignore_index=True)
+        x = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        kept_rows: list[int] = []
+        kept = np.zeros(len(pdf), dtype=bool)
+        drop_cos = np.full(len(pdf), np.nan)
+        for i in range(len(pdf)):
+            if kept_rows:
+                sims = x[kept_rows] @ x[i]
+                j = int(np.argmax(sims))
+                if sims[j] >= tau:
+                    drop_cos[i] = sims[j]
+                    continue
+            kept[i] = True
+            kept_rows.append(i)
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "cell_id": pdf["cell_id"].iloc[:1],
+                "n_vecs": [len(pdf)],
+                "n_kept": [int(kept.sum())],
+                "n_dropped": [int((~kept).sum())],
+                "kept_id_sum": [int(ids[kept].sum())],
+                "max_drop_cos": [
+                    float(np.round(np.nanmax(drop_cos), 4))
+                    if (~kept).any()
+                    else float("nan")
+                ],
+            }
+        )
+
+    return assigned.groupBy("cell_id").applyInPandas(
+        _greedy,
+        schema=(
+            "cell_id int, n_vecs long, n_kept long, n_dropped long, "
+            "kept_id_sum long, max_drop_cos double"
+        ),
+    )
+
+
 # ------------------------------------------------ connected components
 
 _GROUPS_ORACLE = f"""

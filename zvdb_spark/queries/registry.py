@@ -133,6 +133,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_events_funnel",
     "q_dedup_spans",
     "q_vocab_topk",
+    "q_dedup_semantic",
 )
 
 
