@@ -120,6 +120,7 @@ HEADLINE = [
     "q_dedup_spans",
     "q_vocab_topk",
     "q_dedup_semantic",
+    "q_lm_filter",
 ]
 
 

@@ -25,6 +25,9 @@ from zvdb_spark.queries.curation import (
     TOP_TOK_PM,
     q_domain_mixture,
     q_pii_redact,
+    LM_ORACLE,
+    NOVELTY_PM,
+    q_lm_filter,
     q_quality_signals,
 )
 
@@ -291,3 +294,61 @@ def test_funnel_matches_python_recompute(spark, sf_dir):
         n_viewed, n_clicked, n_converted,
     )
     assert got.convert_us_sum == convert_us
+
+
+# --- statistical-LM novelty filter ---
+
+
+def test_lm_filter_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(q_lm_filter(spark, sf_dir), LM_ORACLE, sf_dir)
+
+
+def test_lm_filter_cuts_and_keeps(spark, sf_dir):
+    pdf = q_lm_filter(spark, sf_dir).toPandas()
+    assert (pdf.n_kept <= pdf.n_docs).all()
+    assert int(pdf.n_kept.sum()) > 0
+    assert int(pdf.n_kept.sum()) < int(pdf.n_docs.sum())
+    assert (pdf.tri_novel <= pdf.tri_total).all()
+    assert ((0 <= pdf.novelty_pm) & (pdf.novelty_pm <= 1000)).all()
+
+
+def test_lm_filter_matches_python_recompute(spark, sf_dir):
+    """Recompute the whole contract in plain Python from the raw text
+    (independent of both engines' window/HOF machinery)."""
+    from collections import Counter, defaultdict
+
+    from zvdb_spark.sources.tables import load
+
+    rows = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    corpus: Counter = Counter()
+    per_doc: dict[int, list[str]] = {}
+    lang_of: dict[int, str] = {}
+    for r in rows:
+        toks = r.text.split(" ")
+        tris = [
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        ]
+        per_doc[r.doc_id] = tris
+        lang_of[r.doc_id] = r.lang
+        corpus.update(tris)
+    want = defaultdict(lambda: dict(n_docs=0, n_kept=0, kept_id_sum=0))
+    for did, tris in per_doc.items():
+        if not tris:
+            continue
+        novel = sum(1 for t in tris if corpus[t] == 1)
+        w = want[lang_of[did]]
+        w["n_docs"] += 1
+        if novel * 1000 <= NOVELTY_PM * len(tris):
+            w["n_kept"] += 1
+            w["kept_id_sum"] += did
+    got = q_lm_filter(spark, sf_dir).toPandas()
+    assert len(got) == len(want)
+    for _, g in got.iterrows():
+        w = want[g.lang]
+        assert int(g.n_docs) == w["n_docs"], g.lang
+        assert int(g.n_kept) == w["n_kept"], g.lang
+        assert int(g.kept_id_sum) == w["kept_id_sum"], g.lang

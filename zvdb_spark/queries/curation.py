@@ -287,6 +287,108 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- statistical-LM novelty filter (CCNet-style, integer-exact) ---
+NOVELTY_PM = 400  # keep iff novel trigrams <= 40% of the doc's trigrams
+
+# greatest(.., 0): slice() rejects negative lengths, so docs with
+# < 3 tokens must resolve to an empty trigram list, not an error
+_TRIGRAMS = """
+zip_with(
+  slice(toks, 1, greatest(size(toks) - 2, 0)),
+  zip_with(
+    slice(toks, 2, greatest(size(toks) - 2, 0)),
+    slice(toks, 3, greatest(size(toks) - 2, 0)),
+    (b, c) -> concat(b, ' ', c)),
+  (a, bc) -> concat(a, ' ', bc))
+"""
+
+LM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+tri AS (
+  SELECT doc_id, lang,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tg
+  FROM t, unnest(range(1, len(toks) - 1)) u(i)
+),
+c AS (
+  SELECT doc_id, lang,
+         count(*) OVER (PARTITION BY {H_DUCK.format(x="tg")}) AS cnt
+  FROM tri
+),
+d AS (
+  SELECT doc_id, lang, count(*) AS n_tri,
+         count(*) FILTER (WHERE cnt = 1) AS n_novel
+  FROM c GROUP BY 1, 2
+)
+SELECT lang,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE n_novel * 1000 <= {NOVELTY_PM} * n_tri)
+         AS n_kept,
+       coalesce(sum(doc_id)
+           FILTER (WHERE n_novel * 1000 <= {NOVELTY_PM} * n_tri), 0)
+         AS kept_id_sum,
+       CAST(sum(n_tri) AS BIGINT) AS tri_total,
+       CAST(sum(n_novel) AS BIGINT) AS tri_novel,
+       CAST(sum(n_novel) * 1000 // sum(n_tri) AS BIGINT) AS novelty_pm
+FROM d GROUP BY lang
+"""
+
+
+@register(
+    "q_lm_filter",
+    oracle=None,  # past the driver cap; DuckDB parity via
+    # tests/test_curation_queries.py against LM_ORACLE
+    tags=("curation", "text", "pipeline"),
+)
+def q_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality filter (the CCNet perplexity-filter
+    stage — Wenzek et al. 2020, arXiv:1911.00359 — as an
+    integer-exact proxy): a document's novelty is the fraction of its
+    trigrams with ZERO other occurrences corpus-wide (leave-one-out
+    "unseen by the LM"), and a doc is kept iff novelty clears the
+    per-mille threshold. Proxy instead of a real KenLM score because
+    the verdict must be bit-identical cross-engine: counts and
+    cross-multiplied thresholds are exact where log-prob sums are
+    float-order-dependent; the mechanism (n-gram statistics from the
+    corpus judging each doc) is the same.
+
+    Scale posture — same shape as q_dedup_spans: trigrams are one
+    zip_with projection (no per-token explode before the generator),
+    the corpus count is a window over the trigram's portable 60-bit
+    hash (ONE shuffle, no join back, no broadcast-size assumption),
+    then a doc_id agg and a tiny lang rollup. Docs with < 3 tokens
+    have no trigrams and are excluded (both engines identically)."""
+    tri = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id", "lang", F.explode(F.expr(_TRIGRAMS)).alias("tg")
+        )
+        .withColumn("tg_h", F.expr(H_SPARK.format(x="tg")))
+    )
+    from pyspark.sql import Window as W
+
+    cnt = tri.withColumn(
+        "cnt", F.count("*").over(W.partitionBy("tg_h"))
+    )
+    d = cnt.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_tri"),
+        F.count(F.when(F.col("cnt") == 1, 1)).alias("n_novel"),
+    )
+    keep = F.col("n_novel") * 1000 <= NOVELTY_PM * F.col("n_tri")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(keep, 1)).alias("n_kept"),
+        F.coalesce(F.sum(F.when(keep, F.col("doc_id"))), F.lit(0)).alias(
+            "kept_id_sum"
+        ),
+        F.sum("n_tri").alias("tri_total"),
+        F.sum("n_novel").alias("tri_novel"),
+        F.expr("sum(n_novel) * 1000 div sum(n_tri)").alias("novelty_pm"),
+    )
+
+
 def _domain_case_duck() -> str:
     whens = " ".join(
         f"WHEN {i} THEN '{name}'"

@@ -134,6 +134,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_dedup_spans",
     "q_vocab_topk",
     "q_dedup_semantic",
+    "q_lm_filter",
 )
 
 
