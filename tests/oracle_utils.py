@@ -12,6 +12,15 @@ import pandas as pd
 from zvdb_spark.sources.tables import TABLES
 
 
+def portable_h(s: str) -> int:
+    """Python twin of the shared portable hash (queries/text.py
+    H_SPARK / H_DUCK): first 15 hex digits of md5 as a bigint. ONE
+    definition for every test-side recompute."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:

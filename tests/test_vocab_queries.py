@@ -5,12 +5,9 @@ the driver runs, via tests/oracle_utils)."""
 
 from __future__ import annotations
 
-import hashlib
 from collections import Counter, defaultdict
 
-from pyspark.sql import functions as F
-
-from tests.oracle_utils import assert_matches_oracle
+from tests.oracle_utils import assert_matches_oracle, portable_h as _h
 from zvdb_spark.queries.vocab import (
     SPAN_K,
     SPANS_ORACLE,
@@ -20,10 +17,6 @@ from zvdb_spark.queries.vocab import (
     q_vocab_topk,
 )
 from zvdb_spark.sources.tables import load
-
-
-def _h(s: str) -> int:
-    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
 # --- span dedup ---
@@ -99,28 +92,20 @@ def test_spans_matches_python_recompute(spark, sf_dir):
 def test_spans_cut_set_insensitive_to_partitioning(spark, sf_dir):
     """The cross-doc verdict must not depend on the scan's partition
     layout (a hash-shuffle invariant, not a coincidence of layout)."""
+    import zvdb_spark.queries.vocab as vocab
+
     base = q_dedup_spans(spark, sf_dir).toPandas().sort_values("lang")
     docs = load(spark, sf_dir, "documents").repartition(13, "lang")
-    docs.createOrReplaceTempView("__vocab_repart")
+    orig = vocab.load  # q_dedup_spans resolves load via its module
+
+    def patched(s, d, name):
+        return docs if name == "documents" else orig(s, d, name)
+
+    vocab.load = patched
     try:
-        import zvdb_spark.sources.tables as tables
-
-        orig = tables.load
-
-        def patched(s, d, name):
-            return docs if name == "documents" else orig(s, d, name)
-
-        tables.load = patched
-        import zvdb_spark.queries.vocab as vocab
-
-        vocab.load = patched
-        try:
-            re = q_dedup_spans(spark, sf_dir).toPandas().sort_values("lang")
-        finally:
-            tables.load = orig
-            vocab.load = orig
+        re = q_dedup_spans(spark, sf_dir).toPandas().sort_values("lang")
     finally:
-        spark.catalog.dropTempView("__vocab_repart")
+        vocab.load = orig
     assert list(base.clean_checksum) == list(re.clean_checksum)
     assert list(base.spans_cut) == list(re.spans_cut)
 

@@ -10,8 +10,13 @@ the refinement you run at scale). Standard distributed formulation:
 - the update step is one groupBy over (cell, dim) partial sums —
   a single shuffle per iteration carrying k x dim rows per partition.
 
-Deterministic: seeded init (first k rows by id), fixed iteration
-count — same data + seed => identical centroids on any cluster size.
+Deterministic up to float-sum order: seeded init (first k rows by
+id) and a fixed iteration count pin the algorithm, but the update
+step's partial sums merge in shuffle order, so centroids can drift
+by ULPs across partition layouts (enough to flip a boundary vector's
+assignment). Consumers needing bit-stable assignments across runs
+should fit once and persist the centroid matrix (k x dim floats) —
+the shape an IVF deployment uses anyway.
 """
 
 from __future__ import annotations

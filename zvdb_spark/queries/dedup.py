@@ -670,8 +670,12 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(cell_size × kept) — bounded by choosing k ~ N / target cell
     size exactly as the paper does (11k clusters at 100M docs), never
     corpus-quadratic. Within-cell greedy order is ascending vec_id,
-    so the kept set is deterministic on any cluster size or
-    partition layout."""
+    so GIVEN the fitted centroids, assignment and the kept set are
+    fully deterministic. The centroid fit itself sums float partials
+    whose shuffle-merge order can vary with partition layout (ULP
+    drift can flip a boundary vector's cell) — for bit-stable kept
+    sets across runs at scale, fit once and persist the centroids
+    (k x dim floats), as an IVF deployment does anyway."""
     import numpy as np
     import pandas as pd
 

@@ -198,7 +198,10 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.sum("n").alias("cf"), F.count("*").alias("df"))
     )
-    total = v.agg(F.sum("cf").alias("total_cf"))
+    # sum(cf) over all terms == total token occurrences: one cheap
+    # count over the exploded scan instead of re-running the whole
+    # two-level groupBy chain a second time
+    total = tok.agg(F.count("*").alias("total_cf"))
     top = v.orderBy(F.col("cf").desc(), F.col("term")).limit(TOP_V)
     wr = W.orderBy(F.col("cf").desc(), F.col("term"))
     ranked = top.withColumn("rank", F.row_number().over(wr)).crossJoin(
