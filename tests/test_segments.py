@@ -190,3 +190,91 @@ def test_two_live_indexes_share_index_dir_without_reaping_each_other(
     # live segments must have survived the reap on BOTH indexes
     _self_match(a, base_a)
     _self_match(b, delta_b)
+
+
+def test_unpin_durable_retire_marker_cross_process_purge(tmp_path):
+    """The on-disk <prefix>.retired marker makes the grace window
+    cross-process: if the unpinning process dies (simulated by
+    clearing the in-memory queue), another process's purge_stale
+    finishes the reap once the marker's grace expires — and never
+    reaps INSIDE the grace window, even when the data files' own
+    mtimes are >24h old."""
+    import os
+    import time as _t
+
+    import zvdb_spark.operators.segments as S
+
+    pref = str(tmp_path / "seg_0001")
+    with open(f"{pref}.ids.npy", "wb") as f:
+        f.write(b"x")
+    owner = str(tmp_path / "m.json")
+    S.pin_prefixes([pref], owner=owner)
+    S.unpin_prefixes([pref], owner=owner)
+    assert os.path.exists(f"{pref}.retired")
+    S._retired.clear()  # "the retiring process died here"
+    # inside grace: protected even though the file LOOKS 25h dead
+    old = _t.time() - 25 * 3600
+    os.utime(f"{pref}.ids.npy", (old, old))
+    S.purge_stale(str(tmp_path), _t.time())
+    assert os.path.exists(f"{pref}.ids.npy")
+    # past grace: another process's sweep finishes the reap
+    S.purge_stale(str(tmp_path), _t.time() + S._RETIRE_GRACE_SECS + 1)
+    assert not os.path.exists(f"{pref}.ids.npy")
+    assert not os.path.exists(f"{pref}.retired")
+
+
+def test_repin_during_grace_clears_retire_marker(tmp_path):
+    """A prefix re-pinned inside the grace window must survive every
+    reaper: pin_prefixes removes the durable marker, and pins win
+    over any marker a concurrent unpin re-writes."""
+    import os
+    import time as _t
+
+    import zvdb_spark.operators.segments as S
+
+    pref = str(tmp_path / "seg_0001")
+    with open(f"{pref}.ids.npy", "wb") as f:
+        f.write(b"x")
+    owner = str(tmp_path / "m.json")
+    S.pin_prefixes([pref], owner=owner)
+    S.unpin_prefixes([pref], owner=owner)
+    assert os.path.exists(f"{pref}.retired")
+    S.pin_prefixes([pref], owner=owner)  # re-claimed inside grace
+    assert not os.path.exists(f"{pref}.retired")
+    S._retired.clear()
+    S.purge_stale(str(tmp_path), _t.time() + S._RETIRE_GRACE_SECS + 1)
+    assert os.path.exists(f"{pref}.ids.npy")
+    # in-process reap also re-checks pins
+    S.retire_prefixes([pref])
+    S.reap_retired(now=_t.time() + S._RETIRE_GRACE_SECS + 1)
+    assert os.path.exists(f"{pref}.ids.npy")
+
+
+def test_concurrent_unpin_race_reaped_by_any_purge(tmp_path):
+    """Two owners release concurrently and 'each still sees the
+    other's marker': every unpin writes the durable marker anyway
+    (pins are re-checked at delete time), so the files are reaped by
+    ANY later sweep instead of leaking until the 24h rule."""
+    import os
+    import time as _t
+
+    import zvdb_spark.operators.segments as S
+
+    pref = str(tmp_path / "seg_0001")
+    with open(f"{pref}.ids.npy", "wb") as f:
+        f.write(b"x")
+    a = str(tmp_path / "a.json")
+    b = str(tmp_path / "b.json")
+    S.pin_prefixes([pref], owner=a)
+    S.pin_prefixes([pref], owner=b)
+    S.unpin_prefixes([pref], owner=a)
+    assert os.path.exists(f"{pref}.retired")  # written despite b's pin
+    # past grace but still pinned by b: every reaper leaves it alone
+    S.purge_stale(str(tmp_path), _t.time() + S._RETIRE_GRACE_SECS + 1)
+    S.reap_retired(now=_t.time() + S._RETIRE_GRACE_SECS + 1)
+    assert os.path.exists(f"{pref}.ids.npy")
+    S.unpin_prefixes([pref], owner=b)
+    S._retired.clear()  # "process died before its in-process reap"
+    S.purge_stale(str(tmp_path), _t.time() + S._RETIRE_GRACE_SECS + 1)
+    assert not os.path.exists(f"{pref}.ids.npy")
+    assert not os.path.exists(f"{pref}.retired")

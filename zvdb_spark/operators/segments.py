@@ -77,9 +77,27 @@ def no_aqe_coalesce(spark):
         spark.conf.set(key, prev)
 
 
-def retire_prefixes(prefixes) -> None:
+def retire_prefixes(prefixes, durable: bool = False) -> None:
+    """Queue prefixes for grace-window reaping. ``durable=True``
+    additionally drops an on-disk ``<prefix>.retired`` marker (atomic
+    tmp+rename; its mtime is the retire clock) so that ANOTHER
+    process's purge_stale can finish the reap if this process dies
+    after the last unpin — and so purge_stale never unlinks inside
+    the grace window even when the data files' own mtimes are >24h
+    old. Best-effort: a failed marker write degrades to the old
+    process-local behavior (bounded leak until the 24h sweep, never
+    data loss)."""
     now = time.time()
     _retired.extend((now, p) for p in prefixes)
+    if durable:
+        for p in prefixes:
+            try:
+                tmp = f"{p}.retired.{os.getpid()}.tmp"
+                with open(tmp, "w") as fh:
+                    fh.write(f"{now}\n")
+                os.replace(tmp, f"{p}.retired")
+            except OSError:
+                pass
 
 
 def reap_retired(now: float | None = None) -> None:
@@ -230,6 +248,14 @@ def pin_prefixes(prefixes, owner: str | None = None) -> None:
                 os.replace(tmp, marker)
         except OSError as e:
             errs.append(f"{marker}: {e}")
+            continue
+        # a (re-)claimed prefix is no longer retired: drop the durable
+        # retire marker AFTER the pin exists, so no window is open in
+        # which purge_stale sees neither
+        try:
+            os.unlink(f"{p}.retired")
+        except OSError:
+            pass
     if errs:
         raise OSError(
             f"failed to pin {len(errs)} segment prefix(es); the index "
@@ -254,21 +280,24 @@ def unpin_prefixes(prefixes, owner: str) -> None:
     and is migrated to per-owner markers first
     (``_migrate_shared_pin``), so old-format saves stay releasable.
 
-    The grace window is PROCESS-LOCAL by design (``_retired`` is in
-    memory): if the process dies after the last unpin, or two owners
-    unpin concurrently and each still sees the other's marker, the
-    files are retired by nobody and linger until the 24 h
-    purge_stale sweep — a bounded disk leak, never data loss, and
-    the accepted tradeoff over an on-disk retire ledger (which would
-    reintroduce cross-process read-modify-write)."""
+    Cross-process grace: every unpin drops a durable
+    ``<prefix>.retired`` marker (atomic create, never a
+    read-modify-write ledger) REGARDLESS of whether other owners'
+    markers remain — safe because both reapers re-check pins at
+    delete time (unlink_prefixes directly; purge_stale skips pinned
+    prefixes), and pin_prefixes removes the marker when a prefix is
+    (re-)claimed. So if this process dies after the last unpin, or
+    two owners unpin concurrently and each still sees the other's
+    marker, any later process's purge_stale finishes the reap once
+    the marker's grace expires — no immortal leak, and no purge
+    inside the grace window either."""
     for p in prefixes:
         _migrate_shared_pin(p)
         try:
             os.unlink(_pin_marker(p, owner))
         except OSError:
             continue
-        if not _pin_markers(p):
-            retire_prefixes([p])
+        retire_prefixes([p], durable=True)
 
 
 def unlink_prefixes(prefixes) -> None:
@@ -296,7 +325,17 @@ def purge_stale(d: str, now: float) -> None:
     that; the per-build token keeps names unique. Pinned prefixes
     (saved indexes) and the pin markers themselves — bare legacy
     ``.pin`` or per-owner ``.pin.<sha1-16>`` — are never purged:
-    persistence must survive arbitrary idle gaps."""
+    persistence must survive arbitrary idle gaps.
+
+    Prefixes carrying a durable ``<prefix>.retired`` marker (written
+    by unpin_prefixes) use the RETIRE clock instead of the 24h file
+    age, in both directions: their files (marker included) are
+    reaped once the marker's grace expires — even if the retiring
+    process died, and even if the files are minutes old — and are
+    NEVER reaped inside the grace window, even if their own mtimes
+    are >24h old (a long-idle save released moments ago may still
+    have readers). Pins win over retire markers: a re-pinned prefix
+    is skipped here regardless."""
     try:
         entries = os.listdir(d)
     except OSError:
@@ -312,12 +351,24 @@ def purge_stale(d: str, now: float) -> None:
             if _is_marker(f)
         }
     )
+    retired: dict[str, float] = {}
+    for f in entries:
+        if f.endswith(".retired"):
+            path = os.path.join(d, f)
+            try:
+                retired[path[: -len("retired")]] = os.path.getmtime(path)
+            except OSError:
+                pass
     for f in entries:
         path = os.path.join(d, f)
         if _is_marker(f) or (pinned and path.startswith(pinned)):
             continue
+        retire_ts = [t for k, t in retired.items() if path.startswith(k)]
         try:
-            if now - os.path.getmtime(path) > _PURGE_AGE_SECS:
+            if retire_ts:
+                if now - max(retire_ts) > _RETIRE_GRACE_SECS:
+                    os.unlink(path)
+            elif now - os.path.getmtime(path) > _PURGE_AGE_SECS:
                 os.unlink(path)
         except OSError:
             pass
