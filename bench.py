@@ -121,6 +121,7 @@ HEADLINE = [
     "q_vocab_topk",
     "q_dedup_semantic",
     "q_lm_filter",
+    "q_join_skew_salted",
 ]
 
 

@@ -47,3 +47,26 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS tbkt_l")
         spark.sql("DROP TABLE IF EXISTS tbkt_r")
+
+
+def test_q_join_skew_salted_matches_oracle(spark, sf_dir):
+    """The declared query's result contract is the PLAIN join — the
+    salting is a physical rewrite only."""
+    from tests.oracle_utils import assert_matches_oracle
+    from zvdb_spark.queries.joins import SKEW_SALTED_ORACLE, q_join_skew_salted
+
+    assert_matches_oracle(
+        q_join_skew_salted(spark, sf_dir), SKEW_SALTED_ORACLE, sf_dir
+    )
+
+
+def test_q_join_skew_salted_plan_joins_on_salt(spark, sf_dir):
+    """The executed plan must actually join on (key, salt) — i.e. the
+    rewrite is in the plan, not optimized away."""
+    from zvdb_spark.queries.joins import q_join_skew_salted
+
+    plan = (
+        q_join_skew_salted(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "_salt" in plan, plan

@@ -394,3 +394,48 @@ def q_join_brand_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sold / retail, 4).alias("realized_ratio"),
         )
     )
+
+
+SKEW_SALTED_ORACLE = """
+SELECT c.c_mktsegment AS mktsegment,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+         AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+@register(
+    "q_join_skew_salted",
+    oracle=None,  # past the driver cap; DuckDB parity via
+    # tests/test_skew_bucketing.py against SKEW_SALTED_ORACLE (the
+    # plain-join formulation: salting is a physical rewrite, the
+    # result contract is the unsalted join)
+    tags=("join", "skew", "scale"),
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi-join as a declared query: orders⋈customer
+    through operators/skew.salted_join (probe keys salted into 8
+    sub-keys, build side exploded once per salt), then the
+    per-mktsegment revenue rollup. Result contract == the plain
+    join — salting only changes WHERE the rows meet: one hot key
+    spreads over n_salts reducers instead of serializing one. This
+    is the explicit fallback for skew AQE can't re-plan (a key
+    holding > executor-memory of rows); money sums go through
+    DECIMAL(18,4) per the repo's determinism rules."""
+    from zvdb_spark.operators.skew import salted_join
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(
+        o, c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey",
+        n_salts=8,
+    )
+    return j.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"),
+            4,
+        ).alias("revenue"),
+    )

@@ -135,6 +135,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_vocab_topk",
     "q_dedup_semantic",
     "q_lm_filter",
+    "q_join_skew_salted",
 )
 
 
