@@ -122,6 +122,7 @@ HEADLINE = [
     "q_dedup_semantic",
     "q_lm_filter",
     "q_join_skew_salted",
+    "q_join_bucketed",
 ]
 
 

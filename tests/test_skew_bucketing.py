@@ -70,3 +70,41 @@ def test_q_join_skew_salted_plan_joins_on_salt(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "_salt" in plan, plan
+
+
+def test_q_join_bucketed_matches_oracle(spark, sf_dir):
+    """The declared query's result contract is the plain join — the
+    bucketed layout only changes the physical meeting point."""
+    from tests.oracle_utils import assert_matches_oracle
+    from zvdb_spark.queries.joins import BUCKETED_ORACLE, q_join_bucketed
+
+    try:
+        assert_matches_oracle(
+            q_join_bucketed(spark, sf_dir), BUCKETED_ORACLE, sf_dir
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS zvdb_bkt_l")
+        spark.sql("DROP TABLE IF EXISTS zvdb_bkt_r")
+
+
+def test_q_join_bucketed_join_is_exchange_free(spark, sf_dir):
+    """With broadcast disabled, the bucketed sides must join with
+    ZERO Exchange — the bucket co-location IS the shuffle."""
+    from zvdb_spark.operators.skew import bucketed_coloc
+    from zvdb_spark.plans.audit import plan_audit
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+        c = load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+        )
+        lb, rb = bucketed_coloc(spark, o, c, "o_custkey", 8, "zvdb_bkt2")
+        audit = plan_audit(lb.join(rb, "o_custkey"))
+        assert audit["n_exchanges"] == 0, audit["plan"][:1500]
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS zvdb_bkt2_l")
+        spark.sql("DROP TABLE IF EXISTS zvdb_bkt2_r")

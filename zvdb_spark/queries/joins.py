@@ -439,3 +439,52 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("revenue"),
     )
+
+
+BUCKETED_ORACLE = """
+SELECT c.c_nationkey AS nationkey,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+         AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+@register(
+    "q_join_bucketed",
+    oracle=None,  # past the driver cap; DuckDB parity via
+    # tests/test_skew_bucketing.py against BUCKETED_ORACLE (the
+    # plain-join formulation: bucketing is a storage layout, the
+    # result contract is the unbucketed join)
+    tags=("join", "bucketing", "scale", "sink"),
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-co-located equi-join as a declared query: write both
+    sides bucketed+sorted by the join key once (bucketBy/sortBy
+    saveAsTable via operators/skew.bucketed_coloc), join the bucketed
+    reads, roll up revenue per nation. At 100 TB this is the other
+    shuffle eliminator next to salting: the fact tables are bucketed
+    ONCE and every downstream equi-join on that key runs
+    Exchange-free (sort-merge over co-located buckets — plan-pinned
+    with broadcast disabled in tests/test_skew_bucketing.py). Result
+    contract == the plain join; money sums through DECIMAL(18,4)."""
+    from zvdb_spark.operators.skew import bucketed_coloc
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    lb, rb = bucketed_coloc(spark, o, c, "o_custkey", 8, "zvdb_bkt")
+    return (
+        lb.join(rb, "o_custkey")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double"),
+                4,
+            ).alias("revenue"),
+        )
+    )

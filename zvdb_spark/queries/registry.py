@@ -136,6 +136,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_dedup_semantic",
     "q_lm_filter",
     "q_join_skew_salted",
+    "q_join_bucketed",
 )
 
 
