@@ -278,3 +278,60 @@ def test_concurrent_unpin_race_reaped_by_any_purge(tmp_path):
     S.purge_stale(str(tmp_path), _t.time() + S._RETIRE_GRACE_SECS + 1)
     assert not os.path.exists(f"{pref}.ids.npy")
     assert not os.path.exists(f"{pref}.retired")
+
+
+def test_unpin_writes_marker_before_releasing_pin(tmp_path, monkeypatch):
+    """The no-unprotected-window invariant: at the instant the pin
+    marker is unlinked, the durable retire marker must already exist
+    (otherwise a concurrent purge sees neither claim and applies the
+    24h rule to the bare files)."""
+    import os
+
+    import zvdb_spark.operators.segments as S
+
+    pref = str(tmp_path / "seg_0001")
+    with open(f"{pref}.ids.npy", "wb") as f:
+        f.write(b"x")
+    owner = str(tmp_path / "m.json")
+    S.pin_prefixes([pref], owner=owner)
+    real_unlink = os.unlink
+    seen = {}
+
+    def guarded(path, *a, **kw):
+        if ".pin." in str(path):
+            seen["marker_present"] = os.path.exists(f"{pref}.retired")
+        return real_unlink(path, *a, **kw)
+
+    monkeypatch.setattr(S.os, "unlink", guarded)
+    S.unpin_prefixes([pref], owner=owner)
+    assert seen["marker_present"] is True
+
+
+def test_purge_removes_retire_marker_after_data_files(tmp_path, monkeypatch):
+    """Crash-safe sweep ordering: the retire marker goes LAST, so a
+    sweep that dies mid-reap leaves the marker for the next sweep to
+    finish the job."""
+    import os
+    import time as _t
+
+    import zvdb_spark.operators.segments as S
+
+    pref = str(tmp_path / "seg_0001")
+    with open(f"{pref}.ids.npy", "wb") as f:
+        f.write(b"x")
+    owner = str(tmp_path / "m.json")
+    S.pin_prefixes([pref], owner=owner)
+    S.unpin_prefixes([pref], owner=owner)
+    S._retired.clear()
+    order = []
+    real_unlink = os.unlink
+
+    def rec(path, *a, **kw):
+        order.append(str(path))
+        return real_unlink(path, *a, **kw)
+
+    monkeypatch.setattr(S.os, "unlink", rec)
+    S.purge_stale(str(tmp_path), _t.time() + S._RETIRE_GRACE_SECS + 1)
+    assert len(order) == 2, order
+    assert order[0].endswith(".ids.npy")
+    assert order[1].endswith(".retired")

@@ -293,11 +293,21 @@ def unpin_prefixes(prefixes, owner: str) -> None:
     inside the grace window either."""
     for p in prefixes:
         _migrate_shared_pin(p)
-        try:
-            os.unlink(_pin_marker(p, owner))
-        except OSError:
+        marker = _pin_marker(p, owner)
+        if not os.path.isfile(marker):
             continue
+        # ORDER MATTERS: write the durable retire marker BEFORE
+        # unlinking our pin, so no instant exists in which a
+        # concurrent purge_stale sees neither claim (with the pin
+        # still present the prefix is purge-proof; with the retire
+        # marker present it is grace-protected). Safe even though
+        # other owners may still hold pins: pins are re-checked at
+        # every delete site, and a (re-)pin removes the marker.
         retire_prefixes([p], durable=True)
+        try:
+            os.unlink(marker)
+        except OSError:
+            pass
 
 
 def unlink_prefixes(prefixes) -> None:
@@ -329,13 +339,24 @@ def purge_stale(d: str, now: float) -> None:
 
     Prefixes carrying a durable ``<prefix>.retired`` marker (written
     by unpin_prefixes) use the RETIRE clock instead of the 24h file
-    age, in both directions: their files (marker included) are
-    reaped once the marker's grace expires — even if the retiring
-    process died, and even if the files are minutes old — and are
-    NEVER reaped inside the grace window, even if their own mtimes
-    are >24h old (a long-idle save released moments ago may still
-    have readers). Pins win over retire markers: a re-pinned prefix
-    is skipped here regardless."""
+    age, in both directions: their files are reaped once the
+    marker's grace expires — even if the retiring process died, and
+    even if the files are minutes old — and are NEVER reaped inside
+    the grace window, even if their own mtimes are >24h old (a
+    long-idle save released moments ago may still have readers).
+    Pins win over retire markers, and because the grace path makes
+    minutes-old files eligible, eligibility is RE-CHECKED at delete
+    time against the live filesystem (marker still present, its
+    CURRENT mtime past grace, no pin re-claimed the prefix) — the
+    listdir snapshot only nominates candidates. Markers are removed
+    LAST, after their data files, so a sweep that dies mid-reap is
+    finished by the next one. (Lock-free GC keeps one epsilon: a pin
+    that lands between the re-check and the unlink can still lose a
+    file — re-claiming a released prefix is guaranteed only INSIDE
+    the grace window, which every real flow satisfies; after grace,
+    save to a fresh prefix.)"""
+    import glob as _glob
+
     try:
         entries = os.listdir(d)
     except OSError:
@@ -351,27 +372,55 @@ def purge_stale(d: str, now: float) -> None:
             if _is_marker(f)
         }
     )
-    retired: dict[str, float] = {}
-    for f in entries:
-        if f.endswith(".retired"):
-            path = os.path.join(d, f)
-            try:
-                retired[path[: -len("retired")]] = os.path.getmtime(path)
-            except OSError:
-                pass
+    # segment prefixes are dot-free basenames (seg_*/xseg_* tokens),
+    # so the first dot splits <prefix>.<rest> — O(1) lookup per file
+    retired: set[str] = {
+        os.path.join(d, f[: -len(".retired")])
+        for f in entries
+        if f.endswith(".retired")
+    }
+
+    def _reap_ok(prefix: str) -> bool:
+        """Delete-time re-check: the marker must still exist (a
+        re-claiming pin removes it), its CURRENT mtime must be past
+        grace (an overlapping unpin refreshes it), and no pin may
+        have re-claimed the prefix since the snapshot."""
+        try:
+            mt = os.path.getmtime(f"{prefix}.retired")
+        except OSError:
+            return False
+        if now - mt <= _RETIRE_GRACE_SECS:
+            return False
+        return not _pin_markers(prefix)
+
     for f in entries:
         path = os.path.join(d, f)
-        if _is_marker(f) or (pinned and path.startswith(pinned)):
+        if (
+            _is_marker(f)
+            or f.endswith(".retired")
+            or (pinned and path.startswith(pinned))
+        ):
             continue
-        retire_ts = [t for k, t in retired.items() if path.startswith(k)]
+        prefix = os.path.join(d, f.split(".", 1)[0])
         try:
-            if retire_ts:
-                if now - max(retire_ts) > _RETIRE_GRACE_SECS:
+            if prefix in retired:
+                if _reap_ok(prefix):
                     os.unlink(path)
             elif now - os.path.getmtime(path) > _PURGE_AGE_SECS:
                 os.unlink(path)
         except OSError:
             pass
+    for prefix in retired:
+        remaining = [
+            g
+            for g in _glob.glob(f"{prefix}.*")
+            if not g.endswith(".retired")
+        ]
+        if not remaining and _reap_ok(prefix):
+            try:
+                os.unlink(f"{prefix}.retired")
+            except OSError:
+                pass
 
 
 _SEARCH_SCHEMA = "query_id long, neighbor_id long, score double"

@@ -467,8 +467,14 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle eliminator next to salting: the fact tables are bucketed
     ONCE and every downstream equi-join on that key runs
     Exchange-free (sort-merge over co-located buckets — plan-pinned
-    with broadcast disabled in tests/test_skew_bucketing.py). Result
-    contract == the plain join; money sums through DECIMAL(18,4)."""
+    with broadcast disabled in tests/test_skew_bucketing.py). As a
+    self-contained declared query each invocation pays the bucketing
+    write before the join — the timing published by bench.py is
+    write-dominated by design (it measures the amortized cost, not
+    the downstream win; the Exchange-free property is the plan
+    test's job). The managed tables are overwritten per run and
+    live in the session warehouse. Result contract == the plain
+    join; money sums through DECIMAL(18,4)."""
     from zvdb_spark.operators.skew import bucketed_coloc
 
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
