@@ -335,3 +335,79 @@ def test_purge_removes_retire_marker_after_data_files(tmp_path, monkeypatch):
     assert len(order) == 2, order
     assert order[0].endswith(".ids.npy")
     assert order[1].endswith(".retired")
+
+
+def _gc_storm_worker(d: str, i: int, stop_ts: float) -> None:
+    """Worker for the concurrent-GC stress: loop pin -> aggressive
+    purge -> unpin -> aggressive purge on fresh prefixes. The +grace
+    purge clock makes every released prefix reapable immediately, so
+    the window in which a concurrently PINNED prefix could be
+    mis-reaped is exercised thousands of times."""
+    import os
+    import time
+
+    import zvdb_spark.operators.segments as S
+
+    owner = os.path.join(d, f"owner_{i}.json")
+    n = 0
+    while time.time() < stop_ts or n == 0:  # at least one cycle each
+        pref = os.path.join(d, f"wseg_{i}_{n}")
+        n += 1
+        with open(f"{pref}.ids.npy", "wb") as f:
+            f.write(b"x")
+        S.pin_prefixes([pref], owner=owner)
+        S.purge_stale(d, time.time() + S._RETIRE_GRACE_SECS + 2)
+        assert os.path.exists(f"{pref}.ids.npy"), "pinned file lost"
+        S.unpin_prefixes([pref], owner=owner)
+        S.purge_stale(d, time.time() + S._RETIRE_GRACE_SECS + 2)
+    with open(os.path.join(d, f"cycles_{i}.txt"), "w") as f:
+        f.write(str(n))
+
+
+def test_concurrent_gc_storm_never_loses_pinned_files(tmp_path):
+    """Four real processes hammer a shared segment dir with
+    pin/unpin/aggressive-purge cycles for a few seconds while a
+    long-lived pinned prefix sits in the middle: the pinned prefix
+    must survive the storm untouched, every worker's own pinned file
+    must exist at its check, and one final full-grace sweep must
+    converge the dir to empty (no immortal markers, no leaked
+    files)."""
+    import multiprocessing as mp
+    import os
+    import time
+
+    import zvdb_spark.operators.segments as S
+
+    d = str(tmp_path)
+    keep = os.path.join(d, "kseg_keep")
+    for name in ("ids", "vecs"):
+        with open(f"{keep}.{name}.npy", "wb") as f:
+            f.write(b"k")
+    S.pin_prefixes([keep], owner=os.path.join(d, "keeper.json"))
+
+    stop = time.time() + 6
+    ctx = mp.get_context("spawn")
+    procs = [
+        ctx.Process(target=_gc_storm_worker, args=(d, i, stop))
+        for i in range(4)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0, "a worker lost a pinned file mid-storm"
+
+    assert os.path.exists(f"{keep}.ids.npy")
+    assert os.path.exists(f"{keep}.vecs.npy")
+    cycles = sum(
+        int(open(os.path.join(d, f"cycles_{i}.txt")).read())
+        for i in range(4)
+    )
+    assert cycles >= 4  # the storm actually ran (≥1 cycle per worker)
+    # convergence: one more full-grace sweep reaps every released
+    # prefix AND its marker (markers go last, so dead sweeps finish)
+    time.sleep(0.1)
+    S._retired.clear()
+    S.purge_stale(d, time.time() + S._RETIRE_GRACE_SECS + 2)
+    leftovers = [f for f in os.listdir(d) if f.startswith("wseg_")]
+    assert leftovers == [], leftovers
