@@ -320,3 +320,32 @@ def test_source_formats_roundtrip_parity(spark, sf_dir):
         assert r.n_rows == p.n_rows, fmt
         assert r.key_sum == p.key_sum, fmt
         assert r.row_checksum == p.row_checksum, fmt
+
+
+# --- frequent-items sketch ---
+
+
+def test_freq_items_superset_guarantee(spark, sf_dir):
+    """Every term with frequency > support*N must appear in the
+    candidate set (false positives allowed, false negatives never) —
+    the heavy-hitters contract, checked against exact counts."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.aggregates import FREQ_SUPPORT, q_agg_freq_items
+    from zvdb_spark.sources.tables import load
+
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+    )
+    n = tok.count()
+    exact = {
+        r.term
+        for r in tok.groupBy("term").count().collect()
+        if r["count"] > FREQ_SUPPORT * n
+    }
+    assert exact, "fixture must have heavy hitters at this support"
+    got = q_agg_freq_items(spark, sf_dir).collect()[0]
+    cands = set(got.candidates)
+    assert exact <= cands, exact - cands
+    assert got.n_candidates == len(cands)

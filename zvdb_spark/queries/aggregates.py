@@ -399,3 +399,37 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("bigint").alias("convert_us_sum"),
     )
+
+
+FREQ_SUPPORT = 0.03  # minimum frequency for the guarantee set
+
+
+@register(
+    "q_agg_freq_items",
+    oracle=None,  # sketch: the CONTRACT is a superset guarantee, not
+    # a unique answer — the candidate set may legally vary with
+    # partition layout; the guarantee is pytest-pinned
+    # (tests/test_pipeline_queries.py) against exact counts
+    tags=("agg", "sketch"),
+)
+def q_agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (single-pass Misra-Gries family, Spark's
+    `DataFrame.freqItems`): candidate terms over the exploded
+    documents vocabulary at support s, GUARANTEED to include every
+    term with frequency > s*N — possibly with false positives, never
+    false negatives (the classic heavy-hitters contract; Karp et al.
+    2003). One streaming-aggregate pass, no full groupBy: at 100 TB
+    this finds heavy hitters without materializing the term
+    frequency table the exact `q_vocab_topk` builds. Returned as one
+    row (n_candidates, sorted candidate array) — rows-only by
+    nature: the exact membership may vary with partition layout, the
+    superset guarantee may not."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+    )
+    cand = tok.freqItems(["term"], support=FREQ_SUPPORT)
+    return cand.select(
+        F.size("term_freqItems").alias("n_candidates"),
+        F.array_sort("term_freqItems").alias("candidates"),
+    )

@@ -137,6 +137,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_lm_filter",
     "q_join_skew_salted",
     "q_join_bucketed",
+    "q_agg_freq_items",
 )
 
 
