@@ -339,12 +339,15 @@ def test_freq_items_superset_guarantee(spark, sf_dir):
         .select(F.explode(F.split("text", " ")).alias("term"))
     )
     n = tok.count()
-    exact = {
-        r.term
-        for r in tok.groupBy("term").count().collect()
-        if r["count"] > FREQ_SUPPORT * n
-    }
+    counts = {r.term: r["count"] for r in tok.groupBy("term").count().collect()}
+    exact = {t for t, c in counts.items() if c > FREQ_SUPPORT * n}
     assert exact, "fixture must have heavy hitters at this support"
+    # non-vacuity: the sketch's counter table (floor(1/s)) must be
+    # SMALLER than the vocabulary, or no eviction ever happens and
+    # the guarantee is trivially satisfied
+    assert len(counts) > int(1 / FREQ_SUPPORT), (
+        len(counts), int(1 / FREQ_SUPPORT)
+    )
     got = q_agg_freq_items(spark, sf_dir).collect()[0]
     cands = set(got.candidates)
     assert exact <= cands, exact - cands

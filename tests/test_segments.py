@@ -337,77 +337,95 @@ def test_purge_removes_retire_marker_after_data_files(tmp_path, monkeypatch):
     assert order[1].endswith(".retired")
 
 
-def _gc_storm_worker(d: str, i: int, stop_ts: float) -> None:
-    """Worker for the concurrent-GC stress: loop pin -> aggressive
-    purge -> unpin -> aggressive purge on fresh prefixes. The +grace
-    purge clock makes every released prefix reapable immediately, so
-    the window in which a concurrently PINNED prefix could be
-    mis-reaped is exercised thousands of times."""
+def _gc_storm_worker(d: str, out_d: str, i: int, stop_ts: float) -> None:
+    """Worker for the concurrent-GC stress: loop pin -> hostile
+    purge -> unpin -> hostile purge on fresh prefixes. The purge
+    clock sits past BOTH the 24h file age AND the retire grace, so
+    every file in the dir is delete-eligible by age alone and ONLY
+    the pin checks keep a claimed prefix alive — losing a pin check
+    anywhere in purge_stale fails the assert. Prefixes are pinned
+    BEFORE their files are written so a file is never observable
+    unpinned. Bookkeeping goes to out_d, which the hostile purges
+    never scan."""
     import os
     import time
 
     import zvdb_spark.operators.segments as S
 
-    owner = os.path.join(d, f"owner_{i}.json")
+    owner = os.path.join(out_d, f"owner_{i}.json")
+    hostile = S._PURGE_AGE_SECS + S._RETIRE_GRACE_SECS + 2
     n = 0
     while time.time() < stop_ts or n == 0:  # at least one cycle each
         pref = os.path.join(d, f"wseg_{i}_{n}")
         n += 1
+        S.pin_prefixes([pref], owner=owner)  # claim BEFORE the file
         with open(f"{pref}.ids.npy", "wb") as f:
             f.write(b"x")
-        S.pin_prefixes([pref], owner=owner)
-        S.purge_stale(d, time.time() + S._RETIRE_GRACE_SECS + 2)
+        S.purge_stale(d, time.time() + hostile)
         assert os.path.exists(f"{pref}.ids.npy"), "pinned file lost"
         S.unpin_prefixes([pref], owner=owner)
-        S.purge_stale(d, time.time() + S._RETIRE_GRACE_SECS + 2)
-    with open(os.path.join(d, f"cycles_{i}.txt"), "w") as f:
+        S.purge_stale(d, time.time() + hostile)
+    with open(os.path.join(out_d, f"cycles_{i}.txt"), "w") as f:
         f.write(str(n))
 
 
 def test_concurrent_gc_storm_never_loses_pinned_files(tmp_path):
     """Four real processes hammer a shared segment dir with
-    pin/unpin/aggressive-purge cycles for a few seconds while a
-    long-lived pinned prefix sits in the middle: the pinned prefix
-    must survive the storm untouched, every worker's own pinned file
-    must exist at its check, and one final full-grace sweep must
-    converge the dir to empty (no immortal markers, no leaked
-    files)."""
+    pin/unpin/HOSTILE-purge cycles (purge clock past the 24h age AND
+    the retire grace — every file is delete-eligible by age, only
+    pin checks protect it) while a long-lived pinned prefix sits in
+    the middle: the pinned prefix must survive the storm untouched,
+    every worker's own pinned file must exist at its check, and one
+    final hostile sweep must converge the dir to empty (no immortal
+    markers, no leaked files)."""
     import multiprocessing as mp
     import os
     import time
 
     import zvdb_spark.operators.segments as S
 
-    d = str(tmp_path)
+    d = str(tmp_path / "segs")
+    out_d = str(tmp_path / "out")  # bookkeeping, never purged
+    os.makedirs(d)
+    os.makedirs(out_d)
     keep = os.path.join(d, "kseg_keep")
+    S.pin_prefixes([keep], owner=os.path.join(out_d, "keeper.json"))
     for name in ("ids", "vecs"):
         with open(f"{keep}.{name}.npy", "wb") as f:
             f.write(b"k")
-    S.pin_prefixes([keep], owner=os.path.join(d, "keeper.json"))
 
     stop = time.time() + 6
     ctx = mp.get_context("spawn")
     procs = [
-        ctx.Process(target=_gc_storm_worker, args=(d, i, stop))
+        ctx.Process(target=_gc_storm_worker, args=(d, out_d, i, stop))
         for i in range(4)
     ]
     for p in procs:
         p.start()
-    for p in procs:
-        p.join(timeout=120)
-        assert p.exitcode == 0, "a worker lost a pinned file mid-storm"
+    try:
+        for p in procs:
+            p.join(timeout=120)
+            assert p.exitcode is not None, "worker hung (not a GC loss)"
+            assert p.exitcode == 0, "a worker lost a pinned file mid-storm"
+    finally:
+        for p in procs:
+            if p.is_alive():
+                p.terminate()
 
     assert os.path.exists(f"{keep}.ids.npy")
     assert os.path.exists(f"{keep}.vecs.npy")
     cycles = sum(
-        int(open(os.path.join(d, f"cycles_{i}.txt")).read())
+        int(open(os.path.join(out_d, f"cycles_{i}.txt")).read())
         for i in range(4)
     )
     assert cycles >= 4  # the storm actually ran (≥1 cycle per worker)
-    # convergence: one more full-grace sweep reaps every released
-    # prefix AND its marker (markers go last, so dead sweeps finish)
+    # convergence: one more hostile sweep reaps every released prefix
+    # AND its marker (markers go last, so dead sweeps finish); only
+    # the still-pinned keeper survives
     time.sleep(0.1)
-    S._retired.clear()
-    S.purge_stale(d, time.time() + S._RETIRE_GRACE_SECS + 2)
+    S.purge_stale(
+        d, time.time() + S._PURGE_AGE_SECS + S._RETIRE_GRACE_SECS + 2
+    )
     leftovers = [f for f in os.listdir(d) if f.startswith("wseg_")]
     assert leftovers == [], leftovers
+    assert os.path.exists(f"{keep}.ids.npy")  # pin still wins

@@ -79,8 +79,8 @@ def no_aqe_coalesce(spark):
 
 def retire_prefixes(prefixes, durable: bool = False) -> None:
     """Queue prefixes for grace-window reaping. ``durable=True``
-    additionally drops an on-disk ``<prefix>.retired`` marker (atomic
-    tmp+rename; its mtime is the retire clock) so that ANOTHER
+    additionally drops an on-disk ``<prefix>.retired`` marker (direct
+    atomic create; its mtime is the retire clock) so that ANOTHER
     process's purge_stale can finish the reap if this process dies
     after the last unpin — and so purge_stale never unlinks inside
     the grace window even when the data files' own mtimes are >24h
@@ -92,10 +92,11 @@ def retire_prefixes(prefixes, durable: bool = False) -> None:
     if durable:
         for p in prefixes:
             try:
-                tmp = f"{p}.retired.{os.getpid()}.tmp"
-                with open(tmp, "w") as fh:
+                # direct create: the marker's NAME + mtime are the
+                # contract (content is debuggability); a tmp+rename
+                # staging name would itself be purge-eligible
+                with open(f"{p}.retired", "w") as fh:
                     fh.write(f"{now}\n")
-                os.replace(tmp, f"{p}.retired")
             except OSError:
                 pass
 
@@ -240,12 +241,15 @@ def pin_prefixes(prefixes, owner: str | None = None) -> None:
                 with open(marker, "a"):
                     pass
             else:
-                # tmp + rename: the marker appears atomically with its
-                # owner recorded (debuggability; the NAME is the claim)
-                tmp = f"{marker}.{os.getpid()}.tmp"
-                with open(tmp, "w") as fh:
+                # direct create — the NAME is the claim and appears
+                # atomically; the owner line inside is debuggability
+                # only. (A tmp+rename staging file here is itself a
+                # purgeable <prefix>.* name: a concurrent sweep with a
+                # skewed clock can unlink it between write and rename
+                # and kill the pin mid-creation — found by the
+                # hostile-clock GC storm test.)
+                with open(marker, "w") as fh:
                     fh.write(owner + "\n")
-                os.replace(tmp, marker)
         except OSError as e:
             errs.append(f"{marker}: {e}")
             continue
