@@ -1,0 +1,119 @@
+"""Hot-bucket-bounded band self-join (operators/banding.py).
+
+The contract under test: at ANY (cap, n_salts) setting the emitted
+candidate pair set is bit-identical to the naive clique self-join —
+including the adversarial one-template-x-N corpus whose single band
+bucket would otherwise make one reducer quadratic."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+import zvdb_spark.queries.dedup as dedup
+from zvdb_spark.operators.banding import bounded_band_pairs
+
+
+def _naive_pairs(rows):
+    """Pure-Python oracle: all (ia < ib) pairs sharing a band key."""
+    buckets: dict[tuple, list] = {}
+    for rid, *key in rows:
+        buckets.setdefault(tuple(key), []).append(rid)
+    out = set()
+    for ids in buckets.values():
+        for a, b in itertools.combinations(sorted(ids), 2):
+            out.add((a, b))
+    return out
+
+
+def _run(spark, rows, cap, n_salts, keys=("band_idx", "key")):
+    df = spark.createDataFrame(rows, ["rid", *keys])
+    got = bounded_band_pairs(
+        df, "rid", list(keys), cap=cap, n_salts=n_salts
+    ).collect()
+    return {(r["ia"], r["ib"]) for r in got}
+
+
+def test_one_template_times_n_adversarial(spark):
+    # One boilerplate bucket holding every row: the raw join's
+    # nightmare case. cap=20 << N=150 forces the salted path.
+    n = 150
+    rows = [(i, 0, 7) for i in range(n)]
+    got = _run(spark, rows, cap=20, n_salts=4)
+    assert got == _naive_pairs(rows)
+    assert len(got) == n * (n - 1) // 2
+
+
+def test_mixed_small_and_hot_buckets(spark):
+    # Hot bucket (60 rows) + several organic buckets + rows that are
+    # members of BOTH (multi-band membership), so small- and big-path
+    # pairs overlap and the final distinct matters.
+    rows = [(i, 0, 1) for i in range(60)]
+    rows += [(i, 1, 2) for i in (3, 5, 9)]
+    rows += [(100 + i, 1, 3) for i in range(4)]
+    rows += [(3, 2, 4), (5, 2, 4)]  # pair (3,5) also via hot bucket 0
+    got = _run(spark, rows, cap=10, n_salts=3)
+    assert got == _naive_pairs(rows)
+
+
+def test_salted_path_matches_uncapped(spark):
+    # Deterministic pseudo-random memberships; every bucket forced
+    # through the salted path (cap=1) must equal the pure raw join
+    # (cap large enough to never salt).
+    rows = [
+        (i, (i * 7) % 3, (i * i) % 5) for i in range(80)
+    ]
+    capped = _run(spark, rows, cap=1, n_salts=5)
+    uncapped = _run(spark, rows, cap=10_000, n_salts=5)
+    assert capped == uncapped == _naive_pairs(rows)
+
+
+def test_n_salts_one_degenerates_to_clique(spark):
+    rows = [(i, 0, 0) for i in range(25)]
+    got = _run(spark, rows, cap=5, n_salts=1)
+    assert got == _naive_pairs(rows)
+
+
+def test_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, 0)], ["rid", "key"])
+    with pytest.raises(ValueError):
+        bounded_band_pairs(df, "rid", ["key"], cap=0)
+    with pytest.raises(ValueError):
+        bounded_band_pairs(df, "rid", ["key"], n_salts=0)
+
+
+def _template_docs_dir(spark, tmp_path, n=120):
+    """A one-template-x-N documents fixture: every doc is the same
+    boilerplate with a tiny unique suffix — near-dup cluster that the
+    exact pass can NOT remove, landing all N in one minhash bucket."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (i, f"{base} variant {i % 2}", "en", "template", len(base) + 10)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "advdir")
+    df.write.mode("overwrite").parquet(out + "/documents.parquet")
+    return out
+
+
+def test_minhash_query_capped_equals_uncapped(spark, tmp_path, monkeypatch):
+    """End-to-end q_dedup_minhash on the adversarial corpus: pair set
+    with the cap forcing the salted path == pair set with the cap
+    effectively off."""
+    d = _template_docs_dir(spark, tmp_path)
+
+    def pairs():
+        rows = dedup.q_dedup_minhash(spark, d).collect()
+        return {(r["id_a"], r["id_b"], r["jaccard"]) for r in rows}
+
+    monkeypatch.setattr(dedup, "BAND_BUCKET_CAP", 10)
+    capped = pairs()
+    monkeypatch.setattr(dedup, "BAND_BUCKET_CAP", 10_000_000)
+    uncapped = pairs()
+    assert capped == uncapped
+    assert len(capped) > 0  # non-vacuous: the template cluster collides

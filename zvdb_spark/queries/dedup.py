@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zvdb_spark.functions.vector import as_double_array
+from zvdb_spark.operators.banding import bounded_band_pairs
 from zvdb_spark.queries.registry import register
 from zvdb_spark.queries.text import H_DUCK, H_SPARK
 from zvdb_spark.sources.tables import load
@@ -51,6 +52,9 @@ JACCARD_TAU = 0.8
 SIMHASH_BITS = 32
 HAMMING_TAU = 3
 COSINE_TAU = 0.35
+# Band buckets above this spread over salt blocks (operators/banding.py);
+# module-level so tests can monkeypatch it down to force the salted path.
+BAND_BUCKET_CAP = 10_000
 
 
 # ---------------------------------------------------------------- exact
@@ -233,19 +237,13 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select("doc_id", F.explode(band_arr).alias("b")).select(
         "doc_id", "b.band_idx", "b.x", "b.y"
     )
-    a = bands.select(
-        F.col("doc_id").alias("ia"), "band_idx", "x", "y"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("ib"), "band_idx", "x", "y"
-    )
-    cand = (
-        a.join(b, ["band_idx", "x", "y"])
-        .filter(F.col("ia") < F.col("ib"))
-        .select("ia", "ib")
-        .distinct()
-        .localCheckpoint(eager=True)  # tiny pair list, read 3x below
-    )
+    # hot-bucket-bounded self-join: a boilerplate mega-cluster that
+    # survives the exact pass can put millions of docs in one band
+    # bucket — triangle salting spreads that bucket's quadratic work
+    # (see operators/banding.py; pair set identical at any cap)
+    cand = bounded_band_pairs(
+        bands, "doc_id", ["band_idx", "x", "y"], cap=BAND_BUCKET_CAP
+    ).localCheckpoint(eager=True)  # tiny pair list, read 3x below
     ids = (
         cand.select(F.col("ia").alias("doc_id"))
         .unionAll(cand.select(F.col("ib").alias("doc_id")))
@@ -366,25 +364,29 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_idx", "band.bv")
-    a = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"),
-        "band_idx", "bv",
+    ).select("doc_id", "band.band_idx", "band.bv")
+    # hot-bucket-bounded band self-join (operators/banding.py); the
+    # signatures rejoin from the checkpointed `sim` (2 ints per doc)
+    # only for the candidate set
+    cand = bounded_band_pairs(
+        bands, "doc_id", ["band_idx", "bv"], cap=BAND_BUCKET_CAP
     )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"),
-        "band_idx", "bv",
+    sa = sim.select(
+        F.col("doc_id").alias("ia"), F.col("simhash").alias("sa")
     )
-    cand = (
-        a.join(b, ["band_idx", "bv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sa", "sb")
-        .distinct()
+    sb = sim.select(
+        F.col("doc_id").alias("ib"), F.col("simhash").alias("sb")
     )
     return (
-        cand.withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("int"))
+        cand.join(sa, "ia")
+        .join(sb, "ib")
+        .withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("int"))
         .filter(F.col("hamming") <= HAMMING_TAU)
-        .select("id_a", "id_b", "hamming")
+        .select(
+            F.col("ia").alias("id_a"),
+            F.col("ib").alias("id_b"),
+            "hamming",
+        )
     )
 
 
@@ -548,13 +550,9 @@ def _embedding_lsh_candidates(
         .select("vec_id", "b.band_idx", "b.key")
         .localCheckpoint(eager=True)
     )
-    a = bands.select(F.col("vec_id").alias("ia"), "band_idx", "key")
-    b = bands.select(F.col("vec_id").alias("ib"), "band_idx", "key")
-    return (
-        a.join(b, ["band_idx", "key"])
-        .filter(F.col("ia") < F.col("ib"))
-        .select("ia", "ib")
-        .distinct()
+    # hot-bucket-bounded band self-join (operators/banding.py)
+    return bounded_band_pairs(
+        bands, "vec_id", ["band_idx", "key"], cap=BAND_BUCKET_CAP
     )
 
 
