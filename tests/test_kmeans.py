@@ -55,3 +55,57 @@ def test_kmeans_fit_sample_deterministic_and_useful(spark, sf_dir):
     assert c1.shape[0] == 8
     c0 = kmeans_fit_sample(e, k=8, n_iter=0, sample_n=200)
     assert sse(e, c1) <= sse(e, c0)
+
+
+def test_centroid_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """fit -> save -> load is bit-exact, and the loaded matrix pins
+    identical assignments + an identical SemDeDup kept set — the
+    cross-session bit-stability contract (a fresh session loading the
+    npz sees exactly these bytes; no Spark state is involved in the
+    load path)."""
+    from zvdb_spark.operators.kmeans import load_centroids, save_centroids
+    from zvdb_spark.queries.dedup import semantic_dedup_with_centroids
+
+    e = _emb(spark, sf_dir)
+    c = kmeans_fit(e, k=8, n_iter=3)
+    p = str(tmp_path / "cents")
+    assert save_centroids(c, p) == p
+    c2 = load_centroids(p)
+    assert np.array_equal(c, c2) and c2.dtype == np.float64
+
+    a1 = {(r.vec_id, r.cell_id) for r in assign_cells(e, c).collect()}
+    a2 = {(r.vec_id, r.cell_id) for r in assign_cells(e, c2).collect()}
+    assert a1 == a2
+
+    k1 = {
+        tuple(r) for r in
+        semantic_dedup_with_centroids(spark, sf_dir, c)
+        .select("cell_id", "n_kept", "kept_id_sum").collect()
+    }
+    k2 = {
+        tuple(r) for r in
+        semantic_dedup_with_centroids(spark, sf_dir, c2)
+        .select("cell_id", "n_kept", "kept_id_sum").collect()
+    }
+    assert k1 == k2
+
+
+def test_centroid_load_rejects_corruption(tmp_path):
+    import json
+
+    import pytest
+
+    from zvdb_spark.operators.kmeans import load_centroids, save_centroids
+
+    p = str(tmp_path / "c")
+    save_centroids(np.ones((4, 3)), p)
+    m = json.load(open(f"{p}.json"))
+    m["dim"] = 99
+    json.dump(m, open(f"{p}.json", "w"))
+    with pytest.raises(ValueError, match="out of sync"):
+        load_centroids(p)
+    m["dim"] = 3
+    m["format"] = 0
+    json.dump(m, open(f"{p}.json", "w"))
+    with pytest.raises(ValueError, match="format"):
+        load_centroids(p)

@@ -21,10 +21,66 @@ the shape an IVF deployment uses anyway.
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_CENTROID_FORMAT = 1
+
+
+def save_centroids(centroids: np.ndarray, path: str) -> str:
+    """Persist a fitted centroid matrix so a FUTURE SESSION pins the
+    same assignments bit-stably (the GraphIndex.save pattern at
+    operators/graph_ann.py: npz arrays + a json manifest, written to a
+    temp name and atomically renamed so a reader never sees a
+    half-written file). The distributed fit's partial float sums merge
+    in shuffle order, so REFITTING can drift centroids by ULPs and
+    flip boundary assignments — fit once, save, and every later
+    assign_cells / SemDeDup kept-set / IVF routing decision is
+    bit-identical across sessions and partition layouts. k x dim
+    float64 — a few KB to MB, driver-side metadata scale."""
+    c = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    if c.ndim != 2:
+        raise ValueError(f"centroids must be 2-D (k, dim); got {c.shape}")
+    with open(f"{path}.npz.tmp", "wb") as f:
+        np.savez(f, centroids=c)
+    os.replace(f"{path}.npz.tmp", f"{path}.npz")
+    manifest = {
+        "format": _CENTROID_FORMAT,
+        "k": int(c.shape[0]),
+        "dim": int(c.shape[1]),
+        "dtype": "float64",
+    }
+    with open(f"{path}.json.tmp", "w") as f:
+        json.dump(manifest, f)
+    os.replace(f"{path}.json.tmp", f"{path}.json")
+    return path
+
+
+def load_centroids(path: str) -> np.ndarray:
+    """Reopen a saved centroid matrix; validates the manifest against
+    the array so a truncated / mismatched pair fails with a named
+    diagnostic instead of silently mis-assigning every vector."""
+    with open(f"{path}.json") as f:
+        manifest = json.load(f)
+    if manifest.get("format") != _CENTROID_FORMAT:
+        raise ValueError(
+            f"centroid manifest {path}.json has format "
+            f"{manifest.get('format')!r}; this build reads "
+            f"{_CENTROID_FORMAT}"
+        )
+    with np.load(f"{path}.npz") as z:
+        c = z["centroids"]
+    if c.shape != (manifest["k"], manifest["dim"]):
+        raise ValueError(
+            f"centroid array {path}.npz is {c.shape}, manifest says "
+            f"({manifest['k']}, {manifest['dim']}) — files out of sync"
+        )
+    return np.ascontiguousarray(c.astype(np.float64))
 
 
 def kmeans_fit(

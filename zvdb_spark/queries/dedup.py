@@ -673,16 +673,33 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose shuffle-merge order can vary with partition layout (ULP
     drift can flip a boundary vector's cell) — for bit-stable kept
     sets across runs at scale, fit once and persist the centroids
-    (k x dim floats), as an IVF deployment does anyway."""
-    import numpy as np
-    import pandas as pd
-
-    from zvdb_spark.operators.kmeans import assign_cells, kmeans_fit
+    (``operators/kmeans.py:save_centroids`` / ``load_centroids``) and
+    pass them to ``semantic_dedup_with_centroids``, as an IVF
+    deployment does anyway."""
+    from zvdb_spark.operators.kmeans import kmeans_fit
 
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("emb")
     )
     cents = kmeans_fit(e, k=SEM_CELLS, n_iter=SEM_ITERS)
+    return semantic_dedup_with_centroids(spark, sf_dir, cents)
+
+
+def semantic_dedup_with_centroids(
+    spark: SparkSession, sf_dir: str, cents
+) -> DataFrame:
+    """The deterministic tail of q_dedup_semantic GIVEN a centroid
+    matrix: assignment + per-cell greedy kept set. Production entry
+    point for bit-stable cross-session dedup — fit once, persist via
+    kmeans.save_centroids, load_centroids here every run."""
+    import numpy as np
+    import pandas as pd
+
+    from zvdb_spark.operators.kmeans import assign_cells
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
     assigned = assign_cells(e, cents)
     tau = SEM_TAU
 
