@@ -22,10 +22,20 @@ def portable_h(s: str) -> int:
 
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
+        # adversarial-fixture dirs (tmp_path parquet written by a
+        # test) carry only the tables the query reads; DuckDB binds
+        # views eagerly, so skip absent files instead of failing
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written fixture: a part-file dir
+            p = f"{p}/*.parquet"
+        elif not os.path.exists(p):
+            continue
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
         )
     return con
 

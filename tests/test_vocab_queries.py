@@ -145,3 +145,75 @@ def test_vocab_coverage_monotone_and_bounded(spark, sf_dir):
     assert pdf.coverage_pm.is_monotonic_increasing
     assert int(pdf.coverage_pm.iloc[-1]) <= 1000
     assert (pdf.cf.values[:-1] >= pdf.cf.values[1:]).all()
+
+
+# --- overlapping-stride span dedup ---
+
+
+def test_spans_stride_matches_oracle(spark, sf_dir):
+    from zvdb_spark.queries.vocab import (
+        q_dedup_spans_stride,
+        spans_stride_oracle,
+    )
+
+    assert_matches_oracle(
+        q_dedup_spans_stride(spark, sf_dir), spans_stride_oracle(), sf_dir
+    )
+
+
+def _offset_dup_dir(spark, tmp_path):
+    """Two docs sharing a 16-token passage at a 4-token offset delta
+    (passage starts at position 1 in doc 0, position 5 in doc 1) —
+    stride-4 windows align inside the passage in both docs, stride-8
+    (aligned chunking) windows never do. Filler tokens are unique per
+    doc so only the passage can collide."""
+    passage = [f"p{i}" for i in range(16)]
+    d0 = " ".join(passage + [f"a{i}" for i in range(8)])
+    d1 = " ".join([f"b{i}" for i in range(4)] + passage + ["b4", "b5"])
+    docs = [
+        (0, d0, "en", "fix", len(d0)),
+        (1, d1, "en", "fix", len(d1)),
+    ]
+    df = spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "offdup")
+    df.write.mode("overwrite").parquet(out + "/documents.parquet")
+    return out
+
+
+def test_stride4_catches_offset_dup_that_stride8_misses(spark, tmp_path):
+    from zvdb_spark.queries.vocab import span_dedup_stride
+
+    d = _offset_dup_dir(spark, tmp_path)
+    caught = span_dedup_stride(spark, d, k=8, s=4).collect()[0]
+    missed = span_dedup_stride(spark, d, k=8, s=8).collect()[0]
+    assert caught["toks_cut"] > 0 and caught["docs_touched"] == 2
+    assert missed["toks_cut"] == 0 and missed["docs_touched"] == 0
+    # stride 4 must cut exactly the aligned shared windows' cover:
+    # doc0 windows at 1,9 and doc1 at 5,13 cover passage tokens 1..16
+    # in both docs -> 32 tokens cut corpus-wide
+    assert caught["toks_cut"] == 32
+
+
+def test_stride_parity_on_offset_fixture(spark, tmp_path):
+    """DuckDB twin agrees at a non-default (k, s) on the adversarial
+    fixture too."""
+    from zvdb_spark.queries.vocab import span_dedup_stride, spans_stride_oracle
+
+    d = _offset_dup_dir(spark, tmp_path)
+    assert_matches_oracle(
+        span_dedup_stride(spark, d, k=8, s=2), spans_stride_oracle(8, 2), d
+    )
+
+
+def test_stride_rejects_bad_params(spark, sf_dir):
+    import pytest
+
+    from zvdb_spark.queries.vocab import span_dedup_stride
+
+    with pytest.raises(ValueError):
+        span_dedup_stride(spark, sf_dir, k=8, s=0)
+    with pytest.raises(ValueError):
+        span_dedup_stride(spark, sf_dir, k=8, s=9)

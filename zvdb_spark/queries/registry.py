@@ -138,6 +138,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_join_skew_salted",
     "q_join_bucketed",
     "q_agg_freq_items",
+    "q_dedup_spans_stride",
 )
 
 

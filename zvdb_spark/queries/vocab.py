@@ -152,6 +152,168 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------- overlapping-stride span dedup variant
+
+SPAN_STRIDE = 4  # window start stride s < K: catches offset duplicates
+
+def spans_stride_oracle(k: int = SPAN_K, s: int = SPAN_STRIDE) -> str:
+    """DuckDB twin of span_dedup_stride at (k, s)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+w AS (
+  SELECT doc_id, i AS start,
+         array_to_string(toks[i : i + {k - 1}], ' ') AS span
+  FROM t, unnest(range(1, len(toks) - {k} + 2, {s})) u(i)
+),
+m AS (
+  SELECT doc_id, start,
+         min(doc_id) OVER (PARTITION BY {H_DUCK.format(x="span")})
+           <> max(doc_id) OVER (PARTITION BY {H_DUCK.format(x="span")})
+           AS is_dup
+  FROM w
+),
+f AS (
+  SELECT doc_id, list(start) FILTER (WHERE is_dup) AS ds
+  FROM m GROUP BY 1
+),
+d AS (
+  SELECT t.doc_id, t.lang, toks, len(toks) AS n_toks,
+         list_filter(
+           range(1, len(toks) + 1),
+           p -> len(list_filter(coalesce(ds, []),
+                                st -> p >= st AND p < st + {k})) = 0
+         ) AS kept_pos
+  FROM t LEFT JOIN f ON t.doc_id = f.doc_id
+),
+e AS (
+  SELECT doc_id, lang, n_toks,
+         n_toks - len(kept_pos) AS toks_cut,
+         coalesce(array_to_string(
+           list_transform(kept_pos, p -> toks[p]), ' '), '') AS clean
+  FROM d
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS toks_total,
+       CAST(sum(toks_cut) AS BIGINT) AS toks_cut,
+       count(*) FILTER (WHERE toks_cut > 0) AS docs_touched,
+       count(*) FILTER (WHERE toks_cut = n_toks) AS docs_emptied,
+       coalesce(sum(doc_id) FILTER (WHERE toks_cut > 0), 0) AS cut_id_sum,
+       CAST(sum({H_DUCK.format(x="clean")}) AS VARCHAR) AS clean_checksum
+FROM e GROUP BY lang
+"""
+
+
+def span_dedup_stride(
+    spark: SparkSession, sf_dir: str, k: int = SPAN_K, s: int = SPAN_STRIDE
+) -> DataFrame:
+    """Overlapping-window span dedup: K-token windows starting every
+    ``s`` tokens (s < K), a window is cut when its hash occurs in more
+    than one document, and every token covered by ANY cut window is
+    removed (the union of flagged positions). Catches passages
+    duplicated at a cross-document offset delta that is a multiple of
+    s — stride s=K/2 halves the escape classes of the non-overlapping
+    chunking; s=1 is Lee et al.'s any-position substring semantics at
+    K/s = K times the window rows.
+
+    Same plan spine as q_dedup_spans: per-row HOF window generation,
+    ONE span-hash shuffle (window min/max, no join back on the hash),
+    then — because overlapping windows cannot reassemble from span
+    text — one key-partitioned doc_id join of the (small) flagged-
+    start lists back to the corpus and a per-row HOF position cut.
+    The flagged-start join carries only cut documents and makes no
+    broadcast-size assumption, so a boilerplate-heavy corpus where
+    most docs are touched still key-partitions cleanly.
+
+    Docs shorter than K tokens emit no windows and are never cut
+    (whole-short-doc duplicates are the exact pass's job)."""
+    if not 1 <= s <= k:
+        raise ValueError(f"stride must be in [1, k]; got s={s}, k={k}")
+    base = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.split("text", " ").alias("toks"))
+        .localCheckpoint(eager=True)  # read twice: windows + reassembly
+    )
+    # full K-token windows only: floor((n-K)/s)+1 starts; the CASE
+    # guards sequence() from its descending-on-negative trap
+    windows = f"""
+    CASE WHEN size(toks) >= {k} THEN
+      transform(
+        sequence(1, cast((size(toks) - {k}) / {s} as int) + 1),
+        i -> struct(
+          (i - 1) * {s} + 1 AS start,
+          array_join(slice(toks, (i - 1) * {s} + 1, {k}), ' ') AS span))
+    ELSE cast(array() as array<struct<start:int, span:string>>) END
+    """
+    wins = (
+        base.select("doc_id", F.explode(F.expr(windows)).alias("w"))
+        .select("doc_id", "w.start", "w.span")
+        .withColumn("span_h", F.expr(H_SPARK.format(x="span")))
+    )
+    wd = W.partitionBy("span_h")
+    flagged = (
+        wins.withColumn(
+            "is_dup", F.min("doc_id").over(wd) != F.max("doc_id").over(wd)
+        )
+        .filter(F.col("is_dup"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("start").alias("ds"))
+    )
+    cut = (
+        base.join(flagged, "doc_id", "left")
+        .withColumn(
+            "ds", F.coalesce("ds", F.expr("cast(array() as array<int>)"))
+        )
+        .withColumn(
+            "kept_pos",
+            F.expr(
+                f"filter(sequence(1, size(toks)),"
+                f" p -> NOT exists(ds, st -> p >= st AND p < st + {k}))"
+            ),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.size("toks").alias("n_toks"),
+            (F.size("toks") - F.size("kept_pos")).alias("toks_cut"),
+            F.expr(
+                "array_join(transform(kept_pos,"
+                " p -> element_at(toks, p)), ' ')"
+            ).alias("clean"),
+        )
+    )
+    return cut.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("toks_total"),
+        F.sum("toks_cut").alias("toks_cut"),
+        F.count(F.when(F.col("toks_cut") > 0, 1)).alias("docs_touched"),
+        F.count(F.when(F.col("toks_cut") == F.col("n_toks"), 1)).alias(
+            "docs_emptied"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("toks_cut") > 0, F.col("doc_id"))), F.lit(0)
+        ).alias("cut_id_sum"),
+        checksum_sum("clean").cast("string").alias("clean_checksum"),
+    )
+
+
+@register(
+    "q_dedup_spans_stride",
+    oracle=None,  # past the driver cap; DuckDB parity via
+    # tests/test_vocab_queries.py against spans_stride_oracle()
+    tags=("dedup", "text", "pipeline"),
+)
+def q_dedup_spans_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_spans with overlapping stride-s windows (s=K/2): cuts
+    the union of token positions covered by any cross-document
+    duplicated K-window, catching passages the aligned chunking
+    misses when documents share text at a K/2-offset. See
+    span_dedup_stride for the plan shape."""
+    return span_dedup_stride(spark, sf_dir)
+
+
 VOCAB_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -207,7 +369,6 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = top.withColumn("rank", F.row_number().over(wr)).crossJoin(
         F.broadcast(total)
     )
-    wc = W.orderBy("rank")
     return ranked.select(
         "rank",
         "term",
