@@ -331,7 +331,10 @@ def test_freq_items_superset_guarantee(spark, sf_dir):
     the heavy-hitters contract, checked against exact counts."""
     from pyspark.sql import functions as F
 
-    from zvdb_spark.queries.aggregates import FREQ_SUPPORT, q_agg_freq_items
+    from zvdb_spark.queries.aggregates import (
+        FREQ_SUPPORT,
+        freq_item_candidates,
+    )
     from zvdb_spark.sources.tables import load
 
     tok = (
@@ -348,7 +351,32 @@ def test_freq_items_superset_guarantee(spark, sf_dir):
     assert len(counts) > int(1 / FREQ_SUPPORT), (
         len(counts), int(1 / FREQ_SUPPORT)
     )
-    got = q_agg_freq_items(spark, sf_dir).collect()[0]
-    cands = set(got.candidates)
+    cands = set(freq_item_candidates(spark, sf_dir).collect()[0].term_freqItems)
     assert exact <= cands, exact - cands
-    assert got.n_candidates == len(cands)
+
+
+def test_freq_items_query_is_exact_verified_heavy_hitters(spark, sf_dir):
+    """The declared query publishes the VERIFIED heavy-hitter rows:
+    exactly the terms with cf*1000 > N*support_pm, with exact counts —
+    layout-stable by construction (sketch false positives cannot
+    survive the exact filter), so this recompute is an equality, not
+    a superset check."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.aggregates import (
+        FREQ_SUPPORT_PM,
+        q_agg_freq_items,
+    )
+    from zvdb_spark.sources.tables import load
+
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+    )
+    n = tok.count()
+    counts = {r.term: r["count"] for r in tok.groupBy("term").count().collect()}
+    want = {
+        (t, c) for t, c in counts.items() if c * 1000 > n * FREQ_SUPPORT_PM
+    }
+    got = {(r.term, r.cf) for r in q_agg_freq_items(spark, sf_dir).collect()}
+    assert got == want

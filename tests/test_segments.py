@@ -429,3 +429,36 @@ def test_concurrent_gc_storm_never_loses_pinned_files(tmp_path):
     leftovers = [f for f in os.listdir(d) if f.startswith("wseg_")]
     assert leftovers == [], leftovers
     assert os.path.exists(f"{keep}.ids.npy")  # pin still wins
+
+
+def test_age_purge_rechecks_pins_created_after_snapshot(
+    tmp_path, monkeypatch
+):
+    """The 24h age path must re-check pins at DELETE time, like the
+    retired path's _reap_ok: simulate a save() pinning a >24h-old
+    prefix between purge_stale's listdir snapshot and the unlink by
+    serving purge a snapshot taken before the pin landed."""
+    import os
+    import time as _t
+
+    import zvdb_spark.operators.segments as S
+
+    d = str(tmp_path)
+    old = _t.time() - S._PURGE_AGE_SECS - 3600
+    f = os.path.join(d, "seg_idle.vec.npy")
+    open(f, "wb").write(b"x")
+    os.utime(f, (old, old))
+
+    stale_snapshot = os.listdir(d)  # no pin visible yet
+    S.pin_prefixes({os.path.join(d, "seg_idle")}, owner=f"{d}/m.json")
+
+    real_listdir = os.listdir
+    monkeypatch.setattr(
+        S.os,
+        "listdir",
+        lambda p: stale_snapshot if p == d else real_listdir(p),
+    )
+    S.purge_stale(d, _t.time())
+    assert os.path.exists(f), (
+        "age-path unlink ignored a pin created after the snapshot"
+    )

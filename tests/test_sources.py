@@ -63,3 +63,27 @@ def test_table_row_count_single_file_and_directory(sf_dir, tmp_path):
     pq.write_table(t.slice(0, half), d / "part-0.parquet")
     pq.write_table(t.slice(half), d / "part-1.parquet")
     assert table_row_count(str(tmp_path), "events") == single
+
+
+def test_csv_roundtrip_distinguishes_null_from_empty(spark, tmp_path):
+    """q_source_formats' CSV leg writes nullValue='\\N' +
+    emptyValue='\"\"' and reads back with the null marker only: NULL
+    and '' must survive DISTINGUISHABLY (default CSV options collapse
+    both to null on read, which would break cross-format checksum
+    parity the moment a fixture carries an empty string)."""
+    df = spark.createDataFrame(
+        [(1, "x"), (2, ""), (3, None)], "id int, s string"
+    )
+    p = str(tmp_path / "csv")
+    df.write.mode("overwrite").option("header", "true").option(
+        "nullValue", "\\N"
+    ).option("emptyValue", '""').csv(p)
+    back = (
+        spark.read.schema(df.schema)
+        .option("header", "true")
+        .option("nullValue", "\\N")
+        .csv(p)
+    )
+    assert sorted(
+        [(r.id, r.s) for r in back.collect()]
+    ) == [(1, "x"), (2, ""), (3, None)]

@@ -411,7 +411,15 @@ def purge_stale(d: str, now: float) -> None:
                 if _reap_ok(prefix):
                     os.unlink(path)
             elif now - os.path.getmtime(path) > _PURGE_AGE_SECS:
-                os.unlink(path)
+                # delete-time pin re-check, mirroring _reap_ok's
+                # discipline on the retired path: a save() can pin
+                # this prefix between the listdir snapshot above and
+                # this unlink (a long-idle in-memory index persisted
+                # just as another process sweeps) — the getmtime in
+                # the elif is already a current read, the pin set
+                # must be too
+                if not _pin_markers(prefix):
+                    os.unlink(path)
         except OSError:
             pass
     for prefix in retired:

@@ -64,20 +64,23 @@ def bucketed_coloc(
     """Persist both sides bucketed by the join key and return the
     bucketed reads: joins between them shuffle nothing (bucket
     co-location replaces the Exchange)."""
-    import os
-    import shutil
-
     lt, rt = f"{table_prefix}_l", f"{table_prefix}_r"
     # The default in-memory catalog is PER-SESSION but the managed
     # table's physical location persists: DROP TABLE IF EXISTS in a
     # fresh session is a no-op on an unknown table, and the stale
     # directory then fails saveAsTable with LOCATION_ALREADY_EXISTS.
-    # Clear both the catalog entry and the location.
+    # Clear both the catalog entry and the location — via the Hadoop
+    # FileSystem API, so percent-encoded local URIs and shared
+    # warehouses (hdfs:/s3a:) are handled by the scheme's own FS
+    # instead of a string-stripped local rmtree that silently no-ops
+    # on them.
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    wh = wh.removeprefix("file:")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     for name, df in ((lt, left), (rt, right)):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+        loc = jvm.org.apache.hadoop.fs.Path(wh, name)
+        loc.getFileSystem(hconf).delete(loc, True)
         (
             df.write.mode("overwrite")
             .bucketBy(n_buckets, key)

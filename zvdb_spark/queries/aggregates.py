@@ -401,37 +401,64 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-FREQ_SUPPORT = 0.033  # floor(1/s)=30 counters < the fixture's 31-term
-# vocabulary, so the sketch actually evicts — the guarantee test is
-# exercised, not vacuously satisfied by an oversized counter table
+FREQ_SUPPORT_PM = 33  # support in per-mille: integer-exact thresholds
+FREQ_SUPPORT = FREQ_SUPPORT_PM / 1000  # floor(1/s)=30 counters < the
+# fixture's 31-term vocabulary, so the sketch actually evicts — the
+# guarantee test is exercised, not vacuously satisfied by an
+# oversized counter table
 
 
-@register(
-    "q_agg_freq_items",
-    oracle=None,  # sketch: the CONTRACT is a superset guarantee, not
-    # a unique answer — the candidate set may legally vary with
-    # partition layout; the guarantee is pytest-pinned
-    # (tests/test_pipeline_queries.py) against exact counts
-    tags=("agg", "sketch"),
-)
-def q_agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent-items sketch (single-pass Misra-Gries family, Spark's
-    `DataFrame.freqItems`): candidate terms over the exploded
-    documents vocabulary at support s, GUARANTEED to include every
-    term with frequency > s*N — possibly with false positives, never
-    false negatives (the classic heavy-hitters contract; Karp et al.
-    2003). One streaming-aggregate pass, no full groupBy: at 100 TB
-    this finds heavy hitters without materializing the term
-    frequency table the exact `q_vocab_topk` builds. Returned as one
-    row (n_candidates, sorted candidate array) — rows-only by
-    nature: the exact membership may vary with partition layout, the
-    superset guarantee may not."""
+def freq_item_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw sketch pass: one-row candidate array from Spark's
+    single-pass `DataFrame.freqItems` (Misra-Gries family) at support
+    s. Superset-guaranteed, layout-SENSITIVE: merge order can change
+    which false positives survive. Pytest pins the guarantee against
+    exact counts (tests/test_pipeline_queries.py)."""
     tok = (
         load(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("term"))
     )
-    cand = tok.freqItems(["term"], support=FREQ_SUPPORT)
-    return cand.select(
-        F.size("term_freqItems").alias("n_candidates"),
-        F.array_sort("term_freqItems").alias("candidates"),
+    return tok.freqItems(["term"], support=FREQ_SUPPORT)
+
+
+@register(
+    "q_agg_freq_items",
+    oracle=None,  # past the driver cap; the sketch stage is pinned by
+    # its superset-guarantee pytest, the verify stage by exact
+    # recompute (tests/test_pipeline_queries.py)
+    tags=("agg", "sketch"),
+)
+def q_agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass heavy hitters: a single-pass frequent-items sketch
+    (Spark's `DataFrame.freqItems`, Misra-Gries family — GUARANTEED
+    to include every term with frequency > s*N, possibly with false
+    positives, never false negatives; Karp et al. 2003) nominates
+    candidates, then ONE verify pass restricted to the candidate set
+    computes exact counts and keeps true heavy hitters (integer
+    cross-multiplied threshold cf*1000 > N*s_pm). At 100 TB this
+    finds heavy hitters with a streaming aggregate plus a
+    broadcast-filtered count — never materializing the full term
+    frequency table `q_vocab_topk` builds.
+
+    The published rows are the VERIFIED set — layout-stable (any
+    sketch false-positive drift dies in the exact filter), so
+    harnesses may record and re-compare them across runs and cluster
+    sizes; the layout-sensitive raw candidate array stays in
+    freq_item_candidates for its guarantee pytest."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+    )
+    cand = freq_item_candidates(spark, sf_dir)
+    n_tot = tok.agg(F.count("*").alias("n_tot"))
+    return (
+        tok.join(
+            F.broadcast(cand),
+            F.expr("array_contains(term_freqItems, term)"),
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("cf"))
+        .crossJoin(F.broadcast(n_tot))
+        .filter(F.col("cf") * 1000 > F.col("n_tot") * FREQ_SUPPORT_PM)
+        .select("term", "cf")
     )

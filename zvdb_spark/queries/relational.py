@@ -228,14 +228,23 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="zvdb_sources_")
     try:
-        base.write.mode("overwrite").option("header", "true").csv(
-            f"{tmp}/csv"
-        )
+        # CSV must round-trip NULL and '' DISTINGUISHABLY: by default
+        # Spark writes both as empty and reads empty back as null, so
+        # an empty-string value in the fixture would silently flip to
+        # NULL and break cross-format checksum parity with a confusing
+        # mismatch. Explicit disjoint markers close that hole.
+        # write: null -> \N marker, '' -> quoted ""; read: only the
+        # null marker maps back (the parser already reads a quoted
+        # empty field as '') — verified: (x, '', NULL) round-trips
+        base.write.mode("overwrite").option("header", "true").option(
+            "nullValue", "\\N"
+        ).option("emptyValue", '""').csv(f"{tmp}/csv")
         base.write.mode("overwrite").json(f"{tmp}/json")
         base.write.mode("overwrite").orc(f"{tmp}/orc")
         csv_df = (
             spark.read.schema(base.schema)
             .option("header", "true")
+            .option("nullValue", "\\N")
             .csv(f"{tmp}/csv")
         )
         json_df = spark.read.schema(base.schema).json(f"{tmp}/json")
