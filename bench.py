@@ -123,6 +123,8 @@ HEADLINE = [
     "q_lm_filter",
     "q_join_skew_salted",
     "q_join_bucketed",
+    "q_agg_freq_items",
+    "q_dedup_spans_stride",
 ]
 
 
@@ -1099,21 +1101,44 @@ def main() -> None:
         # exactly like the rebuild timing below includes its full
         # pack. (cgidx's pre-append state is already materialized by
         # the searches above, as on a live index.) append mutates, so
-        # best-of-2 needs a FRESH build for the second sample — build
-        # is cheap enough now that an un-noised append number is worth
-        # it (measured isolated 3.96 s vs 7.7 s mid-load-spike).
-        t0 = time.perf_counter()
-        cgidx.append(demb)
-        cgidx.state()
-        append_sec = time.perf_counter() - t0
-        c2 = GraphIndex(m=16, ef=128, seed=SEED).build(cemb, n_rows=BENCH_N)
-        c2.state()
-        t0 = time.perf_counter()
-        c2.append(demb)
-        c2.state()
-        append_sec = min(append_sec, time.perf_counter() - t0)
+        # each pass appends to a FRESH built index (build untimed).
+        # Append and rebuild are timed BACK-TO-BACK inside each of 2
+        # passes — the shared-load-window discipline the headline/1M
+        # ratios already use: a host-load spike moves both points
+        # together instead of faking a 4x swing on one of them
+        # (rebuild swung 17.8k -> 4.0k pts/s across rounds on
+        # untouched code when the pair was sampled minutes apart).
+        full = cemb.unionByName(demb).localCheckpoint(eager=True)
+        ridx = GraphIndex(m=16, ef=128, seed=SEED)
+        append_sec = rebuild_sec = float("inf")
+        for p in range(2):
+            if p == 0:
+                c = cgidx  # the live index, as on a production append
+            else:
+                c = GraphIndex(m=16, ef=128, seed=SEED).build(
+                    cemb, n_rows=BENCH_N
+                )
+                c.state()
+            t0 = time.perf_counter()
+            c.append(demb)
+            c.state()  # searchable-when-done boundary
+            append_sec = min(append_sec, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            ridx.build(full, n_rows=BENCH_N + delta_n)
+            ridx.state()  # same boundary as append
+            rebuild_sec = min(rebuild_sec, time.perf_counter() - t0)
         timings["vector_index_append_10pct"] = round(append_sec, 3)
         result["append_pts_per_s"] = round(delta_n / append_sec, 2)
+        timings["vector_index_rebuild_full"] = round(rebuild_sec, 3)
+        result["rebuild_pts_per_s"] = round(
+            (BENCH_N + delta_n) / rebuild_sec, 2
+        )
+        # the cross-round-comparable claim: both mins from ONE window
+        result["append_rebuild_shared_window"] = {
+            "append_sec": round(append_sec, 3),
+            "rebuild_sec": round(rebuild_sec, 3),
+            "rebuild_over_append": round(rebuild_sec / append_sec, 3),
+        }
         qp = _qdf(cqueries[:n_probe])
         ap_pdf = cgidx.search(qp, k=BENCH_K, n_queries=n_probe).toPandas()
         aex_pdf = cgidx.exact_search(
@@ -1122,24 +1147,100 @@ def main() -> None:
         result["ann_recall_after_append"] = round(
             _recall_of(ap_pdf, aex_pdf, n_probe), 3
         )
-        # full rebuild on the combined corpus, for the honest
-        # append-vs-rebuild comparison
-        full = cemb.unionByName(demb).localCheckpoint(eager=True)
-        ridx = GraphIndex(m=16, ef=128, seed=SEED)
-
-        def _one_rebuild():
-            ridx.build(full, n_rows=BENCH_N + delta_n)
-            ridx.state()  # same searchable-when-done boundary as append
-
-        rebuild_sec = _best_of(2, _one_rebuild)
-        timings["vector_index_rebuild_full"] = round(rebuild_sec, 3)
-        result["rebuild_pts_per_s"] = round(
-            (BENCH_N + delta_n) / rebuild_sec, 2
-        )
         rp_pdf = ridx.search(qp, k=BENCH_K, n_queries=n_probe).toPandas()
         result["ann_recall_after_rebuild"] = round(
             _recall_of(rp_pdf, aex_pdf, n_probe), 3
         )
+
+    def _bench_skew_join():
+        # Salted-join evidence on an ACTUAL hot key (the parity suite
+        # checks semantics only): a synthetic fact table where one key
+        # holds ~30% of all rows, joined to a dim table with AQE's
+        # skew split and broadcast both disabled so the mechanism
+        # under test — spreading one hot key over n_salts reducers —
+        # is what's measured, not the optimizer rescuing it. Two
+        # published signals: (a) deterministic straggler evidence,
+        # max/mean rows per reducer under plain key partitioning vs
+        # salted (key, salt) partitioning; (b) plain vs salted join
+        # wall-clock from one interleaved shared window.
+        from pyspark.sql import functions as F
+
+        from zvdb_spark.operators.skew import salted_join
+
+        n, n_keys, hot, n_red = 400_000, 20_000, 7, 32
+        fact = (
+            spark.range(n)
+            .select(
+                F.when(F.col("id") % 10 < 3, F.lit(hot))
+                .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_keys)))
+                .cast("long")
+                .alias("key"),
+                (F.col("id") % 997).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        dim = (
+            spark.range(n_keys)
+            .select(F.col("id").alias("key"), (F.col("id") * 3).alias("w"))
+            .localCheckpoint(eager=True)
+        )
+
+        def _spread(df, cols):
+            rows = (
+                df.repartition(n_red, *cols)
+                .select(F.spark_partition_id().alias("p"))
+                .groupBy("p")
+                .count()
+                .collect()
+            )
+            counts = [r["count"] for r in rows]
+            mean = sum(counts) / n_red  # empty reducers count too
+            return round(max(counts) / mean, 2)
+
+        salted_fact = fact.withColumn(
+            "_salt",
+            (F.crc32(F.col("v").cast("string")) % 8).cast("int"),
+        )
+        spread_plain = _spread(fact, ["key"])
+        spread_salted = _spread(salted_fact, ["key", "_salt"])
+
+        saved = {
+            "spark.sql.adaptive.skewJoin.enabled": spark.conf.get(
+                "spark.sql.adaptive.skewJoin.enabled", "true"
+            ),
+            "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold"
+            ),
+        }
+        try:
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+            def _run(df):
+                df.agg(
+                    F.count("*").alias("n"), F.sum(F.col("v") + F.col("w"))
+                ).head()
+
+            secs = _interleaved(
+                {
+                    "plain": lambda: _run(fact.join(dim, "key")),
+                    "salted": lambda: _run(salted_join(fact, dim, "key")),
+                },
+                passes=2,
+            )
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+        result["skew_join"] = {
+            "n_rows": n,
+            "hot_key_frac": 0.3,
+            "n_reducers": n_red,
+            "reducer_max_over_mean_plain": spread_plain,
+            "reducer_max_over_mean_salted": spread_salted,
+            "plain_sec": round(secs["plain"], 3),
+            "salted_sec": round(secs["salted"], 3),
+            "salted_over_plain": round(secs["salted"] / secs["plain"], 3),
+        }
 
     # -- part 3: reference bench grid (dims x k) ---------------------
     # benchmarks/single_threaded_benchmarks.zig:28-33 defines the grid;
@@ -1212,6 +1313,7 @@ def main() -> None:
         # save/load churn verification runs LAST on purpose: the
         # append/rebuild sections above are the churn under test
         _section("save_load_verify", _bench_save_load_verify)
+    _section("skew_join", _bench_skew_join)
     if GRID_ON:
         _section("grid", _bench_grid)
 
