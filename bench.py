@@ -1197,9 +1197,14 @@ def main() -> None:
             mean = sum(counts) / n_red  # empty reducers count too
             return round(max(counts) / mean, 2)
 
+        # the EXACT salt expression salted_join assigns its probe side
+        # — the spread evidence must measure the partitioning the
+        # shipped join actually produces, not a lookalike
         salted_fact = fact.withColumn(
             "_salt",
-            (F.crc32(F.col("v").cast("string")) % 8).cast("int"),
+            (
+                F.crc32(F.monotonically_increasing_id().cast("string")) % 8
+            ).cast("int"),
         )
         spread_plain = _spread(fact, ["key"])
         spread_salted = _spread(salted_fact, ["key", "_salt"])

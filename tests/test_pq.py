@@ -564,3 +564,75 @@ def test_ivf_layout_append_is_delta_scoped(spark, emb, tmp_path):
     assert got[["query_id", "vec_id", "rn"]].equals(
         want[["query_id", "vec_id", "rn"]]
     )
+
+
+def test_ivf_quantizer_persists_with_layout(spark, emb, tmp_path):
+    """The layout directory + _quantizer files form the COMPLETE
+    durable index: save the quantizer inside the layout, reload it
+    (bit-exact), and probe using ONLY (path, loaded arrays) — the
+    fresh-session contract. The parquet scan must not see the
+    underscore-prefixed quantizer files."""
+    from zvdb_spark.operators.kmeans import kmeans_fit_sample
+    from zvdb_spark.operators.pq import (
+        ivfpq_build,
+        load_ivf_quantizer,
+        pq_search_ivf,
+        probed_cells,
+        read_ivf_cells,
+        save_ivf_quantizer,
+        write_ivf_layout,
+    )
+
+    cents = kmeans_fit_sample(emb, k=8, n_iter=3, sample_n=1000)
+    books, codes = ivfpq_build(
+        emb, cents, m_sub=8, k_codes=16, n_iter=2, sample_n=1000
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_layout(codes, path)
+    save_ivf_quantizer(path, cents, books)
+
+    c2, b2 = load_ivf_quantizer(path)
+    assert np.array_equal(c2, cents) and np.array_equal(b2, books)
+
+    # scan still reads cleanly (hidden files ignored) and a probe
+    # from persisted state alone matches the in-memory probe
+    q = np.stack(
+        [np.asarray(r.emb) for r in emb.orderBy("vec_id").limit(2).collect()]
+    )
+    cells = probed_cells(c2, q, nprobe=2)
+    pruned = read_ivf_cells(spark, path, cells)
+    got = {
+        tuple(r)
+        for r in pq_search_ivf(
+            pruned, b2, c2, q, k=10, nprobe=2, residual=True
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in pq_search_ivf(
+            codes, books, cents, q, k=10, nprobe=2, residual=True
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_ivf_quantizer_rejects_corruption(tmp_path):
+    import json
+    import os
+
+    import pytest
+
+    from zvdb_spark.operators.pq import (
+        load_ivf_quantizer,
+        save_ivf_quantizer,
+    )
+
+    d = str(tmp_path)
+    save_ivf_quantizer(d, np.ones((4, 16)), np.ones((2, 3, 8)))
+    m = json.load(open(os.path.join(d, "_quantizer.json")))
+    m["k_codes"] = 99
+    json.dump(m, open(os.path.join(d, "_quantizer.json"), "w"))
+    with pytest.raises(ValueError, match="out of sync"):
+        load_ivf_quantizer(d)
+    with pytest.raises(ValueError, match="do not tile"):
+        save_ivf_quantizer(d, np.ones((4, 16)), np.ones((2, 3, 5)))

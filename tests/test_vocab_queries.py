@@ -191,9 +191,10 @@ def test_stride4_catches_offset_dup_that_stride8_misses(spark, tmp_path):
     missed = span_dedup_stride(spark, d, k=8, s=8).collect()[0]
     assert caught["toks_cut"] > 0 and caught["docs_touched"] == 2
     assert missed["toks_cut"] == 0 and missed["docs_touched"] == 0
-    # stride 4 must cut exactly the aligned shared windows' cover:
-    # doc0 windows at 1,9 and doc1 at 5,13 cover passage tokens 1..16
-    # in both docs -> 32 tokens cut corpus-wide
+    # stride 4 flags every window fully inside the passage in both
+    # docs (doc0 starts {1,5,9}, doc1 starts {5,9,13} — each matches
+    # a window of the other doc's passage); their union covers the
+    # 16 passage tokens per doc -> 32 tokens cut corpus-wide
     assert caught["toks_cut"] == 32
 
 

@@ -21,9 +21,6 @@ the shape an IVF deployment uses anyway.
 
 from __future__ import annotations
 
-import json
-import os
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -43,21 +40,22 @@ def save_centroids(centroids: np.ndarray, path: str) -> str:
     assign_cells / SemDeDup kept-set / IVF routing decision is
     bit-identical across sessions and partition layouts. k x dim
     float64 — a few KB to MB, driver-side metadata scale."""
+    from zvdb_spark.operators.artifacts import save_npz_manifest
+
     c = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
     if c.ndim != 2:
         raise ValueError(f"centroids must be 2-D (k, dim); got {c.shape}")
-    with open(f"{path}.npz.tmp", "wb") as f:
-        np.savez(f, centroids=c)
-    os.replace(f"{path}.npz.tmp", f"{path}.npz")
-    manifest = {
-        "format": _CENTROID_FORMAT,
-        "k": int(c.shape[0]),
-        "dim": int(c.shape[1]),
-        "dtype": "float64",
-    }
-    with open(f"{path}.json.tmp", "w") as f:
-        json.dump(manifest, f)
-    os.replace(f"{path}.json.tmp", f"{path}.json")
+    save_npz_manifest(
+        f"{path}.npz",
+        f"{path}.json",
+        {"centroids": c},
+        {
+            "format": _CENTROID_FORMAT,
+            "k": int(c.shape[0]),
+            "dim": int(c.shape[1]),
+            "dtype": "float64",
+        },
+    )
     return path
 
 
@@ -65,16 +63,12 @@ def load_centroids(path: str) -> np.ndarray:
     """Reopen a saved centroid matrix; validates the manifest against
     the array so a truncated / mismatched pair fails with a named
     diagnostic instead of silently mis-assigning every vector."""
-    with open(f"{path}.json") as f:
-        manifest = json.load(f)
-    if manifest.get("format") != _CENTROID_FORMAT:
-        raise ValueError(
-            f"centroid manifest {path}.json has format "
-            f"{manifest.get('format')!r}; this build reads "
-            f"{_CENTROID_FORMAT}"
-        )
-    with np.load(f"{path}.npz") as z:
-        c = z["centroids"]
+    from zvdb_spark.operators.artifacts import load_npz_manifest
+
+    arrays, manifest = load_npz_manifest(
+        f"{path}.npz", f"{path}.json", _CENTROID_FORMAT, "centroid"
+    )
+    c = arrays["centroids"]
     if c.shape != (manifest["k"], manifest["dim"]):
         raise ValueError(
             f"centroid array {path}.npz is {c.shape}, manifest says "

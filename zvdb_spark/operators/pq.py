@@ -523,13 +523,33 @@ def write_ivf_layout(codes_with_cell: DataFrame, path: str) -> None:
     nprobe/C of the corpus by construction (and the codes are 16 B/row
     to begin with). Write-side repartition keeps it one file per cell
     instead of n_input_tasks x C small files — the small-files
-    problem is the classic failure mode of partitioned layouts."""
+    problem is the classic failure mode of partitioned layouts.
+
+    An in-place rewrite PRESERVES the quantizer files
+    (save_ivf_quantizer's underscore-hidden state): Spark's static
+    overwrite truncates the whole directory, which would silently
+    break the 'path alone is the complete durable index' contract
+    for a compaction that never touched the quantizer — so the
+    quantizer bytes are carried across the overwrite."""
+    import os
+
+    keep: dict[str, bytes] = {}
+    for f in ("_quantizer.npz", "_quantizer.json"):
+        p = os.path.join(path, f)
+        if os.path.exists(p):
+            with open(p, "rb") as fh:
+                keep[f] = fh.read()
     (
         codes_with_cell.repartition("cell_id")
         .write.mode("overwrite")
         .partitionBy("cell_id")
         .parquet(path)
     )
+    for f, data in keep.items():
+        tmp = os.path.join(path, f + ".tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, os.path.join(path, f))
 
 
 def append_ivf_layout(new_codes_with_cell: DataFrame, path: str) -> None:
@@ -550,6 +570,84 @@ def append_ivf_layout(new_codes_with_cell: DataFrame, path: str) -> None:
         .partitionBy("cell_id")
         .parquet(path)
     )
+
+
+_QUANTIZER_FORMAT = 1
+
+
+def save_ivf_quantizer(
+    path: str, centroids: np.ndarray, codebooks: np.ndarray
+) -> str:
+    """Persist the quantizer state (coarse centroids + PQ codebooks)
+    INSIDE the cell-partitioned layout directory, as
+    ``_quantizer.npz`` + ``_quantizer.json`` — Spark's FileIndex
+    hides underscore-prefixed files (the _SUCCESS convention), so the
+    parquet scan never sees them and the layout directory becomes the
+    complete durable index: a FRESH SESSION needs nothing but the
+    path to probe it. Without this, the layout's codes are
+    unreadable garbage to anyone who didn't keep the fitting
+    process alive — the same gap GraphIndex.save closes for the
+    graph path and kmeans.save_centroids for bare assignments.
+    Atomic rename per file; a few hundred KB regardless of corpus
+    size (k x dim + m x k x dsub float64)."""
+    import os
+
+    from zvdb_spark.operators.artifacts import save_npz_manifest
+
+    c = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    b = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float64))
+    if c.ndim != 2 or b.ndim != 3:
+        raise ValueError(
+            f"centroids must be (C, dim), codebooks (m, k, dsub); got "
+            f"{c.shape} and {b.shape}"
+        )
+    if b.shape[0] * b.shape[2] != c.shape[1]:
+        raise ValueError(
+            f"codebooks {b.shape} do not tile centroid dim {c.shape[1]}"
+        )
+    save_npz_manifest(
+        os.path.join(path, "_quantizer.npz"),
+        os.path.join(path, "_quantizer.json"),
+        {"centroids": c, "codebooks": b},
+        {
+            "format": _QUANTIZER_FORMAT,
+            "n_cells": int(c.shape[0]),
+            "dim": int(c.shape[1]),
+            "m_sub": int(b.shape[0]),
+            "k_codes": int(b.shape[1]),
+            "dsub": int(b.shape[2]),
+        },
+    )
+    return path
+
+
+def load_ivf_quantizer(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Reopen a layout's quantizer: (centroids, codebooks), validated
+    against the manifest so truncated/mismatched files fail with a
+    named diagnostic instead of silently mis-scoring every probe."""
+    import os
+
+    from zvdb_spark.operators.artifacts import load_npz_manifest
+
+    arrays, manifest = load_npz_manifest(
+        os.path.join(path, "_quantizer.npz"),
+        os.path.join(path, "_quantizer.json"),
+        _QUANTIZER_FORMAT,
+        "quantizer",
+    )
+    c, b = arrays["centroids"], arrays["codebooks"]
+    if c.shape != (manifest["n_cells"], manifest["dim"]) or b.shape != (
+        manifest["m_sub"],
+        manifest["k_codes"],
+        manifest["dsub"],
+    ):
+        raise ValueError(
+            f"quantizer arrays in {path} are {c.shape}/{b.shape}, "
+            f"manifest says ({manifest['n_cells']}, {manifest['dim']})/"
+            f"({manifest['m_sub']}, {manifest['k_codes']}, "
+            f"{manifest['dsub']}) — files out of sync"
+        )
+    return np.ascontiguousarray(c), np.ascontiguousarray(b)
 
 
 def read_ivf_cells(spark, path: str, cells: list[int]) -> DataFrame:

@@ -408,17 +408,26 @@ FREQ_SUPPORT = FREQ_SUPPORT_PM / 1000  # floor(1/s)=30 counters < the
 # oversized counter table
 
 
+def _doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE tokenized term stream both heavy-hitter passes read —
+    shared so the sketch's candidate universe and the verify pass's
+    count universe can never silently diverge (a tokenization tweak
+    applied to one but not the other would drop true heavy hitters
+    while every superset test kept passing)."""
+    return load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+
+
 def freq_item_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw sketch pass: one-row candidate array from Spark's
     single-pass `DataFrame.freqItems` (Misra-Gries family) at support
     s. Superset-guaranteed, layout-SENSITIVE: merge order can change
     which false positives survive. Pytest pins the guarantee against
     exact counts (tests/test_pipeline_queries.py)."""
-    tok = (
-        load(spark, sf_dir, "documents")
-        .select(F.explode(F.split("text", " ")).alias("term"))
+    return _doc_terms(spark, sf_dir).freqItems(
+        ["term"], support=FREQ_SUPPORT
     )
-    return tok.freqItems(["term"], support=FREQ_SUPPORT)
 
 
 @register(
@@ -445,10 +454,7 @@ def q_agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     harnesses may record and re-compare them across runs and cluster
     sizes; the layout-sensitive raw candidate array stays in
     freq_item_candidates for its guarantee pytest."""
-    tok = (
-        load(spark, sf_dir, "documents")
-        .select(F.explode(F.split("text", " ")).alias("term"))
-    )
+    tok = _doc_terms(spark, sf_dir)
     cand = freq_item_candidates(spark, sf_dir)
     n_tot = tok.agg(F.count("*").alias("n_tot"))
     return (

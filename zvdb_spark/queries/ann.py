@@ -311,9 +311,11 @@ def q_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zvdb_spark.operators.pq import (
         exact_rerank,
         ivfpq_build,
+        load_ivf_quantizer,
         pq_search_ivf,
         probed_cells,
         read_ivf_cells,
+        save_ivf_quantizer,
         write_ivf_layout,
     )
 
@@ -331,11 +333,16 @@ def q_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="zvdb_ivf_layout_")
     try:
         write_ivf_layout(codes, path)
+        # quantizer state persists INSIDE the layout dir and the probe
+        # below uses ONLY what a fresh session would load from disk —
+        # the complete durable-index contract, exercised per call
+        save_ivf_quantizer(path, cents, books)
+        lcents, lbooks = load_ivf_quantizer(path)
         pruned = read_ivf_cells(
-            spark, path, probed_cells(cents, qvec, nprobe=4)
+            spark, path, probed_cells(lcents, qvec, nprobe=4)
         )
         cand = pq_search_ivf(
-            pruned, books, cents, qvec, k=50, nprobe=4, residual=True
+            pruned, lbooks, lcents, qvec, k=50, nprobe=4, residual=True
         )
         return (
             exact_rerank(cand, e, qvec, k=ANN_K, cand_rows=len(qvec) * 50)
