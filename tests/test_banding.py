@@ -117,3 +117,33 @@ def test_minhash_query_capped_equals_uncapped(spark, tmp_path, monkeypatch):
     uncapped = pairs()
     assert capped == uncapped
     assert len(capped) > 0  # non-vacuous: the template cluster collides
+
+
+def test_big_path_splits_hot_bucket_into_balanced_blocks(spark):
+    """The POINT of the triangle salting: one hot bucket's pair
+    emission is split across S(S+1)/2 independent join keys (salt
+    blocks), each carrying a bounded share — so no single reducer
+    owns the clique. Recomputed from the same salt formula the
+    operator uses (xxhash64 % S), every block must be populated and
+    no block may dominate."""
+    from pyspark.sql import functions as F
+
+    n, s = 600, 4
+    rows = [(i, 0, 0) for i in range(n)]
+    df = spark.createDataFrame(rows, ["rid", "band_idx", "key"])
+    pairs = bounded_band_pairs(
+        df, "rid", ["band_idx", "key"], cap=50, n_salts=s
+    )
+    salted = pairs.select(
+        F.pmod(F.xxhash64("ia"), F.lit(s)).alias("sa"),
+        F.pmod(F.xxhash64("ib"), F.lit(s)).alias("sb"),
+    ).select(
+        F.least("sa", "sb").alias("p"), F.greatest("sa", "sb").alias("q")
+    )
+    counts = {(r.p, r.q): r["count"] for r in salted.groupBy("p", "q").count().collect()}
+    assert len(counts) == s * (s + 1) // 2  # every block populated
+    total = sum(counts.values())
+    assert total == n * (n - 1) // 2
+    # (p, p) blocks hold ~half the pairs of a (p, q) block; bound the
+    # spread loosely — the claim is "no reducer owns the clique"
+    assert max(counts.values()) < 0.25 * total

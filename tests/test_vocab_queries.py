@@ -218,3 +218,19 @@ def test_stride_rejects_bad_params(spark, sf_dir):
         span_dedup_stride(spark, sf_dir, k=8, s=0)
     with pytest.raises(ValueError):
         span_dedup_stride(spark, sf_dir, k=8, s=9)
+
+
+def test_stride_spans_plan_shape(spark, sf_dir):
+    """Stride dedup keeps the window-over-span-hash spine: the dup
+    verdict shuffles ONCE on the span hash (never a join back on it),
+    and the whole query stays within a handful of exchanges (3 at
+    this scale; AQE may broadcast the flagged-start join's small side
+    or leave it key-partitioned — both acceptable, a crossJoin or a
+    hash-side join-back is not)."""
+    from zvdb_spark.plans.audit import plan_audit
+    from zvdb_spark.queries.vocab import span_dedup_stride
+
+    a = plan_audit(span_dedup_stride(spark, sf_dir))
+    assert "hashpartitioning(span_h" in a["plan"], a["plan"][:2000]
+    assert a["n_exchanges"] <= 5, a["plan"][:2000]
+    assert "CartesianProduct" not in a["plan"]
