@@ -125,6 +125,7 @@ HEADLINE = [
     "q_join_bucketed",
     "q_agg_freq_items",
     "q_dedup_spans_stride",
+    "q_export_shards",
 ]
 
 

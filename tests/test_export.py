@@ -1,0 +1,115 @@
+"""Deterministic shard export (queries/export.py) — past-cap
+rows-only query, so this suite IS its correctness gate: DuckDB parity
+of the manifest against the logical definition, permutation
+invariants on the read-back files, determinism, and the plan shape
+(one hash shuffle, no global order)."""
+
+from __future__ import annotations
+
+from tests.oracle_utils import assert_matches_oracle, portable_h as _h
+from zvdb_spark.queries.export import (
+    EXPORT_ORACLE,
+    N_SHARDS,
+    ORDER_SALT,
+    _CHK_M,
+    export_manifest,
+    q_export_shards,
+    sharded_export,
+)
+from zvdb_spark.sources.tables import load
+
+
+def test_manifest_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        q_export_shards(spark, sf_dir), EXPORT_ORACLE, sf_dir
+    )
+
+
+def test_written_files_carry_a_gapless_permutation(spark, sf_dir, tmp_path):
+    """Read-back invariants a loader relies on: every shard's pos is
+    1..n with no gaps or duplicates, every doc appears exactly once
+    across shards, and shard assignment matches the hash rule."""
+    out = str(tmp_path / "exp")
+    sharded_export(spark, sf_dir, out)
+    rows = spark.read.parquet(out).select(
+        "shard", "pos", "doc_id"
+    ).collect()
+    n_total = load(spark, sf_dir, "documents").count()
+    assert len(rows) == n_total
+    assert len({r.doc_id for r in rows}) == n_total
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+        assert _h(str(r.doc_id)) % N_SHARDS == r.shard
+    assert set(by_shard) == set(range(N_SHARDS))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_permutation_matches_python_recompute(spark, sf_dir, tmp_path):
+    """The full (shard, pos, doc_id) permutation — not just the
+    manifest rollup — recomputed independently in Python from the
+    hash definitions."""
+    out = str(tmp_path / "exp")
+    sharded_export(spark, sf_dir, out)
+    got = {
+        (r.shard, r.pos): r.doc_id
+        for r in spark.read.parquet(out)
+        .select("shard", "pos", "doc_id")
+        .collect()
+    }
+    docs = [
+        r.doc_id
+        for r in load(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    want = {}
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for d in docs:
+        by_shard.setdefault(_h(str(d)) % N_SHARDS, []).append(
+            (_h(f"{d}#{ORDER_SALT}"), d)
+        )
+    for shard, entries in by_shard.items():
+        for pos, (_, d) in enumerate(sorted(entries), start=1):
+            want[(shard, pos)] = d
+    assert got == want
+
+
+def test_export_is_deterministic_across_runs(spark, sf_dir, tmp_path):
+    a = {
+        tuple(r)
+        for r in q_export_shards(spark, sf_dir).collect()
+    }
+    out = str(tmp_path / "exp2")
+    sharded_export(spark, sf_dir, out)
+    b = {tuple(r) for r in export_manifest(spark, out).collect()}
+    assert a == b and len(a) == N_SHARDS
+
+
+def test_export_plan_is_one_window_shuffle_no_global_order(spark, sf_dir, tmp_path):
+    """The rank window partitions BY SHARD (never a global order —
+    that is a single task at any scale), and the written frame's plan
+    carries exactly that one exchange."""
+    from zvdb_spark.plans.audit import plan_audit
+    from zvdb_spark.queries.export import sharded_export as _se  # noqa: F401
+    from zvdb_spark.queries.export import N_SHARDS as _n  # noqa: F401
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from zvdb_spark.queries.text import H_SPARK
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(H_SPARK.format(x="cast(doc_id as string)")).alias("h1"),
+        F.expr(
+            H_SPARK.format(
+                x=f"concat(cast(doc_id as string), '#{ORDER_SALT}')"
+            )
+        ).alias("h2"),
+    ).withColumn("shard", F.pmod(F.col("h1"), F.lit(N_SHARDS)).cast("int"))
+    ranked = docs.withColumn(
+        "pos",
+        F.row_number().over(W.partitionBy("shard").orderBy("h2", "doc_id")),
+    )
+    a = plan_audit(ranked)
+    assert "hashpartitioning(shard" in a["plan"], a["plan"][:1500]
+    assert "SinglePartition" not in a["plan"], a["plan"][:1500]
+    assert a["n_exchanges"] == 1, a["plan"][:1500]

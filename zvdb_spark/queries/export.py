@@ -1,0 +1,154 @@
+"""Training-corpus export: deterministic pseudo-shuffle + fixed
+shard layout — the terminal step of every LLM data pipeline (after
+curation/dedup, the corpus is materialized as N shards in a seeded
+random-looking order so consecutive training batches decorrelate and
+any run can reproduce or resume the exact permutation).
+
+Absent from the reference (its only output is a search result slice,
+``src/hnsw.zig:235``); part of the LLM-data-pipeline surface.
+
+Semantics (all integer/hash-exact, so cross-engine and
+layout-independent):
+
+- shard(doc)   = H(doc_id) mod N_SHARDS           (membership)
+- order-in-shard = ascending H(doc_id || salt)    (the permutation)
+- pos          = 1-based rank within the shard    (resume cursor)
+
+Scale posture: ONE hash shuffle total — the rank window partitions by
+shard, and the partitioned write reuses that clustering; reading back
+any one shard is a partition-pruned scan. Never a global total order
+(a windowed rank without a partition key is a single task at any
+scale): the permutation is defined per shard, which is exactly what a
+data loader consumes (each worker streams its shard in pos order).
+
+The declared query WRITES the export (one parquet file tree
+partitioned by shard, with pos materialized), reads it back, and
+returns a per-shard manifest: doc count, id-sum, and a
+position-weighted order checksum — pos is part of the checksum, so
+the PERMUTATION is pinned, not just shard membership. The pytest
+suite (tests/test_export.py) checks the manifest against the DuckDB
+twin of the logical definition plus gapless-pos invariants on the
+read-back files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from zvdb_spark.queries.registry import register
+from zvdb_spark.queries.text import H_DUCK, H_SPARK
+from zvdb_spark.sources.tables import load
+
+N_SHARDS = 8
+ORDER_SALT = "shard_order_v1"  # version the permutation explicitly
+_CHK_M = 1_000_003  # fold the 60-bit hash before the pos product
+
+
+def _h_spark(x: str) -> str:
+    return H_SPARK.format(x=x)
+
+
+def _h_duck(x: str) -> str:
+    return H_DUCK.format(x=x)
+
+
+EXPORT_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_h_duck("cast(doc_id AS VARCHAR)")} AS h1,
+         {_h_duck(f"cast(doc_id AS VARCHAR) || '#{ORDER_SALT}'")} AS h2
+  FROM documents
+),
+r AS (
+  SELECT doc_id, h1 % {N_SHARDS} AS shard,
+         row_number() OVER (
+           PARTITION BY h1 % {N_SHARDS} ORDER BY h2, doc_id
+         ) AS pos,
+         h1
+  FROM h
+)
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(CAST(pos AS HUGEINT) * (h1 % {_CHK_M})) AS VARCHAR)
+         AS order_checksum
+FROM r GROUP BY shard
+"""
+
+
+def sharded_export(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = N_SHARDS,
+) -> DataFrame:
+    """Write the deterministic shard layout to ``out_dir`` (parquet,
+    partitioned by shard, pos materialized) and return the written
+    DataFrame definition. One hash shuffle: the pos window partitions
+    by shard; the partitioned write consumes that clustering."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.expr(_h_spark("cast(doc_id as string)")).alias("h1"),
+        F.expr(
+            _h_spark(f"concat(cast(doc_id as string), '#{ORDER_SALT}')")
+        ).alias("h2"),
+    )
+    sharded = docs.withColumn(
+        "shard", F.pmod(F.col("h1"), F.lit(n_shards)).cast("int")
+    )
+    wr = W.partitionBy("shard").orderBy("h2", "doc_id")
+    ranked = sharded.withColumn("pos", F.row_number().over(wr))
+    (
+        ranked.select("shard", "pos", "doc_id", "lang", "text", "h1")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    return ranked
+
+
+def export_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-shard manifest computed from the WRITTEN files (the
+    artifact a loader trusts, not the plan that produced it)."""
+    back = spark.read.parquet(out_dir)
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(
+                F.col("pos").cast("decimal(38,0)")
+                * (F.col("h1") % _CHK_M)
+            ).cast("decimal(38,0)").cast("string").alias("order_checksum"),
+        )
+        .withColumn("shard", F.col("shard").cast("long"))
+    )
+
+
+@register(
+    "q_export_shards",
+    oracle=None,  # past the driver cap; DuckDB parity via
+    # tests/test_export.py against EXPORT_ORACLE (the logical twin),
+    # plus read-back permutation invariants
+    tags=("export", "sink", "pipeline"),
+)
+def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-shuffle export: hash-assigned shards,
+    hash-ordered rows within each shard (pos materialized), written
+    partitioned by shard and manifested from the read-back files.
+    Returns one row per shard (shard, n_docs, id_sum,
+    order_checksum) — the checksum weights each doc's hash by its
+    position, so two exports agree iff the full permutation agrees."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="zvdb_export_")
+    try:
+        sharded_export(spark, sf_dir, out)
+        return export_manifest(spark, out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

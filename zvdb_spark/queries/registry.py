@@ -139,6 +139,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_join_bucketed",
     "q_agg_freq_items",
     "q_dedup_spans_stride",
+    "q_export_shards",
 )
 
 
@@ -185,6 +186,7 @@ def _ensure_loaded() -> None:
         ann,
         curation,
         dedup,
+        export,
         joins,
         multimodal,
         pipeline,
