@@ -145,3 +145,44 @@ def test_edge_cap_canonical_invariants(a, two_m):
     again = _canonical_capped_edges(cs, cd, cc, two_m)
     for x, y in zip(again, (cs, cd, cc)):
         np.testing.assert_array_equal(x, y)
+
+
+# --- hot-bucket-bounded band self-join (operators/banding.py) ---
+
+memberships = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 4)),
+    min_size=0,
+    max_size=100,
+    unique=True,
+)
+
+
+@given(rows=memberships, cap=st.integers(1, 20), s=st.integers(1, 6))
+@settings(max_examples=12, deadline=None)
+def test_bounded_band_pairs_matches_naive_clique(rows, cap, s):
+    """At ANY (membership table, cap, n_salts) the emitted pair set
+    equals the naive per-bucket clique — the invariant that makes the
+    hot-bucket bound safe to leave on everywhere."""
+    import itertools
+
+    from zvdb_spark.operators.banding import bounded_band_pairs
+
+    spark = _spark()
+    df = spark.createDataFrame(rows, "rid long, key long") if rows else (
+        spark.createDataFrame([], "rid long, key long")
+    )
+    got = {
+        (r.ia, r.ib)
+        for r in bounded_band_pairs(
+            df, "rid", ["key"], cap=cap, n_salts=s
+        ).collect()
+    }
+    buckets: dict[int, list[int]] = {}
+    for rid, key in rows:
+        buckets.setdefault(key, []).append(rid)
+    want = {
+        p
+        for ids in buckets.values()
+        for p in itertools.combinations(sorted(ids), 2)
+    }
+    assert got == want

@@ -231,10 +231,17 @@ def span_dedup_stride(
     (whole-short-doc duplicates are the exact pass's job)."""
     if not 1 <= s <= k:
         raise ValueError(f"stride must be in [1, k]; got s={s}, k={k}")
-    base = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "lang", F.split("text", " ").alias("toks"))
-        .localCheckpoint(eager=True)  # read twice: windows + reassembly
+    # Read twice (window generation + reassembly) as two parquet
+    # scans rather than a localCheckpoint: materializing the
+    # tokenized corpus to executor disk costs ~corpus size, while a
+    # second pruned scan is nearly free — the right trade at 100 TB.
+    # The alias severs the self-join ambiguity a shared lineage
+    # would otherwise raise.
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    )
+    reread = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
     )
     # full K-token windows only: floor((n-K)/s)+1 starts; the CASE
     # guards sequence() from its descending-on-negative trap
@@ -262,7 +269,7 @@ def span_dedup_stride(
         .agg(F.collect_list("start").alias("ds"))
     )
     cut = (
-        base.join(flagged, "doc_id", "left")
+        reread.join(flagged, "doc_id", "left")
         .withColumn(
             "ds", F.coalesce("ds", F.expr("cast(array() as array<int>)"))
         )
