@@ -113,3 +113,88 @@ def test_export_plan_is_one_window_shuffle_no_global_order(spark, sf_dir, tmp_pa
     assert "hashpartitioning(shard" in a["plan"], a["plan"][:1500]
     assert "SinglePartition" not in a["plan"], a["plan"][:1500]
     assert a["n_exchanges"] == 1, a["plan"][:1500]
+
+
+def test_append_extends_shards_gaplessly_and_delta_scoped(
+    spark, sf_dir, tmp_path
+):
+    """Append a small batch to a standing export: per-shard pos stays
+    gapless (standing rows untouched, new rows continue the count),
+    the appended batch lands in hash order after the standing rows,
+    and files of untouched shards are byte-identical (delta-scoped
+    write)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import append_shards, write_shards
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = (
+        docs.filter(F.col("doc_id") % 2 == 1).orderBy("doc_id").limit(3)
+    )
+    out = str(tmp_path / "exp")
+    write_shards(base, out)
+    files_before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{out}/shard=*/*.parquet")
+    }
+    touched = {
+        _h(str(r.doc_id)) % N_SHARDS for r in delta.collect()
+    }
+    append_shards(spark, out, delta)
+
+    back = spark.read.parquet(out).select("shard", "pos", "doc_id").collect()
+    n_base = base.count()
+    assert len(back) == n_base + 3
+    by_shard: dict[int, list] = {}
+    for r in back:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        poss = sorted(r.pos for r in rows)
+        assert poss == list(range(1, len(poss) + 1)), shard  # gapless
+    # appended docs sit AFTER every standing doc of their shard
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    for r in back:
+        if r.doc_id not in base_ids:
+            standing = [
+                x.pos for x in by_shard[r.shard] if x.doc_id in base_ids
+            ]
+            assert r.pos > max(standing, default=0)
+    # delta-scoped write: pre-existing files untouched, new files only
+    # in the shards the batch hashes to
+    for f, mt in files_before.items():
+        assert os.path.getmtime(f) == mt, f
+    new_files = set(glob.glob(f"{out}/shard=*/*.parquet")) - set(
+        files_before
+    )
+    assert new_files
+    assert {
+        int(f.split("shard=")[1].split("/")[0]) for f in new_files
+    } <= touched
+
+
+def test_append_is_deterministic(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import append_shards, write_shards
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    outs = []
+    for name in ("a", "b"):
+        out = str(tmp_path / name)
+        write_shards(base, out)
+        append_shards(spark, out, delta)
+        outs.append(
+            {
+                (r.shard, r.pos, r.doc_id)
+                for r in spark.read.parquet(out)
+                .select("shard", "pos", "doc_id")
+                .collect()
+            }
+        )
+    assert outs[0] == outs[1]

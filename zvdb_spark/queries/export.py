@@ -78,17 +78,10 @@ FROM r GROUP BY shard
 """
 
 
-def sharded_export(
-    spark: SparkSession,
-    sf_dir: str,
-    out_dir: str,
-    n_shards: int = N_SHARDS,
-) -> DataFrame:
-    """Write the deterministic shard layout to ``out_dir`` (parquet,
-    partitioned by shard, pos materialized) and return the written
-    DataFrame definition. One hash shuffle: the pos window partitions
-    by shard; the partitioned write consumes that clustering."""
-    docs = load(spark, sf_dir, "documents").select(
+def _hashed(docs: DataFrame, n_shards: int) -> DataFrame:
+    """(doc_id, lang, text) + h1/h2/shard columns — the shared first
+    stage of the full export and the incremental append."""
+    return docs.select(
         "doc_id",
         "lang",
         "text",
@@ -96,10 +89,20 @@ def sharded_export(
         F.expr(
             _h_spark(f"concat(cast(doc_id as string), '#{ORDER_SALT}')")
         ).alias("h2"),
-    )
-    sharded = docs.withColumn(
+    ).withColumn(
         "shard", F.pmod(F.col("h1"), F.lit(n_shards)).cast("int")
     )
+
+
+def write_shards(
+    docs: DataFrame, out_dir: str, n_shards: int = N_SHARDS
+) -> DataFrame:
+    """Write the deterministic shard layout of ``docs`` to
+    ``out_dir`` (parquet, partitioned by shard, pos materialized) and
+    return the written DataFrame definition. One hash shuffle: the
+    pos window partitions by shard; the partitioned write consumes
+    that clustering."""
+    sharded = _hashed(docs, n_shards)
     wr = W.partitionBy("shard").orderBy("h2", "doc_id")
     ranked = sharded.withColumn("pos", F.row_number().over(wr))
     (
@@ -109,6 +112,18 @@ def sharded_export(
         .parquet(out_dir)
     )
     return ranked
+
+
+def sharded_export(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = N_SHARDS,
+) -> DataFrame:
+    """write_shards over the documents table."""
+    return write_shards(
+        load(spark, sf_dir, "documents"), out_dir, n_shards
+    )
 
 
 def export_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -127,6 +142,48 @@ def export_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
         )
         .withColumn("shard", F.col("shard").cast("long"))
     )
+
+
+def append_shards(
+    spark: SparkSession,
+    out_dir: str,
+    new_docs: DataFrame,
+    n_shards: int = N_SHARDS,
+) -> DataFrame:
+    """Incrementally extend an existing shard layout with a new batch
+    (the ingest-time analog of the reference's incremental ``insert``,
+    src/hnsw.zig:73-117, applied to the export artifact): each new doc
+    routes to its hash shard and takes pos = the shard's standing max
+    + its hash rank WITHIN THE BATCH — per-shard order remains
+    'arrival batch, then hash order', which is the reproducible
+    contract a streaming ingest can actually keep (re-shuffling
+    standing rows on every append would rewrite the corpus).
+
+    Scale posture: the standing max-pos read is a column-pruned
+    aggregate over only the pos/shard columns; the batch shuffles
+    once (rank window by shard); the dynamic-partition append writes
+    at most one new file into each shard the batch touches — standing
+    files are never rewritten (the delta-scoping discipline of
+    append_ivf_layout). Returns the ranked batch frame."""
+    base_max = (
+        spark.read.parquet(out_dir)
+        .groupBy("shard")
+        .agg(F.max("pos").alias("max_pos"))
+    )
+    batch = _hashed(new_docs, n_shards)
+    wr = W.partitionBy("shard").orderBy("h2", "doc_id")
+    ranked = (
+        batch.withColumn("rk", F.row_number().over(wr))
+        .join(F.broadcast(base_max), "shard", "left")
+        .withColumn(
+            "pos", F.col("rk") + F.coalesce(F.col("max_pos"), F.lit(0))
+        )
+        .select("shard", "pos", "doc_id", "lang", "text", "h1")
+    )
+    (
+        ranked.write.mode("append").partitionBy("shard").parquet(out_dir)
+    )
+    return ranked
 
 
 @register(
