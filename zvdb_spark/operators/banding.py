@@ -67,7 +67,15 @@ def bounded_band_pairs(
         raise ValueError("cap and n_salts must be >= 1")
     keys = list(key_cols)
     w = Window.partitionBy(*keys)
-    sized = bands.withColumn("_bkt_n", F.count(F.lit(1)).over(w))
+    # the censused band table feeds FOUR join branches (small a/b,
+    # big a/b); checkpointing it materializes the window census ONCE
+    # instead of re-running its shuffle per branch (measured: 7
+    # exchanges -> 5, one census instead of four). Size is the band
+    # table itself — id + keys + count, the same magnitude the LSH
+    # callers already checkpoint upstream.
+    sized = bands.withColumn(
+        "_bkt_n", F.count(F.lit(1)).over(w)
+    ).localCheckpoint(eager=True)
 
     small = sized.filter(F.col("_bkt_n") <= cap)
     a = small.select(F.col(id_col).alias("ia"), *keys)
