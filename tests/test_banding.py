@@ -147,3 +147,15 @@ def test_big_path_splits_hot_bucket_into_balanced_blocks(spark):
     # (p, p) blocks hold ~half the pairs of a (p, q) block; bound the
     # spread loosely — the claim is "no reducer owns the clique"
     assert max(counts.values()) < 0.25 * total
+
+
+def test_hot_bucket_at_scale_completes_with_exact_count(spark):
+    """Order-of-magnitude smoke: a 3,000-row single bucket (4.5M
+    candidate pairs) through the salted path produces EXACTLY the
+    clique count — counted distributed, never collected."""
+    n = 3000
+    df = spark.range(n).selectExpr("id AS rid", "0 AS band_idx", "0 AS key")
+    got = bounded_band_pairs(
+        df, "rid", ["band_idx", "key"], cap=1000, n_salts=8
+    ).count()
+    assert got == n * (n - 1) // 2

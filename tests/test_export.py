@@ -198,3 +198,25 @@ def test_append_is_deterministic(spark, sf_dir, tmp_path):
             }
         )
     assert outs[0] == outs[1]
+
+
+def test_append_empty_batch_is_a_noop(spark, sf_dir, tmp_path):
+    from zvdb_spark.queries.export import append_shards, write_shards
+
+    docs = load(spark, sf_dir, "documents")
+    out = str(tmp_path / "exp")
+    write_shards(docs, out)
+    before = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("shard", "pos", "doc_id")
+        .collect()
+    }
+    append_shards(spark, out, docs.limit(0))
+    after = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("shard", "pos", "doc_id")
+        .collect()
+    }
+    assert before == after

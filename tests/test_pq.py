@@ -636,3 +636,28 @@ def test_ivf_quantizer_rejects_corruption(tmp_path):
         load_ivf_quantizer(d)
     with pytest.raises(ValueError, match="do not tile"):
         save_ivf_quantizer(d, np.ones((4, 16)), np.ones((2, 3, 5)))
+
+
+def test_layout_overwrite_preserves_quantizer(spark, emb, tmp_path):
+    """write_ivf_layout's mode=overwrite truncates the directory; the
+    quantizer state saved inside it must survive an in-place rewrite
+    (compaction / re-partition), or 'path alone is the durable index'
+    silently breaks on the first rewrite."""
+    from zvdb_spark.operators.kmeans import kmeans_fit_sample
+    from zvdb_spark.operators.pq import (
+        ivfpq_build,
+        load_ivf_quantizer,
+        save_ivf_quantizer,
+        write_ivf_layout,
+    )
+
+    cents = kmeans_fit_sample(emb, k=8, n_iter=2, sample_n=500)
+    books, codes = ivfpq_build(
+        emb, cents, m_sub=8, k_codes=16, n_iter=2, sample_n=500
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_layout(codes, path)
+    save_ivf_quantizer(path, cents, books)
+    write_ivf_layout(codes, path)  # in-place rewrite
+    c2, b2 = load_ivf_quantizer(path)
+    assert np.array_equal(c2, cents) and np.array_equal(b2, books)
