@@ -85,30 +85,16 @@ def test_export_is_deterministic_across_runs(spark, sf_dir, tmp_path):
     assert a == b and len(a) == N_SHARDS
 
 
-def test_export_plan_is_one_window_shuffle_no_global_order(spark, sf_dir, tmp_path):
+def test_export_plan_is_one_window_shuffle_no_global_order(
+    spark, sf_dir, tmp_path
+):
     """The rank window partitions BY SHARD (never a global order —
-    that is a single task at any scale), and the written frame's plan
-    carries exactly that one exchange."""
+    that is a single task at any scale), and the PRODUCTION frame —
+    the one sharded_export actually writes and returns — carries
+    exactly that one exchange."""
     from zvdb_spark.plans.audit import plan_audit
-    from zvdb_spark.queries.export import sharded_export as _se  # noqa: F401
-    from zvdb_spark.queries.export import N_SHARDS as _n  # noqa: F401
-    from pyspark.sql import Window as W
-    from pyspark.sql import functions as F
-    from zvdb_spark.queries.text import H_SPARK
 
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr(H_SPARK.format(x="cast(doc_id as string)")).alias("h1"),
-        F.expr(
-            H_SPARK.format(
-                x=f"concat(cast(doc_id as string), '#{ORDER_SALT}')"
-            )
-        ).alias("h2"),
-    ).withColumn("shard", F.pmod(F.col("h1"), F.lit(N_SHARDS)).cast("int"))
-    ranked = docs.withColumn(
-        "pos",
-        F.row_number().over(W.partitionBy("shard").orderBy("h2", "doc_id")),
-    )
+    ranked = sharded_export(spark, sf_dir, str(tmp_path / "exp"))
     a = plan_audit(ranked)
     assert "hashpartitioning(shard" in a["plan"], a["plan"][:1500]
     assert "SinglePartition" not in a["plan"], a["plan"][:1500]
@@ -220,3 +206,25 @@ def test_append_empty_batch_is_a_noop(spark, sf_dir, tmp_path):
         .collect()
     }
     assert before == after
+
+
+def test_append_rejects_mismatched_shard_count(spark, sf_dir, tmp_path):
+    """A batch routed by a different modulus than the standing layout
+    would silently corrupt shard membership — the manifest makes the
+    mismatch an error and the default route by-the-layout."""
+    import pytest
+
+    from zvdb_spark.queries.export import append_shards, write_shards
+
+    docs = load(spark, sf_dir, "documents")
+    out = str(tmp_path / "exp16")
+    write_shards(docs.filter("doc_id % 2 = 0"), out, n_shards=16)
+    delta = docs.filter("doc_id % 2 = 1").limit(2)
+    with pytest.raises(ValueError, match="was written with 16"):
+        append_shards(spark, out, delta, n_shards=8)
+    # default: routes by the layout's own 16
+    append_shards(spark, out, delta)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.filter("doc_id % 2 = 0").count() + 2
+    for r in back.select("shard", "doc_id").collect():
+        assert _h(str(r.doc_id)) % 16 == r.shard

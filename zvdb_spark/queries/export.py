@@ -94,6 +94,40 @@ def _hashed(docs: DataFrame, n_shards: int) -> DataFrame:
     )
 
 
+_LAYOUT_FORMAT = 1
+
+
+def _write_layout_manifest(out_dir: str, n_shards: int) -> None:
+    import json
+    import os
+
+    man = os.path.join(out_dir, "_layout.json")
+    with open(man + ".tmp", "w") as f:
+        json.dump(
+            {
+                "format": _LAYOUT_FORMAT,
+                "n_shards": int(n_shards),
+                "order_salt": ORDER_SALT,
+            },
+            f,
+        )
+    os.replace(man + ".tmp", man)
+
+
+def read_layout_manifest(out_dir: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "_layout.json")) as f:
+        m = json.load(f)
+    if m.get("format") != _LAYOUT_FORMAT:
+        raise ValueError(
+            f"shard layout manifest in {out_dir} has format "
+            f"{m.get('format')!r}; this build reads {_LAYOUT_FORMAT}"
+        )
+    return m
+
+
 def write_shards(
     docs: DataFrame, out_dir: str, n_shards: int = N_SHARDS
 ) -> DataFrame:
@@ -101,7 +135,9 @@ def write_shards(
     ``out_dir`` (parquet, partitioned by shard, pos materialized) and
     return the written DataFrame definition. One hash shuffle: the
     pos window partitions by shard; the partitioned write consumes
-    that clustering."""
+    that clustering. An underscore-hidden ``_layout.json`` records
+    (n_shards, order salt) so append_shards routes by the LAYOUT'S
+    parameters, never a caller default."""
     sharded = _hashed(docs, n_shards)
     wr = W.partitionBy("shard").orderBy("h2", "doc_id")
     ranked = sharded.withColumn("pos", F.row_number().over(wr))
@@ -111,6 +147,7 @@ def write_shards(
         .partitionBy("shard")
         .parquet(out_dir)
     )
+    _write_layout_manifest(out_dir, n_shards)
     return ranked
 
 
@@ -148,7 +185,7 @@ def append_shards(
     spark: SparkSession,
     out_dir: str,
     new_docs: DataFrame,
-    n_shards: int = N_SHARDS,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Incrementally extend an existing shard layout with a new batch
     (the ingest-time analog of the reference's incremental ``insert``,
@@ -164,7 +201,20 @@ def append_shards(
     once (rank window by shard); the dynamic-partition append writes
     at most one new file into each shard the batch touches — standing
     files are never rewritten (the delta-scoping discipline of
-    append_ivf_layout). Returns the ranked batch frame."""
+    append_ivf_layout). Returns the ranked batch frame.
+
+    ``n_shards`` defaults to the LAYOUT'S own manifest — a batch
+    routed by a caller-supplied count that disagrees with the
+    standing layout would silently violate shard = H(id) mod N for
+    every appended doc, so an explicit mismatch raises."""
+    layout_n = read_layout_manifest(out_dir)["n_shards"]
+    if n_shards is None:
+        n_shards = layout_n
+    elif n_shards != layout_n:
+        raise ValueError(
+            f"append_shards called with n_shards={n_shards} but the "
+            f"layout at {out_dir} was written with {layout_n}"
+        )
     base_max = (
         spark.read.parquet(out_dir)
         .groupBy("shard")
@@ -199,11 +249,19 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by shard and manifested from the read-back files.
     Returns one row per shard (shard, n_docs, id_sum,
     order_checksum) — the checksum weights each doc's hash by its
-    position, so two exports agree iff the full permutation agrees."""
+    position, so two exports agree iff the full permutation agrees.
+
+    Scratch location: ``spark.conf`` key ``zvdb.export.scratch`` when
+    set, else a driver-local temp dir — the local default assumes a
+    single-node / shared filesystem (true for local[*] and NFS-backed
+    clusters); on a real multi-node deployment set the conf key to a
+    cluster-visible path (the same assumption class as the Spark
+    warehouse dir)."""
     import shutil
     import tempfile
 
-    out = tempfile.mkdtemp(prefix="zvdb_export_")
+    scratch = spark.conf.get("zvdb.export.scratch", None)
+    out = tempfile.mkdtemp(prefix="zvdb_export_", dir=scratch or None)
     try:
         sharded_export(spark, sf_dir, out)
         return export_manifest(spark, out).localCheckpoint(eager=True)

@@ -235,8 +235,9 @@ def span_dedup_stride(
     # scans rather than a localCheckpoint: materializing the
     # tokenized corpus to executor disk costs ~corpus size, while a
     # second pruned scan is nearly free — the right trade at 100 TB.
-    # The alias severs the self-join ambiguity a shared lineage
-    # would otherwise raise.
+    # The SECOND independent load() (fresh lineage) is what severs
+    # the self-join ambiguity; deriving `reread` from `base` would
+    # raise AMBIGUOUS_SELF_JOIN at the reassembly join.
     base = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.split("text", " ").alias("toks")
     )
