@@ -380,3 +380,49 @@ def test_freq_items_query_is_exact_verified_heavy_hitters(spark, sf_dir):
     }
     got = {(r.term, r.cf) for r in q_agg_freq_items(spark, sf_dir).collect()}
     assert got == want
+
+
+# --- canonical selection over near-dup groups ---
+
+
+def test_canonical_matches_oracle(spark, sf_dir):
+    from tests.oracle_utils import assert_matches_oracle
+    from zvdb_spark.queries.dedup import _CANONICAL_ORACLE, q_dedup_canonical
+
+    assert_matches_oracle(
+        q_dedup_canonical(spark, sf_dir), _CANONICAL_ORACLE, sf_dir
+    )
+
+
+def test_canonical_is_the_group_quality_argmax(spark, sf_dir):
+    """Cross-check against the groups query + a raw quality
+    recompute: the canonical member must hold its group's max
+    quality with the lowest doc_id among ties, and the dropped
+    id-sum must account for every other member."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.dedup import q_dedup_canonical, q_dedup_groups
+    from zvdb_spark.sources.tables import load
+
+    quality = {
+        r.doc_id: r.q
+        for r in load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.array_distinct(F.split("text", " "))).alias("q"),
+        )
+        .collect()
+    }
+    members: dict[int, list[int]] = {}
+    for r in q_dedup_groups(spark, sf_dir).collect():
+        members.setdefault(r.group_id, []).append(r.doc_id)
+    got = {r.group_id: r for r in q_dedup_canonical(spark, sf_dir).collect()}
+    assert set(got) == set(members)
+    assert len(members) > 0  # fixture plants near-dups
+    for gid, ids in members.items():
+        best = sorted(ids, key=lambda d: (-quality[d], d))[0]
+        row = got[gid]
+        assert row.canonical_id == best
+        assert row.canonical_quality == quality[best]
+        assert row.component_size == len(ids)
+        assert row.dropped_id_sum == sum(ids) - best

@@ -854,6 +854,89 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------- canonical selection
+
+# The production choice q_dedup_groups leaves open: WHICH duplicate
+# to keep. min-id is arbitrary; real pipelines keep the best-quality
+# member of each near-dup cluster (e.g. the least-truncated variant
+# of a boilerplate page). Quality here is the integer distinct-token
+# count — deterministic, cross-engine-exact, and a reasonable proxy
+# (truncated/duplicated-content variants lose distinct tokens).
+# Oracle: the q_dedup_groups recursive-CTE closure extended with a
+# per-group argmax window.
+_CANONICAL_ORACLE = _GROUPS_ORACLE.rsplit("SELECT root AS doc_id", 1)[
+    0
+] + """, g AS (
+  SELECT root AS doc_id, min(node) AS group_id,
+         count(*) AS component_size
+  FROM reach GROUP BY root
+),
+q AS (
+  SELECT doc_id,
+         len(list_distinct(string_split(text, ' '))) AS quality
+  FROM documents
+),
+r AS (
+  SELECT g.group_id, g.component_size, g.doc_id, q.quality,
+         row_number() OVER (
+           PARTITION BY g.group_id ORDER BY q.quality DESC, g.doc_id
+         ) AS rn
+  FROM g JOIN q USING (doc_id)
+)
+SELECT group_id,
+       max(component_size) AS component_size,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
+       max(CASE WHEN rn = 1 THEN quality END) AS canonical_quality,
+       sum(CASE WHEN rn > 1 THEN doc_id ELSE 0 END) AS dropped_id_sum
+FROM r GROUP BY group_id
+"""
+
+
+@register(
+    "q_dedup_canonical",
+    oracle=None,  # past the driver cap; DuckDB parity via
+    # tests/test_pipeline_queries.py against _CANONICAL_ORACLE
+    tags=("dedup", "groups", "pipeline"),
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection per near-dup group: within
+    each connected component of the verified minhash pair graph, keep
+    the member with the highest quality (distinct-token count,
+    doc_id tie-break) — the keep-the-best-variant policy a curation
+    pipeline actually wants, vs q_dedup_groups' neutral min-id label.
+    One row per group: canonical id + quality, component size, and
+    the dropped-members id-sum checksum.
+
+    Scale: the groups frame is the (small) near-dup cluster set;
+    quality joins from one documents projection on doc_id; the
+    argmax is a per-group window over component-size rows."""
+    from pyspark.sql import Window as W
+
+    groups = q_dedup_groups(spark, sf_dir)
+    quality = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " "))).alias("quality"),
+    )
+    wq = W.partitionBy("group_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    r = groups.join(quality, "doc_id").withColumn(
+        "rn", F.row_number().over(wq)
+    )
+    return r.groupBy("group_id").agg(
+        F.max("component_size").alias("component_size"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+            "canonical_id"
+        ),
+        F.max(F.when(F.col("rn") == 1, F.col("quality"))).alias(
+            "canonical_quality"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("rn") > 1, F.col("doc_id"))), F.lit(0)
+        ).alias("dropped_id_sum"),
+    )
+
+
 # -------------------------------------------------- incremental dedup
 
 # "Dedupe the new crawl against the corpus" — the shape a production

@@ -140,6 +140,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_agg_freq_items",
     "q_dedup_spans_stride",
     "q_export_shards",
+    "q_dedup_canonical",
 )
 
 
