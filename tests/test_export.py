@@ -228,3 +228,117 @@ def test_append_rejects_mismatched_shard_count(spark, sf_dir, tmp_path):
     assert back.count() == docs.filter("doc_id % 2 = 0").count() + 2
     for r in back.select("shard", "doc_id").collect():
         assert _h(str(r.doc_id)) % 16 == r.shard
+
+
+def _file_md5s(out: str) -> dict[str, str]:
+    import glob
+    import hashlib
+
+    return {
+        f: hashlib.md5(open(f, "rb").read()).hexdigest()
+        for f in glob.glob(f"{out}/shard=*/*.parquet")
+    }
+
+
+def test_three_successive_appends_stay_gapless_and_byte_stable(
+    spark, sf_dir, tmp_path
+):
+    """r9 verdict item 6: the single-append suite doesn't prove the
+    standing-max read composes — run THREE successive appends and pin
+    (a) per-shard pos is gapless after every step, (b) every file
+    present before an append is BYTE-identical after it (content
+    hash, not mtime), (c) each batch's rows land after everything
+    standing at its append time, in batch-hash order."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import append_shards, write_shards
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 4 == 0)
+    out = str(tmp_path / "exp")
+    write_shards(base, out)
+
+    batches = [
+        docs.filter(F.col("doc_id") % 4 == m).orderBy("doc_id").limit(5)
+        for m in (1, 2, 3)
+    ]
+    seen_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    for step, delta in enumerate(batches, start=1):
+        before = _file_md5s(out)
+        batch_rows = delta.collect()
+        append_shards(spark, out, delta)
+        after = _file_md5s(out)
+        for f, h in before.items():  # standing files byte-identical
+            assert after[f] == h, (step, f)
+
+        back = (
+            spark.read.parquet(out)
+            .select("shard", "pos", "doc_id")
+            .collect()
+        )
+        by_shard: dict[int, list] = {}
+        for r in back:
+            by_shard.setdefault(r.shard, []).append(r)
+        for shard, rows in by_shard.items():
+            poss = sorted(r.pos for r in rows)
+            assert poss == list(range(1, len(poss) + 1)), (step, shard)
+        # this batch's rows sit after every previously-standing row of
+        # their shard, ordered among themselves by (h2, doc_id)
+        batch_ids = {r.doc_id for r in batch_rows}
+        for shard, rows in by_shard.items():
+            standing_max = max(
+                (r.pos for r in rows if r.doc_id in seen_ids), default=0
+            )
+            mine = sorted(
+                (r for r in rows if r.doc_id in batch_ids),
+                key=lambda r: r.pos,
+            )
+            want = sorted(
+                (r.doc_id for r in batch_rows
+                 if _h(str(r.doc_id)) % N_SHARDS == shard),
+                key=lambda d: (_h(f"{d}#{ORDER_SALT}"), d),
+            )
+            assert [r.doc_id for r in mine] == want, (step, shard)
+            assert all(r.pos > standing_max for r in mine), (step, shard)
+        seen_ids |= batch_ids
+        assert len(back) == len(seen_ids)
+
+
+def test_append_skewed_batch_lands_in_one_shard_only(
+    spark, sf_dir, tmp_path
+):
+    """Adversarial skew: a batch whose docs ALL hash to one shard.
+    The append must write new files ONLY under that shard's
+    partition, leave every other shard byte-identical, and keep the
+    hot shard gapless — the delta-scoped dynamic-partition write must
+    not rewrite or touch cold partitions even when the whole batch
+    concentrates."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import append_shards, write_shards
+
+    docs = load(spark, sf_dir, "documents")
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    target = _h(str(ids[0])) % N_SHARDS
+    hot = [d for d in ids if _h(str(d)) % N_SHARDS == target]
+    assert len(hot) >= 4  # enough to make a skewed batch
+    base = docs.filter(~F.col("doc_id").isin(hot[:4]))
+    delta = docs.filter(F.col("doc_id").isin(hot[:4]))
+    out = str(tmp_path / "exp")
+    write_shards(base, out)
+    before = _file_md5s(out)
+    append_shards(spark, out, delta)
+    after = _file_md5s(out)
+    for f, h in before.items():
+        assert after[f] == h, f
+    new_files = set(after) - set(before)
+    assert new_files
+    assert {
+        int(f.split("shard=")[1].split("/")[0]) for f in new_files
+    } == {target}
+    back = spark.read.parquet(out).select("shard", "pos").collect()
+    by_shard: dict[int, list] = {}
+    for r in back:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard

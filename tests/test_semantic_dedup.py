@@ -119,3 +119,64 @@ def test_semantic_no_kept_pair_clears_tau_within_cell(spark, sf_dir):
         np.fill_diagonal(sims, 0.0)
         assert (sims < SEM_TAU).all(), c
         assert sum(rs[i].vec_id for i in kept_rows) == kept_sum[c]
+
+
+def test_fit_save_load_refit_determinism(spark, sf_dir, tmp_path):
+    """The r9→r10 contract: the DECLARED query now routes through
+    fit → save_centroids → load_centroids, so (a) the round-trip is
+    bitwise lossless, (b) the kept set computed from loaded centroids
+    is identical to the kept set from the in-memory fit, and (c) two
+    full declared-query runs (each doing its own fit-save-load) agree
+    — the fit is seeded and the tail is pinned to the on-disk
+    float64 matrix."""
+    from zvdb_spark.functions.vector import as_double_array
+    from zvdb_spark.operators.kmeans import load_centroids, save_centroids
+    from zvdb_spark.queries.dedup import semantic_dedup_with_centroids
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    fitted = kmeans_fit(e, k=SEM_CELLS, n_iter=SEM_ITERS)
+    save_centroids(fitted, str(tmp_path / "cents"))
+    loaded = load_centroids(str(tmp_path / "cents"))
+    assert loaded.dtype == np.float64
+    assert np.array_equal(loaded, fitted)  # bitwise round-trip
+
+    a = (
+        semantic_dedup_with_centroids(spark, sf_dir, fitted)
+        .toPandas()
+        .sort_values("cell_id", ignore_index=True)
+    )
+    b = (
+        semantic_dedup_with_centroids(spark, sf_dir, loaded)
+        .toPandas()
+        .sort_values("cell_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+    # the declared query end-to-end, twice: same artifact
+    r1 = q_dedup_semantic(spark, sf_dir).toPandas().sort_values(
+        "cell_id", ignore_index=True
+    )
+    r2 = q_dedup_semantic(spark, sf_dir).toPandas().sort_values(
+        "cell_id", ignore_index=True
+    )
+    pd.testing.assert_frame_equal(r1, r2)
+
+
+def test_declared_query_scratch_conf_is_honored_and_cleaned(
+    spark, sf_dir, tmp_path
+):
+    """Pointing zvdb.export.scratch at a fresh dir: the query must
+    create its centroid scratch there and remove it afterwards (the
+    q_export_shards contract, export.py:263)."""
+    import os
+
+    scratch = tmp_path / "scratch"
+    scratch.mkdir()
+    spark.conf.set("zvdb.export.scratch", str(scratch))
+    try:
+        q_dedup_semantic(spark, sf_dir).toPandas()
+    finally:
+        spark.conf.unset("zvdb.export.scratch")
+    assert os.listdir(scratch) == []  # created inside, cleaned up

@@ -671,17 +671,34 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     so GIVEN the fitted centroids, assignment and the kept set are
     fully deterministic. The centroid fit itself sums float partials
     whose shuffle-merge order can vary with partition layout (ULP
-    drift can flip a boundary vector's cell) — for bit-stable kept
-    sets across runs at scale, fit once and persist the centroids
-    (``operators/kmeans.py:save_centroids`` / ``load_centroids``) and
-    pass them to ``semantic_dedup_with_centroids``, as an IVF
-    deployment does anyway."""
-    from zvdb_spark.operators.kmeans import kmeans_fit
+    drift can flip a boundary vector's cell) — so this declared query
+    routes through the persistence layer itself: fit once →
+    ``save_centroids`` to a scratch dir (conf ``zvdb.export.scratch``,
+    same knob as the shard export) → ``load_centroids`` →
+    ``semantic_dedup_with_centroids``. Everything downstream of the
+    save is pinned to the on-disk float64 matrix, so the declared
+    artifact is bit-stable given the saved file — exactly what an IVF
+    deployment does with its quantizer."""
+    import shutil
+    import tempfile
+
+    from zvdb_spark.operators.kmeans import (
+        kmeans_fit,
+        load_centroids,
+        save_centroids,
+    )
 
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("emb")
     )
-    cents = kmeans_fit(e, k=SEM_CELLS, n_iter=SEM_ITERS)
+    fitted = kmeans_fit(e, k=SEM_CELLS, n_iter=SEM_ITERS)
+    scratch = spark.conf.get("zvdb.export.scratch", None)
+    out = tempfile.mkdtemp(prefix="zvdb_sem_", dir=scratch or None)
+    try:
+        save_centroids(fitted, f"{out}/centroids")
+        cents = load_centroids(f"{out}/centroids")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
     return semantic_dedup_with_centroids(spark, sf_dir, cents)
 
 
