@@ -289,7 +289,12 @@ def main() -> None:
         # one instance rebuilt in place: each build() unlinks the
         # segments of the build it supersedes
         gidx = GraphIndex(m=16, ef=128, seed=SEED)
-        insert_sec = _best_of(2, lambda: gidx.build(emb, n_rows=BENCH_N))
+        # single-shot here: these insert metrics are PROVISIONAL (a
+        # fallback if the late family window fails) — the published
+        # numbers come from insert_build_family, which times the whole
+        # insert/build family back-to-back in one shared load window
+        # (the append/rebuild discipline; r9 verdict item 2).
+        insert_sec = _best_of(1, lambda: gidx.build(emb, n_rows=BENCH_N))
         timings["vector_index_build"] = round(insert_sec, 3)
         result["insert_pts_per_s"] = round(BENCH_N / insert_sec, 2)
         # adjacency pack (state()) timed separately: build() ends with
@@ -611,8 +616,12 @@ def main() -> None:
         codes = codes.localCheckpoint(eager=True)  # one scan, then reuse
         build_sec = time.perf_counter() - t0
         timings["ivfpq_build"] = round(build_sec, 3)
+        # provisional — overwritten by insert_build_family's
+        # interleaved window when that section runs
         result["ivfpq_build_pts_per_s"] = round(BENCH_N / build_sec, 2)
         result["ivfpq_cells"] = n_cells
+        state["ivfpq_n_cells"] = n_cells  # family window re-times
+        # the SAME workload — one definition, not a copy
         sweep = []
         # per_task_cap = R is LOSSLESS for the global top-R (a row a
         # task drops past local rank R cannot enter the global top-R)
@@ -911,6 +920,16 @@ def main() -> None:
                 for cap in (64, rr1)
             ],
         }
+        # The crossover claim IS the published ratio (r9 verdict: a
+        # README sentence outran its evidence three rounds running) —
+        # promote this window's cap64 ratio+recall to tail scalars so
+        # every recorded run states its own number and the README can
+        # quote the range instead of a direction.
+        cap64_pt = result["ivfpq_1m"]["cap_sweep"][0]
+        result["ivfpq_1m_cap64_qps_ratio_vs_exact"] = cap64_pt[
+            "qps_ratio_vs_exact"
+        ]
+        result["ivfpq_1m_cap64_recall"] = cap64_pt["recall_at_k"]
         g_pdf = gidx1.search(
             _qdf(cq[:n_probe]), k=BENCH_K, n_queries=n_probe
         ).toPandas()
@@ -923,6 +942,9 @@ def main() -> None:
             "shared_load_window": "2 interleaved passes, best-of-2",
             "recall_at_k": round(_recall_of(g_pdf, ex_pdf1, n_probe), 3),
         }
+        result["graph_1m_qps_ratio_vs_exact"] = result["graph_1m"][
+            "qps_ratio_vs_exact"
+        ]
         gidx1.retire()  # throwaway 10x index: return the disk now
 
     def _bench_save_load():
@@ -1053,7 +1075,10 @@ def main() -> None:
         codes = pq_encode(emb, books).localCheckpoint(eager=True)
         enc_sec = time.perf_counter() - t0
         timings["pq_encode"] = round(enc_sec, 3)
+        # provisional — overwritten by the interleaved insert/build
+        # family window (insert_build_family) when that section runs
         result["pq_encode_pts_per_s"] = round(BENCH_N / enc_sec, 2)
+        state["pq_books"] = books
         result["pq_bytes_per_vector"] = 16  # vs 512 B raw f32
         queries = state["queries"]
         ex_pdf = state["ex_pdf_uniform"]
@@ -1153,6 +1178,104 @@ def main() -> None:
             _recall_of(rp_pdf, aex_pdf, n_probe), 3
         )
 
+    def _bench_insert_family():
+        # r9 verdict item 2: the insert/build family (packed insert,
+        # searchable insert = build+adj-pack, pq_encode, ivfpq_build)
+        # swung up to 2x round-over-round as SINGLE-SHOT sections on
+        # this externally-loaded host while every shared-window ratio
+        # stayed stable. So: one late window, all four points timed
+        # back-to-back per pass x 2 passes, min per point — the same
+        # discipline that fixed exact/ANN (r8) and append/rebuild
+        # (r9). These minimums OVERWRITE the provisional single-shot
+        # scalars published by the early sections; the definitions
+        # match those sections exactly (pq_encode includes its
+        # checkpoint; ivfpq_build includes the coarse-quantizer fit
+        # and the codes checkpoint; searchable = build + state pack).
+        from zvdb_spark.operators.kmeans import kmeans_fit_sample
+        from zvdb_spark.operators.pq import ivfpq_build, pq_encode
+
+        # degrade gracefully: each family point depends on a
+        # DIFFERENT upstream section's artifact — if one of those
+        # sections failed, time the points that still can run instead
+        # of aborting the whole window (the provisional single-shot
+        # scalars survive for the skipped points)
+        emb = state.get("emb")
+        cemb = state.get("cemb")
+        books = state.get("pq_books")
+        n_cells = state.get(
+            "ivfpq_n_cells", 1024 if BENCH_N >= 50_000 else 256
+        )
+        best = {
+            "packed": float("inf"),
+            "pack": float("inf"),
+            "pq_encode": float("inf"),
+            "ivfpq_build": float("inf"),
+        }
+        for _ in range(2):
+            if emb is not None:
+                fidx = GraphIndex(m=16, ef=128, seed=SEED)
+                t0 = time.perf_counter()
+                fidx.build(emb, n_rows=BENCH_N)
+                b = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                fidx.state()
+                p = time.perf_counter() - t0
+                # pass-paired: searchable = THIS pass's build + pack,
+                # so the published searchable/packed ratio comes from
+                # one contiguous artifact, min over passes
+                if b + p < best["packed"] + best["pack"]:
+                    best["packed"], best["pack"] = b, p
+                fidx.retire()  # throwaway family index: free the disk
+            if emb is not None and books is not None:
+                t0 = time.perf_counter()
+                pq_encode(emb, books).localCheckpoint(eager=True)
+                best["pq_encode"] = min(
+                    best["pq_encode"], time.perf_counter() - t0
+                )
+            if cemb is not None:
+                t0 = time.perf_counter()
+                fcents = kmeans_fit_sample(
+                    cemb, k=n_cells, n_iter=6, sample_n=50_000,
+                    n_rows=BENCH_N,
+                )
+                _, fcodes = ivfpq_build(
+                    cemb, fcents, m_sub=16, k_codes=256, n_iter=4,
+                    sample_n=20_000, n_rows=BENCH_N,
+                )
+                fcodes.localCheckpoint(eager=True)
+                best["ivfpq_build"] = min(
+                    best["ivfpq_build"], time.perf_counter() - t0
+                )
+        window: dict = {"passes": 2}
+        if emb is not None:
+            searchable = best["packed"] + best["pack"]
+            timings["family_insert_packed"] = round(best["packed"], 3)
+            timings["family_adj_pack"] = round(best["pack"], 3)
+            window["packed_sec"] = round(best["packed"], 3)
+            window["adj_pack_sec"] = round(best["pack"], 3)
+            window["searchable_over_packed_time_ratio"] = round(
+                searchable / best["packed"], 3
+            )
+            result["insert_pts_per_s"] = round(
+                BENCH_N / best["packed"], 2
+            )
+            result["insert_pts_per_s_searchable"] = round(
+                BENCH_N / searchable, 2
+            )
+        if best["pq_encode"] < float("inf"):
+            timings["family_pq_encode"] = round(best["pq_encode"], 3)
+            window["pq_encode_sec"] = round(best["pq_encode"], 3)
+            result["pq_encode_pts_per_s"] = round(
+                BENCH_N / best["pq_encode"], 2
+            )
+        if best["ivfpq_build"] < float("inf"):
+            timings["family_ivfpq_build"] = round(best["ivfpq_build"], 3)
+            window["ivfpq_build_sec"] = round(best["ivfpq_build"], 3)
+            result["ivfpq_build_pts_per_s"] = round(
+                BENCH_N / best["ivfpq_build"], 2
+            )
+        result["insert_family_shared_window"] = window
+
     def _bench_skew_join():
         # Salted-join evidence on an ACTUAL hot key (the parity suite
         # checks semantics only): a synthetic fact table where one key
@@ -1248,6 +1371,74 @@ def main() -> None:
             "salted_over_plain": round(secs["salted"] / secs["plain"], 3),
         }
 
+    def _bench_census_overhead():
+        # What the hot-bucket bound costs when it does NOTHING: an
+        # unskewed band table (every bucket far under cap, so the
+        # salted path is empty and the census is pure overhead) timed
+        # through bounded_band_pairs vs the raw naive self-join, one
+        # interleaved shared window. Publishes census_overhead_pct —
+        # the insurance premium for never hitting a quadratic
+        # straggler (banding.py documents the size trade).
+        from pyspark.sql import functions as F
+
+        from zvdb_spark.operators.banding import bounded_band_pairs
+
+        n_docs, n_bands, bucket = 100_000, 8, 4  # ~4 ids per bucket
+        bands = (
+            spark.range(n_docs)
+            .select(F.col("id").alias("doc_id"))
+            .crossJoin(
+                spark.range(n_bands).select(F.col("id").alias("band_idx"))
+            )
+            .select(
+                "doc_id",
+                "band_idx",
+                F.pmod(
+                    F.xxhash64("doc_id", "band_idx"),
+                    F.lit(n_docs // bucket),
+                ).alias("key"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        max_bucket = (
+            bands.groupBy("band_idx", "key")
+            .count()
+            .agg(F.max("count"))
+            .head()[0]
+        )
+
+        def _raw():
+            a = bands.select(
+                F.col("doc_id").alias("ia"), "band_idx", "key"
+            )
+            b = bands.select(
+                F.col("doc_id").alias("ib"), "band_idx", "key"
+            )
+            _noop_write(
+                a.join(b, ["band_idx", "key"])
+                .filter(F.col("ia") < F.col("ib"))
+                .select("ia", "ib")
+                .distinct()
+            )
+
+        def _bounded():
+            _noop_write(
+                bounded_band_pairs(bands, "doc_id", ["band_idx", "key"])
+            )
+
+        secs = _interleaved({"raw": _raw, "bounded": _bounded}, passes=2)
+        timings["lsh_census_raw"] = round(secs["raw"], 3)
+        timings["lsh_census_bounded"] = round(secs["bounded"], 3)
+        result["lsh_census"] = {
+            "n_band_rows": n_docs * n_bands,
+            "max_bucket": int(max_bucket),  # << cap: salted path empty
+            "raw_join_sec": round(secs["raw"], 3),
+            "bounded_sec": round(secs["bounded"], 3),
+            "census_overhead_pct": round(
+                100.0 * (secs["bounded"] - secs["raw"]) / secs["raw"], 1
+            ),
+        }
+
     # -- part 3: reference bench grid (dims x k) ---------------------
     # benchmarks/single_threaded_benchmarks.zig:28-33 defines the grid;
     # high dim is where the per-shard GEMM path shines (arithmetic
@@ -1319,7 +1510,9 @@ def main() -> None:
         # save/load churn verification runs LAST on purpose: the
         # append/rebuild sections above are the churn under test
         _section("save_load_verify", _bench_save_load_verify)
+    _section("insert_build_family", _bench_insert_family)
     _section("skew_join", _bench_skew_join)
+    _section("lsh_census_overhead", _bench_census_overhead)
     if GRID_ON:
         _section("grid", _bench_grid)
 

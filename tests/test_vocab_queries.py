@@ -234,3 +234,49 @@ def test_stride_spans_plan_shape(spark, sf_dir):
     assert "hashpartitioning(span_h" in a["plan"], a["plan"][:2000]
     assert a["n_exchanges"] <= 5, a["plan"][:2000]
     assert "CartesianProduct" not in a["plan"]
+
+
+def test_spans_s1_matches_oracle(spark, sf_dir):
+    from zvdb_spark.queries.vocab import (
+        SPAN_K,
+        q_dedup_spans_s1,
+        spans_stride_oracle,
+    )
+
+    assert_matches_oracle(
+        q_dedup_spans_s1(spark, sf_dir),
+        spans_stride_oracle(SPAN_K, 1),
+        sf_dir,
+    )
+
+
+def test_stride1_catches_odd_offset_dup_that_stride4_misses(
+    spark, tmp_path
+):
+    """A passage duplicated at offset delta 1 (not a multiple of 4):
+    stride-4 windows never align across the two docs, stride-1 is
+    any-offset and must cut it — the r9 verdict's residual escape
+    class for the s=K/2 default."""
+    from zvdb_spark.queries.vocab import span_dedup_stride
+
+    passage = [f"p{i}" for i in range(16)]
+    d0 = " ".join(passage + [f"a{i}" for i in range(8)])
+    d1 = " ".join(["b0"] + passage + [f"c{i}" for i in range(7)])
+    docs = [
+        (0, d0, "en", "fix", len(d0)),
+        (1, d1, "en", "fix", len(d1)),
+    ]
+    df = spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "odd1")
+    df.write.mode("overwrite").parquet(d + "/documents.parquet")
+
+    caught = span_dedup_stride(spark, d, k=8, s=1).collect()[0]
+    missed = span_dedup_stride(spark, d, k=8, s=4).collect()[0]
+    assert caught["toks_cut"] > 0 and caught["docs_touched"] == 2
+    assert missed["toks_cut"] == 0 and missed["docs_touched"] == 0
+    # s=1 flags every full window inside the passage in both docs;
+    # their union is exactly the 16 passage tokens per doc
+    assert caught["toks_cut"] == 32

@@ -23,10 +23,16 @@ each doing (B/n_salts)^2 — the emitted candidate SET is bit-identical
 to the raw clique (pinned by tests/test_banding.py against the
 uncapped join and a pure-Python oracle).
 
-The bucket census is one window count over the band table (linear,
-same shuffle key as the join itself); at 100 TB the band table is
-rows x n_bands tuples of a few ints — the census costs one extra
-linear pass, the straggler it removes costs hours.
+The bucket census is one aggregated groupBy over the band table
+(map-side partial aggregation: the shuffle carries ~one row per
+distinct bucket, nothing materialized to disk). When the census
+finds no bucket over cap — the common organic corpus — the operator
+short-circuits to the plain self-join with zero salted machinery;
+the census premium on that path is measured in bench.py
+(`lsh_census.census_overhead_pct`). Only the skewed path
+materializes anything: the counts-tagged band table, checkpointed
+once because it feeds four join branches. The straggler the census
+insures against costs hours at 100 TB.
 
 Reference parity note: the reference engine (src/hnsw.zig:88-104)
 bounds its own candidate sets by construction (top-M neighbor prune);
@@ -37,7 +43,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Above this many rows in one (band, key) bucket the raw self-join's
@@ -66,25 +72,56 @@ def bounded_band_pairs(
     if cap < 1 or n_salts < 1:
         raise ValueError("cap and n_salts must be >= 1")
     keys = list(key_cols)
-    w = Window.partitionBy(*keys)
-    # the censused band table feeds FOUR join branches (small a/b,
-    # big a/b); checkpointing it materializes the window census ONCE
-    # instead of re-running its shuffle per branch (measured: 7
-    # exchanges -> 5, one census instead of four). Size is the band
-    # table itself — id + keys + count, the same magnitude the LSH
-    # callers already checkpoint upstream.
-    sized = bands.withColumn(
-        "_bkt_n", F.count(F.lit(1)).over(w)
-    ).localCheckpoint(eager=True)
+    # The census is an AGGREGATED (keys, n) frame, not a window over
+    # the band table (r9 shape): groupBy gets map-side partial
+    # aggregation, so its shuffle carries ~one row per DISTINCT
+    # bucket instead of every band tuple. This reconciles with
+    # vocab.py:span_dedup_stride's refusal to materialize its
+    # tokenized corpus: same rule both places — checkpoint iff
+    # bytes-materialized < bytes-reshuffled by the branches it
+    # feeds. Here counts feeds at most two single reads (max, then
+    # the skewed join-back), so it is never checkpointed; the
+    # four-branch frame that IS worth materializing is `sized` below.
+    counts = bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bkt_n"))
+
+    def _raw_pairs(src: DataFrame) -> DataFrame:
+        a = src.select(F.col(id_col).alias("ia"), *keys)
+        b = src.select(F.col(id_col).alias("ib"), *keys)
+        return (
+            a.join(b, keys)
+            .filter(F.col("ia") < F.col("ib"))
+            .select("ia", "ib")
+        )
+
+    # Unskewed short-circuit (the common organic case): when no
+    # bucket exceeds cap the salted branches are provably empty, so
+    # the raw self-join on the ORIGINAL band table is the whole
+    # answer — no join-back, no per-row count column, no union. The
+    # census then costs one partial-agg shuffle plus a tiny max();
+    # bench.py `lsh_census` publishes that premium
+    # (census_overhead_pct vs the uncensused naive join). Output is
+    # bit-identical on both paths (pinned by tests/test_banding.py).
+    # The census is never checkpointed: the hot path reads it once
+    # (the max below) and the skewed path reads it once more through
+    # the sized join — whose RESULT is the frame that feeds four
+    # branches and gets checkpointed. Materializing counts itself
+    # would be executor-disk overhead on every organic call.
+    max_bkt = counts.agg(F.max("_bkt_n")).head()[0]
+    if max_bkt is None or max_bkt <= cap:
+        return _raw_pairs(bands).distinct()
+
+    # Skewed path: join the counts back to tag every band row with
+    # its bucket size, and checkpoint THAT frame because it feeds
+    # FOUR join branches (small a/b, big a/b) — materializing once
+    # beats re-running the join-back shuffle per branch (the r9
+    # window-census version measured 7 exchanges -> 5 from the same
+    # discipline). This frame is rows x n_bands of fixed-width ints
+    # (~40 B/row; ~0.6 TB spread across a cluster at 1B docs x 16
+    # bands) and only exists when a hot bucket actually fired.
+    sized = bands.join(counts, keys).localCheckpoint(eager=True)
 
     small = sized.filter(F.col("_bkt_n") <= cap)
-    a = small.select(F.col(id_col).alias("ia"), *keys)
-    b = small.select(F.col(id_col).alias("ib"), *keys)
-    pairs_small = (
-        a.join(b, keys)
-        .filter(F.col("ia") < F.col("ib"))
-        .select("ia", "ib")
-    )
+    pairs_small = _raw_pairs(small)
 
     big = sized.filter(F.col("_bkt_n") > cap).withColumn(
         "_salt",

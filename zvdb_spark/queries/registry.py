@@ -141,6 +141,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_dedup_spans_stride",
     "q_export_shards",
     "q_dedup_canonical",
+    "q_dedup_spans_s1",
 )
 
 

@@ -322,6 +322,24 @@ def q_dedup_spans_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup_stride(spark, sf_dir)
 
 
+@register(
+    "q_dedup_spans_s1",
+    oracle=None,  # past the driver cap; DuckDB parity via
+    # tests/test_vocab_queries.py (spans_stride_oracle(k, 1))
+    tags=("dedup", "text", "pipeline"),
+)
+def q_dedup_spans_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Any-offset span dedup: stride s=1 emits a K-window at EVERY
+    token position, so a cross-document duplicated passage is caught
+    at any alignment — Lee et al. 2022's substring-match semantics
+    (their suffix array realizes it in O(n); here it costs K times
+    the non-overlapping window rows, all still one span-hash
+    shuffle). The measured cost vs the s=K/2 default is published in
+    SCALING.md — s=1 is the adversarial-boilerplate setting, s=K/2
+    the throughput default."""
+    return span_dedup_stride(spark, sf_dir, s=1)
+
+
 VOCAB_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
