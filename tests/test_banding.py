@@ -159,3 +159,43 @@ def test_hot_bucket_at_scale_completes_with_exact_count(spark):
         df, "rid", ["band_idx", "key"], cap=1000, n_salts=8
     ).count()
     assert got == n * (n - 1) // 2
+
+
+def test_empty_band_table_yields_empty_pairs(spark):
+    # The r10 short-circuit asks the census for max(_bkt_n), which is
+    # NULL on an empty frame — must take the unskewed path and return
+    # zero pairs, not throw.
+    df = spark.createDataFrame([], "rid long, band_idx int, key int")
+    got = bounded_band_pairs(df, "rid", ["band_idx", "key"])
+    assert got.count() == 0
+
+
+def test_property_random_tables_match_oracle_at_any_cap(spark):
+    # Property sweep across the cap boundary the r10 short-circuit
+    # introduced: seeded pseudo-random band tables with bucket sizes
+    # straddling cap (under, exactly-at, and over), every (cap,
+    # n_salts) must emit exactly the pure-Python oracle's pair set.
+    # Deterministic seeds, not hypothesis: each example is a Spark
+    # round-trip (~1 s), so the value is the boundary grid, not
+    # shrinking.
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = rng.randint(20, 60)
+        rows = [
+            (i, rng.randint(0, 1), rng.randint(0, 4)) for i in range(n)
+        ]
+        sizes = sorted(
+            len(list(g))
+            for _, g in itertools.groupby(
+                sorted(r[1:] for r in rows)
+            )
+        )
+        # caps chosen off the actual bucket-size distribution so the
+        # grid provably covers: all-small (max), the exact boundary
+        # (== max bucket triggers NO salting), and all/some-big (1)
+        for cap in (1, sizes[-1], 10_000):
+            for n_salts in (1, 3):
+                got = _run(spark, rows, cap=cap, n_salts=n_salts)
+                assert got == _naive_pairs(rows), (seed, cap, n_salts)
