@@ -505,3 +505,76 @@ def test_shared_pin_format_migration(tmp_path):
     assert os.path.exists(f"{pref2}.pin")
     S.reap_retired(now=_t.time() + S._RETIRE_GRACE_SECS + 1)
     assert os.path.exists(f"{pref2}.ids.npy")
+
+
+def test_cross_process_load_reproduces_search(spark, sf_dir, tmp_path):
+    """The persistence claim taken literally: a FRESH process (its own
+    Python, its own JVM/SparkSession — nothing inherited from the
+    session that built the index) loads the saved layout and must
+    answer the same queries with the exact same (query_id, vec_id,
+    dist_sq) rows. In-process roundtrips can't catch state that
+    accidentally rides in driver memory instead of the manifest; this
+    is the test the save/load docstrings' 'future session' promise
+    stands on."""
+    import json
+    import subprocess
+    import sys
+
+    emb = _emb(spark, sf_dir).localCheckpoint(eager=True)
+    idx = GraphIndex(m=8, ef=64, cell_target_rows=60).build(emb)
+    idx.state()
+    q = _queries(spark, emb, n=10)
+    want = (
+        idx.search(q, k=5, n_queries=10)
+        .toPandas()
+        .sort_values(["query_id", "vec_id"], ignore_index=True)
+    )
+    path = str(tmp_path / "xproc_idx")
+    idx.save(path)
+
+    child = tmp_path / "child_load.py"
+    child.write_text(
+        """
+import json, sys
+sys.path.insert(0, sys.argv[4])
+from pyspark.sql import functions as F
+from zvdb_spark.functions.vector import as_double_array
+from zvdb_spark.operators.graph_ann import GraphIndex
+from zvdb_spark.session import get_session
+from zvdb_spark.sources.tables import load
+
+path, sf_dir, out = sys.argv[1], sys.argv[2], sys.argv[3]
+spark = get_session("xproc_child", cpus=4)
+idx = GraphIndex.load(spark, path)
+q = (
+    load(spark, sf_dir, "embeddings")
+    .select("vec_id", as_double_array("embedding").alias("emb"))
+    .orderBy("vec_id").limit(10)
+    .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+    .localCheckpoint(eager=True)
+)
+rows = idx.search(q, k=5, n_queries=10).collect()
+with open(out, "w") as f:
+    json.dump(
+        sorted([r.query_id, r.vec_id, round(r.dist_sq, 9)] for r in rows),
+        f,
+    )
+spark.stop()
+"""
+    )
+    out = tmp_path / "child_out.json"
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    env = dict(_os.environ, SPARK_GRAFT_DRIVER_MEM="4g")
+    r = subprocess.run(
+        [sys.executable, str(child), path, sf_dir, str(out), repo],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    got = json.load(open(out))
+    expect = sorted(
+        [int(rw.query_id), int(rw.vec_id), round(float(rw.dist_sq), 9)]
+        for rw in want.itertuples()
+    )
+    assert got == expect
