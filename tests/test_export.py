@@ -342,3 +342,136 @@ def test_append_skewed_batch_lands_in_one_shard_only(
         by_shard.setdefault(r.shard, []).append(r.pos)
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+# ------------------------- commit-log (exactly-once) append layer
+
+
+def _tx_setup(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import init_commit_log, write_shards
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    out = str(tmp_path / "txexp")
+    write_shards(base, out)
+    init_commit_log(out)
+    return docs, out
+
+
+def test_tx_replayed_batch_is_noop_and_byte_stable(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import append_shards_tx, read_committed
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    delta = docs.filter(F.col("doc_id") % 2 == 1).limit(5)
+    assert append_shards_tx(spark, out, delta, batch_id=7) is True
+    snap = _file_md5s(out)
+    n = read_committed(spark, out).count()
+    # the redelivery: same batch_id, even different data must be
+    # refused — the fence is the id, as foreachBatch defines it
+    assert append_shards_tx(spark, out, docs.limit(2), batch_id=7) is False
+    assert _file_md5s(out) == snap
+    assert read_committed(spark, out).count() == n
+
+
+def test_tx_ranks_against_committed_state_not_directory_listing(
+    spark, sf_dir, tmp_path
+):
+    """A crash between data write and commit leaves an orphan file; a
+    later batch must rank pos against the COMMITTED max, or the orphan
+    would shift every subsequent position. The orphan here carries a
+    poisoned huge pos: if ranking read the raw directory, the next
+    batch's pos would jump past it and the committed view would gap."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import (
+        append_shards_tx,
+        read_committed,
+        vacuum_uncommitted,
+    )
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    odd = docs.filter(F.col("doc_id") % 2 == 1).orderBy("doc_id")
+    assert append_shards_tx(spark, out, odd.limit(4), batch_id=0)
+
+    shard_dir = sorted(glob.glob(f"{out}/shard=*"))[0]
+    shard = int(shard_dir.rsplit("=", 1)[1])
+    poisoned = (
+        read_committed(spark, out)
+        .filter(F.col("shard") == shard)
+        .drop("shard")
+        .withColumn("pos", F.col("pos") + F.lit(10_000))
+    )
+    poisoned.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "poison")
+    )
+    src = glob.glob(str(tmp_path / "poison" / "*.parquet"))[0]
+    os.rename(src, os.path.join(shard_dir, "part-orphan.parquet"))
+
+    assert append_shards_tx(spark, out, odd.offset(4).limit(4), batch_id=1)
+    removed = vacuum_uncommitted(out)
+    assert [os.path.basename(r) for r in removed] == ["part-orphan.parquet"]
+    back = read_committed(spark, out).groupBy("shard").agg(
+        F.count("*").alias("n"), F.max("pos").alias("mx")
+    )
+    for r in back.collect():
+        assert r.n == r.mx, (r.shard, r.n, r.mx)  # gapless: no jump
+
+
+def test_tx_guards(spark, sf_dir, tmp_path):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import (
+        append_shards_tx,
+        init_commit_log,
+        write_shards,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = str(tmp_path / "plain")
+    write_shards(docs.filter(F.col("doc_id") % 2 == 0), out)
+    delta = docs.filter(F.col("doc_id") % 2 == 1).limit(2)
+    with pytest.raises(ValueError, match="no commit log"):
+        append_shards_tx(spark, out, delta, batch_id=0)
+    init_commit_log(out)
+    with pytest.raises(ValueError, match="already exists"):
+        init_commit_log(out)
+    with pytest.raises(ValueError, match="n_shards"):
+        append_shards_tx(spark, out, delta, batch_id=0, n_shards=3)
+
+
+def test_tx_committed_manifest_matches_plain_when_fully_committed(
+    spark, sf_dir, tmp_path
+):
+    """After a vacuum every surviving data file is committed, so the
+    log view and the raw directory view must agree row-for-row."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import (
+        append_shards_tx,
+        committed_manifest,
+        export_manifest,
+        vacuum_uncommitted,
+    )
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    odd = docs.filter(F.col("doc_id") % 2 == 1).orderBy("doc_id")
+    append_shards_tx(spark, out, odd.limit(3), batch_id=0)
+    append_shards_tx(spark, out, odd.subtract(odd.limit(3)), batch_id=1)
+    assert vacuum_uncommitted(out) == []
+    key = ["shard"]
+    a = committed_manifest(spark, out).toPandas().sort_values(
+        key, ignore_index=True
+    )
+    b = export_manifest(spark, out).toPandas().sort_values(
+        key, ignore_index=True
+    )
+    assert a.equals(b)

@@ -163,10 +163,7 @@ def sharded_export(
     )
 
 
-def export_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Per-shard manifest computed from the WRITTEN files (the
-    artifact a loader trusts, not the plan that produced it)."""
-    back = spark.read.parquet(out_dir)
+def _manifest_agg(back: DataFrame) -> DataFrame:
     return (
         back.groupBy("shard")
         .agg(
@@ -179,6 +176,19 @@ def export_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
         )
         .withColumn("shard", F.col("shard").cast("long"))
     )
+
+
+def export_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-shard manifest computed from the WRITTEN files (the
+    artifact a loader trusts, not the plan that produced it)."""
+    return _manifest_agg(spark.read.parquet(out_dir))
+
+
+def committed_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    """export_manifest restricted to the commit log's view — the
+    manifest a loader consuming a streaming-appended layout trusts
+    (uncommitted orphans are invisible to it)."""
+    return _manifest_agg(read_committed(spark, out_dir))
 
 
 def append_shards(
@@ -207,22 +217,41 @@ def append_shards(
     routed by a caller-supplied count that disagrees with the
     standing layout would silently violate shard = H(id) mod N for
     every appended doc, so an explicit mismatch raises."""
+    n_shards = _check_layout_n(out_dir, n_shards, "append_shards")
+    ranked = _ranked_batch(
+        spark.read.parquet(out_dir), new_docs, n_shards
+    )
+    (
+        ranked.write.mode("append").partitionBy("shard").parquet(out_dir)
+    )
+    return ranked
+
+
+def _check_layout_n(
+    out_dir: str, n_shards: int | None, caller: str
+) -> int:
     layout_n = read_layout_manifest(out_dir)["n_shards"]
     if n_shards is None:
-        n_shards = layout_n
-    elif n_shards != layout_n:
+        return layout_n
+    if n_shards != layout_n:
         raise ValueError(
-            f"append_shards called with n_shards={n_shards} but the "
+            f"{caller} called with n_shards={n_shards} but the "
             f"layout at {out_dir} was written with {layout_n}"
         )
-    base_max = (
-        spark.read.parquet(out_dir)
-        .groupBy("shard")
-        .agg(F.max("pos").alias("max_pos"))
+    return n_shards
+
+
+def _ranked_batch(
+    standing: DataFrame, new_docs: DataFrame, n_shards: int
+) -> DataFrame:
+    """The shared append rank: pos = the standing frame's per-shard
+    max + the batch's hash rank within the shard."""
+    base_max = standing.groupBy("shard").agg(
+        F.max("pos").alias("max_pos")
     )
     batch = _hashed(new_docs, n_shards)
     wr = W.partitionBy("shard").orderBy("h2", "doc_id")
-    ranked = (
+    return (
         batch.withColumn("rk", F.row_number().over(wr))
         .join(F.broadcast(base_max), "shard", "left")
         .withColumn(
@@ -230,10 +259,158 @@ def append_shards(
         )
         .select("shard", "pos", "doc_id", "lang", "text", "h1")
     )
-    (
-        ranked.write.mode("append").partitionBy("shard").parquet(out_dir)
+
+
+# --------------------- commit-log layer (exactly-once for readers)
+#
+# append_shards above is at-least-once: a crashed-and-retried batch
+# appends twice. The commit log closes that the way Spark's own
+# FileStreamSink and the lakehouse formats do: data files land under
+# their final partition dirs with unique names, but a batch only
+# EXISTS once its file list is atomically recorded in
+# _commits/<batch_id>.json. Readers (read_committed /
+# committed_manifest) resolve the layout from the log, so a crash
+# between the data write and the commit leaves invisible orphans
+# (reclaimed by vacuum_uncommitted), never duplicate rows; a retried
+# batch_id is a no-op because its commit already exists. Single
+# writer assumed (Structured Streaming's foreachBatch guarantees
+# serial batch ids per query); at 100 TB the log also spares the
+# driver a full recursive listing — exactly the Delta/Iceberg
+# argument, reduced to the one artifact this engine exports.
+
+_COMMIT_FORMAT = 1
+
+
+def _commits_dir(out_dir: str) -> str:
+    import os
+
+    return os.path.join(out_dir, "_commits")
+
+
+def _data_files(out_dir: str) -> list[str]:
+    """Relative paths of all shard data files currently on disk
+    (committed or not); _-prefixed control files are never listed."""
+    import glob
+    import os
+
+    return sorted(
+        os.path.relpath(f, out_dir)
+        for f in glob.glob(os.path.join(out_dir, "shard=*", "*.parquet"))
     )
-    return ranked
+
+
+def _write_commit(out_dir: str, name: str, files: list[str]) -> None:
+    import json
+    import os
+
+    cd = _commits_dir(out_dir)
+    os.makedirs(cd, exist_ok=True)
+    path = os.path.join(cd, f"{name}.json")
+    with open(path + ".tmp", "w") as f:
+        json.dump({"format": _COMMIT_FORMAT, "files": files}, f)
+    os.replace(path + ".tmp", path)
+
+
+def init_commit_log(out_dir: str) -> None:
+    """Seed the log over a standing write_shards layout: the current
+    data files become the base commit. Idempotent only when the log
+    does not exist yet — re-initializing an active log would resurrect
+    vacuumed orphans, so it raises."""
+    import os
+
+    if os.path.isdir(_commits_dir(out_dir)):
+        raise ValueError(f"commit log already exists at {out_dir}")
+    _write_commit(out_dir, "base", _data_files(out_dir))
+
+
+def committed_files(out_dir: str) -> list[str] | None:
+    """Union of every commit's file list, or None when the layout has
+    no log (plain write_shards/append_shards layout — all files are
+    implicitly committed)."""
+    import glob
+    import json
+    import os
+
+    cd = _commits_dir(out_dir)
+    if not os.path.isdir(cd):
+        return None
+    files: list[str] = []
+    for c in sorted(glob.glob(os.path.join(cd, "*.json"))):
+        with open(c) as f:
+            man = json.load(f)
+        if man.get("format") != _COMMIT_FORMAT:
+            raise ValueError(
+                f"commit {c} has format {man.get('format')!r}; this "
+                f"build reads {_COMMIT_FORMAT}"
+            )
+        files.extend(man["files"])
+    return sorted(set(files))
+
+
+def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The layout as the log defines it: only committed data files.
+    Falls back to the plain directory read when no log exists."""
+    import os
+
+    files = committed_files(out_dir)
+    if files is None:
+        return spark.read.parquet(out_dir)
+    if not files:
+        raise ValueError(f"commit log at {out_dir} references no files")
+    return spark.read.option("basePath", out_dir).parquet(
+        *[os.path.join(out_dir, f) for f in files]
+    )
+
+
+def append_shards_tx(
+    spark: SparkSession,
+    out_dir: str,
+    new_docs: DataFrame,
+    batch_id: int,
+    n_shards: int | None = None,
+) -> bool:
+    """Exactly-once (for readers) shard append, fenced by the commit
+    log: a batch_id whose commit exists is a replay and returns False
+    without touching disk; otherwise the batch's rows are ranked
+    against the COMMITTED standing state (orphans from a prior crash
+    can't shift pos), written as new partition files, and committed by
+    one atomic rename. This is the foreachBatch sink contract —
+    Structured Streaming redelivers a failed micro-batch under the
+    same batch_id, and this function makes that redelivery a no-op."""
+    import os
+
+    if not os.path.isdir(_commits_dir(out_dir)):
+        raise ValueError(
+            f"no commit log at {out_dir}; call init_commit_log after "
+            "the base export (plain append_shards does not fence)"
+        )
+    name = f"{int(batch_id):020d}"
+    if os.path.exists(os.path.join(_commits_dir(out_dir), f"{name}.json")):
+        return False
+    n_shards = _check_layout_n(out_dir, n_shards, "append_shards_tx")
+    before = set(_data_files(out_dir))
+    ranked = _ranked_batch(
+        read_committed(spark, out_dir), new_docs, n_shards
+    )
+    ranked.write.mode("append").partitionBy("shard").parquet(out_dir)
+    new_files = sorted(set(_data_files(out_dir)) - before)
+    _write_commit(out_dir, name, new_files)
+    return True
+
+
+def vacuum_uncommitted(out_dir: str) -> list[str]:
+    """Delete data files no commit references (the leftovers of a
+    crash between a batch's data write and its commit). Returns the
+    removed relative paths; a log-less layout is left untouched."""
+    import os
+
+    committed = committed_files(out_dir)
+    if committed is None:
+        return []
+    orphans = sorted(set(_data_files(out_dir)) - set(committed))
+    for rel in orphans:
+        os.remove(os.path.join(out_dir, rel))
+    return orphans
 
 
 @register(

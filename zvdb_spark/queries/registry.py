@@ -142,6 +142,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_export_shards",
     "q_dedup_canonical",
     "q_dedup_spans_s1",
+    "q_stream_demo_shard_export",
 )
 
 

@@ -235,3 +235,23 @@ def q_stream_demo_pq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zvdb_spark.streaming.jobs import run_pq_ingest_demo
 
     return run_pq_ingest_demo(spark, sf_dir)
+
+
+@register(
+    "q_stream_demo_shard_export",
+    oracle=None,
+    tags=("streaming", "demo", "export", "pipeline"),
+)
+def q_stream_demo_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming shard export (streaming/jobs.py:
+    run_shard_export_stream_demo): document micro-batches append into
+    a standing shard layout through a commit log
+    (queries/export.py:append_shards_tx) — the FileStreamSink/
+    lakehouse transaction pattern on the engine's own export artifact.
+    Replay no-op, crash-orphan invisibility + vacuum, and gapless
+    committed pos are asserted inside; returns the committed per-shard
+    manifest. Rows-only check: micro-batch execution is not
+    SQL-expressible."""
+    from zvdb_spark.streaming.jobs import run_shard_export_stream_demo
+
+    return run_shard_export_stream_demo(spark, sf_dir)

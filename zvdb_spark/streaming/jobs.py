@@ -583,3 +583,111 @@ def run_pq_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(land, ignore_errors=True)
         shutil.rmtree(codes_dir, ignore_errors=True)
+
+
+def run_shard_export_stream_demo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming corpus export with exactly-once shard appends — the
+    terminal pipeline step (queries/export.py) under Structured
+    Streaming: a standing base layout absorbs document micro-batches
+    through ``append_shards_tx``, whose commit log makes a redelivered
+    micro-batch a no-op (foreachBatch retries arrive under the same
+    batch_id — the sink must fence, or every recovery duplicates
+    corpus rows).
+
+    Asserted inside: (a) a replayed batch_id returns False and leaves
+    every data file byte-count-identical; (b) an orphan data file
+    (simulating a crash between a batch's data write and its commit)
+    is invisible to the committed reader and removed by
+    vacuum_uncommitted; (c) per-shard pos over the committed view is
+    gapless after the stream — the resume contract a training loader
+    relies on. Returns the committed per-shard manifest."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from zvdb_spark.queries.export import (
+        append_shards_tx,
+        committed_manifest,
+        init_commit_log,
+        read_committed,
+        vacuum_uncommitted,
+        write_shards,
+    )
+    from zvdb_spark.sources.tables import load
+
+    land = tempfile.mkdtemp(prefix="zvdb_shard_land_")
+    out = tempfile.mkdtemp(prefix="zvdb_shard_out_")
+    ckpt = tempfile.mkdtemp(prefix="zvdb_shard_ckpt_")
+    try:
+        docs = load(spark, sf_dir, "documents")
+        base = docs.filter(F.col("doc_id") % 2 == 0)
+        write_shards(base, out)
+        init_commit_log(out)
+
+        # landing files = the micro-batch boundaries (one per trigger)
+        stream_docs = docs.filter(F.col("doc_id") % 2 == 1)
+        stream_docs.repartition(3).write.mode("overwrite").parquet(land)
+        schema = spark.read.parquet(land).schema
+
+        applied: list[int] = []
+
+        def _append(batch_df: DataFrame, batch_id: int) -> None:
+            if append_shards_tx(spark, out, batch_df, batch_id):
+                applied.append(batch_id)
+            # redelivery drill on the spot: the same batch_id must be
+            # a no-op now that its commit exists
+            if append_shards_tx(spark, out, batch_df, batch_id):
+                raise AssertionError(
+                    f"replayed batch {batch_id} was applied twice"
+                )
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+            .writeStream.foreachBatch(_append)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_bounded(q)
+        if not applied:
+            raise AssertionError("stream delivered no batches")
+
+        # crash simulation: a data file without a commit must stay
+        # invisible to the committed reader and be vacuumable
+        n_committed = read_committed(spark, out).count()
+        shard_dir = sorted(glob.glob(os.path.join(out, "shard=*")))[0]
+        src_file = glob.glob(os.path.join(shard_dir, "*.parquet"))[0]
+        orphan = os.path.join(shard_dir, "part-orphan-crash.parquet")
+        shutil.copyfile(src_file, orphan)
+        if read_committed(spark, out).count() != n_committed:
+            raise AssertionError("uncommitted orphan leaked into reads")
+        removed = vacuum_uncommitted(out)
+        if [os.path.basename(r) for r in removed] != [
+            "part-orphan-crash.parquet"
+        ]:
+            raise AssertionError(f"vacuum removed {removed}")
+
+        back = read_committed(spark, out).select("shard", "pos")
+        byshard = (
+            back.groupBy("shard")
+            .agg(F.count("*").alias("n"), F.max("pos").alias("mx"))
+            .collect()
+        )
+        total = docs.count()
+        if sum(r.n for r in byshard) != total:
+            raise AssertionError("committed rows != corpus rows")
+        for r in byshard:
+            if r.n != r.mx:
+                raise AssertionError(
+                    f"shard {r.shard} pos not gapless: n={r.n} max={r.mx}"
+                )
+        return committed_manifest(spark, out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
