@@ -125,6 +125,7 @@ HEADLINE = [
     "q_join_bucketed",
     "q_agg_freq_items",
     "q_dedup_spans_stride",
+    "q_dedup_spans_s1",
     "q_export_shards",
 ]
 
@@ -1228,10 +1229,12 @@ def main() -> None:
                 fidx.retire()  # throwaway family index: free the disk
             if emb is not None and books is not None:
                 t0 = time.perf_counter()
-                pq_encode(emb, books).localCheckpoint(eager=True)
+                enc = pq_encode(emb, books).localCheckpoint(eager=True)
                 best["pq_encode"] = min(
                     best["pq_encode"], time.perf_counter() - t0
                 )
+                enc.unpersist()  # throwaway timing artifact, like
+                # fidx.retire() above — don't leak executor disk
             if cemb is not None:
                 t0 = time.perf_counter()
                 fcents = kmeans_fit_sample(
@@ -1242,10 +1245,11 @@ def main() -> None:
                     cemb, fcents, m_sub=16, k_codes=256, n_iter=4,
                     sample_n=20_000, n_rows=BENCH_N,
                 )
-                fcodes.localCheckpoint(eager=True)
+                fchk = fcodes.localCheckpoint(eager=True)
                 best["ivfpq_build"] = min(
                     best["ivfpq_build"], time.perf_counter() - t0
                 )
+                fchk.unpersist()
         window: dict = {"passes": 2}
         if emb is not None:
             searchable = best["packed"] + best["pack"]

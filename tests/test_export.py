@@ -475,3 +475,44 @@ def test_tx_committed_manifest_matches_plain_when_fully_committed(
         key, ignore_index=True
     )
     assert a.equals(b)
+
+
+def test_plain_append_on_logged_layout_self_commits(
+    spark, sf_dir, tmp_path
+):
+    """Review catch (r10): a plain append_shards into a LOGGED layout
+    must not leave its rows uncommitted — vacuum_uncommitted would
+    silently delete them as crash orphans. It self-commits (uuid
+    commit name), so the committed view gains the rows and vacuum
+    removes nothing."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import (
+        append_shards,
+        read_committed,
+        vacuum_uncommitted,
+    )
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    n0 = read_committed(spark, out).count()
+    delta = docs.filter(F.col("doc_id") % 2 == 1).limit(4)
+    append_shards(spark, out, delta)
+    assert read_committed(spark, out).count() == n0 + 4
+    assert vacuum_uncommitted(out) == []
+    back = read_committed(spark, out).groupBy("shard").agg(
+        F.count("*").alias("n"), F.max("pos").alias("mx")
+    )
+    for r in back.collect():
+        assert r.n == r.mx, (r.shard, r.n, r.mx)
+
+
+def test_commit_log_rejects_uri_schemes(spark, sf_dir, tmp_path):
+    import pytest
+
+    from zvdb_spark.queries.export import append_shards_tx, init_commit_log
+
+    with pytest.raises(ValueError, match="local filesystem"):
+        init_commit_log("hdfs://nn/corpus")
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    with pytest.raises(ValueError, match="local filesystem"):
+        append_shards_tx(spark, "s3://bucket/x", docs.limit(1), batch_id=0)

@@ -217,13 +217,33 @@ def append_shards(
     routed by a caller-supplied count that disagrees with the
     standing layout would silently violate shard = H(id) mod N for
     every appended doc, so an explicit mismatch raises."""
+    import os
+
     n_shards = _check_layout_n(out_dir, n_shards, "append_shards")
+    logged = os.path.isdir(_commits_dir(out_dir))
+    before = _data_files(out_dir)
     ranked = _ranked_batch(
-        spark.read.parquet(out_dir), new_docs, n_shards
+        # on a logged layout rank against the COMMITTED view, so a
+        # crash orphan can never shift the permutation (same rule as
+        # append_shards_tx)
+        read_committed(spark, out_dir) if logged
+        else spark.read.parquet(out_dir),
+        new_docs,
+        n_shards,
     )
     (
         ranked.write.mode("append").partitionBy("shard").parquet(out_dir)
     )
+    # A logged layout must never hold data files no commit references
+    # — vacuum_uncommitted would DELETE a plain append's rows as crash
+    # orphans. A plain append to a logged layout therefore commits
+    # itself (under a uuid name: there is no batch_id to fence on —
+    # use append_shards_tx when redelivery fencing is the point).
+    if logged:
+        import uuid
+
+        new_files = sorted(set(_data_files(out_dir)) - set(before))
+        _write_commit(out_dir, f"plain-{uuid.uuid4().hex[:12]}", new_files)
     return ranked
 
 
@@ -311,13 +331,31 @@ def _write_commit(out_dir: str, name: str, files: list[str]) -> None:
     os.replace(path + ".tmp", path)
 
 
+def _require_local_path(out_dir: str, caller: str) -> None:
+    """The log layer reads/writes with os/glob, i.e. a filesystem the
+    DRIVER can address by path — true for local[*], NFS, and
+    fuse-mounted object stores; a raw scheme URI would silently
+    create a mangled local directory, so it raises. A real
+    HDFS-/S3-native deployment swaps these few functions for the
+    Hadoop FileSystem API (or uses the lakehouse format the pattern
+    is borrowed from) — same assumption class, one seam."""
+    if "://" in out_dir:
+        raise ValueError(
+            f"{caller} addresses the layout through the driver's local "
+            f"filesystem; got URI {out_dir!r} — mount it or use a "
+            "Hadoop-FS-backed log"
+        )
+
+
 def init_commit_log(out_dir: str) -> None:
     """Seed the log over a standing write_shards layout: the current
     data files become the base commit. Idempotent only when the log
     does not exist yet — re-initializing an active log would resurrect
-    vacuumed orphans, so it raises."""
+    vacuumed orphans, so it raises. Driver-addressable filesystem
+    only (see _require_local_path)."""
     import os
 
+    _require_local_path(out_dir, "init_commit_log")
     if os.path.isdir(_commits_dir(out_dir)):
         raise ValueError(f"commit log already exists at {out_dir}")
     _write_commit(out_dir, "base", _data_files(out_dir))
@@ -379,6 +417,7 @@ def append_shards_tx(
     same batch_id, and this function makes that redelivery a no-op."""
     import os
 
+    _require_local_path(out_dir, "append_shards_tx")
     if not os.path.isdir(_commits_dir(out_dir)):
         raise ValueError(
             f"no commit log at {out_dir}; call init_commit_log after "
@@ -400,8 +439,9 @@ def append_shards_tx(
 
 def vacuum_uncommitted(out_dir: str) -> list[str]:
     """Delete data files no commit references (the leftovers of a
-    crash between a batch's data write and its commit). Returns the
-    removed relative paths; a log-less layout is left untouched."""
+    crash between a batch's data write and its commit), along with
+    their Hadoop ``.crc`` checksum sidecars. Returns the removed data
+    files' relative paths; a log-less layout is left untouched."""
     import os
 
     committed = committed_files(out_dir)
@@ -410,6 +450,10 @@ def vacuum_uncommitted(out_dir: str) -> list[str]:
     orphans = sorted(set(_data_files(out_dir)) - set(committed))
     for rel in orphans:
         os.remove(os.path.join(out_dir, rel))
+        d, base = os.path.split(os.path.join(out_dir, rel))
+        crc = os.path.join(d, f".{base}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
     return orphans
 
 
