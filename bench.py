@@ -1110,6 +1110,58 @@ def main() -> None:
             timings[f"vector_search_pq_r{rr}"] = round(sec, 3)
         result["pq_rerank_sweep"] = sweep
 
+    def _bench_sq8():
+        # SQ8 scalar quantization (operators/sq.py): the 4x rung of
+        # the compression ladder (512 B -> 128 B at 128-d), exact
+        # per-dim min/max train (no sample), asymmetric search. The
+        # sq8/exact qps ratio comes from ONE window — both sides
+        # timed back-to-back per pass x 2 passes, min per side — the
+        # same interleaving discipline as every published ratio.
+        from zvdb_spark.operators.sq import (
+            sq8_encode,
+            sq8_search,
+            sq8_train,
+        )
+
+        emb = state["emb"]
+        gidx = state["gidx"]
+        queries = state["queries"]
+        qdf_full = state["qdf_full"]
+        t0 = time.perf_counter()
+        lo, hi = sq8_train(emb)
+        codes = sq8_encode(emb, lo, hi).localCheckpoint(eager=True)
+        enc_sec = time.perf_counter() - t0
+        timings["sq8_train_encode"] = round(enc_sec, 3)
+        result["sq8_encode_pts_per_s"] = round(BENCH_N / enc_sec, 2)
+        result["sq8_bytes_per_vector"] = BENCH_DIM  # vs 4*dim raw f32
+        qarr = queries[:ann_nq]
+        # warm the sq8 path (exact is long warm by now)
+        _noop_write(sq8_search(codes, lo, hi, qarr[:200], k=BENCH_K))
+        best = {"sq8": float("inf"), "exact": float("inf")}
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _noop_write(sq8_search(codes, lo, hi, qarr, k=BENCH_K))
+            best["sq8"] = min(best["sq8"], time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _noop_write(
+                gidx.exact_search(qdf_full, k=BENCH_K, n_queries=ann_nq)
+            )
+            best["exact"] = min(best["exact"], time.perf_counter() - t0)
+        timings["vector_search_sq8"] = round(best["sq8"], 3)
+        result["sq8_search_qps"] = round(ann_nq / best["sq8"], 2)
+        result["sq8_vs_exact_qps_ratio"] = round(
+            best["exact"] / best["sq8"], 3
+        )
+        # raw (un-reranked) recall on the ground-truth slice: the
+        # honest quality of the 4x-compressed ranking itself
+        sq_pdf = sq8_search(
+            codes, lo, hi, queries[:n_probe], k=BENCH_K
+        ).toPandas()
+        result["sq8_recall_raw"] = round(
+            _recall_of(sq_pdf, state["ex_pdf_uniform"], n_probe), 3
+        )
+        codes.unpersist()
+
     def _bench_incremental_append():
         # The reference's insert is incremental (src/hnsw.zig:73-117):
         # new points connect into the live graph, never a rebuild.
@@ -1498,6 +1550,7 @@ def main() -> None:
         _section("vector_search_exact", _bench_exact)
         if _section("vector_search_ann_uniform", _bench_ann_uniform):
             _section("pq", _bench_pq)
+            _section("sq8", _bench_sq8)
         _section("insert_parallelism", _bench_insert_parallelism)
     if _section("vector_search_ann_clustered", _bench_ann_clustered):
         _section("ann_ef_sweep", _bench_ef_sweep)

@@ -382,3 +382,57 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(F.lit(1.0) - F.col("dist_sq") / 2.0, 4).alias("cosine"),
     ).orderBy(F.col("cosine").desc(), "vec_id")
+
+
+@register("q_ann_sq8", oracle=None, tags=("ann", "sq"))
+def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized k-NN (operators/sq.py): exact per-dimension
+    min/max (one partial-aggregate pass, no sample), int8 codes at
+    4 bytes -> 1 byte per dimension, asymmetric search against
+    full-precision queries, exact re-rank of the top-R survivors —
+    the first rung of the compression ladder (SQ8 4x / PQ 32x),
+    where the rounding error is a provable scale/2-per-dim bound
+    instead of PQ's data-dependent centroid coverage.
+
+    The quantizer round-trips disk per call (save_sq8/load_sq8, the
+    artifacts.py npz+manifest discipline), so the declared artifact
+    is what a fresh session would compute from persisted state.
+
+    Approximate candidate set, so rows-only at the driver;
+    tests/test_sq.py pins the elementwise error bound, recall vs the
+    exact path, determinism, and the 4x compression arithmetic.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from zvdb_spark.operators.sq import (
+        load_sq8,
+        save_sq8,
+        sq8_encode,
+        sq8_search_rerank,
+        sq8_train,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    lo, hi = sq8_train(e)
+    tmp = tempfile.mkdtemp(prefix="zvdb_sq8_")
+    try:
+        save_sq8(os.path.join(tmp, "quantizer"), lo, hi)
+        llo, lhi = load_sq8(os.path.join(tmp, "quantizer"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    codes = sq8_encode(e, llo, lhi)
+    qvec = np.asarray(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).head()["emb"],
+        dtype=np.float64,
+    )[None, :]
+    return (
+        sq8_search_rerank(codes, e, llo, lhi, qvec, k=ANN_K, rerank_r=50)
+        .select("vec_id", F.round("dist_sq", 4).alias("dist_sq"), "rn")
+        .orderBy("rn")
+    )

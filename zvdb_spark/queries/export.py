@@ -488,3 +488,77 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         return export_manifest(spark, out).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# --------------------- z-order layout (multi-column pruning)
+
+# Fixed 2-D query box for the declared z-order query: absolute
+# constants (not quantiles) so the DuckDB twin below is literal and
+# both SFs (sf0.001 user_id 0-14, sf0.01 0-149) keep it non-empty.
+ZORDER_BOX = {"user_id": (2, 9), "value": (50.0, 150.0)}
+
+ZORDER_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(event_id) AS id_sum,
+       round(sum(value), 2) AS value_sum
+FROM events
+WHERE user_id BETWEEN 2 AND 9 AND value BETWEEN 50.0 AND 150.0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q_layout_zorder",
+    oracle=None,  # past the driver cap; DuckDB parity via
+    # tests/test_zorder.py against ZORDER_ORACLE, plus box-decode
+    # soundness and measured 2-D file pruning
+    tags=("layout", "zorder", "pruning"),
+)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column pruning layout (operators/zorder.py): events
+    written partitioned by the top bits of the Morton interleave of
+    (user_id, value), then a 2-D range query served through the
+    driver-side prefix decode — ``zbucket IN (...)`` partition
+    filter + the exact residual predicate — and aggregated per
+    event_type. The answer is pruning-independent by construction
+    (the residual predicate is the declared filter verbatim); what
+    the layout buys is that the scan LISTS only the buckets whose
+    decoded (user, value) box intersects the query box — pruning on
+    two columns from one layout, which no single-column partitioning
+    gives (tests pin fewer files read than a 1-D layout on the same
+    query).
+
+    Scratch location: same contract as q_export_shards
+    (``zvdb.export.scratch`` conf key, else driver-local temp)."""
+    import shutil
+    import tempfile
+
+    from zvdb_spark.operators.zorder import (
+        read_zorder_range,
+        write_zorder_layout,
+    )
+
+    scratch = spark.conf.get("zvdb.export.scratch", None)
+    out = tempfile.mkdtemp(prefix="zvdb_zorder_", dir=scratch or None)
+    try:
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value", "event_type"
+        )
+        write_zorder_layout(
+            ev, out, cols=["user_id", "value"], n_buckets=64
+        )
+        hit = read_zorder_range(spark, out, ZORDER_BOX)
+        return (
+            hit.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("event_id").alias("id_sum"),
+                F.round(F.sum("value"), 2).alias("value_sum"),
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

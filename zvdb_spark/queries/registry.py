@@ -143,6 +143,8 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_dedup_canonical",
     "q_dedup_spans_s1",
     "q_stream_demo_shard_export",
+    "q_ann_sq8",
+    "q_layout_zorder",
 )
 
 
