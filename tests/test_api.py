@@ -72,6 +72,45 @@ def test_approx_distinct_error_bound(spark, sf_dir):
         assert err <= 0.1, f"{r.l_returnflag}: {err}"
 
 
+def test_approx_percentile_rank_error_bound(spark, sf_dir):
+    """q_agg_approx_percentile has no SQL oracle (engine-specific GK
+    summary); pin its rank error here: with accuracy=10000 the sketch
+    value's TRUE rank must sit within n/10000 (+1 for edge slack) of
+    the requested rank, per group and per percentile. Value-distance
+    is the wrong check (a tiny rank slip can move the value a lot in
+    a sparse tail) — rank is what GK guarantees."""
+    from zvdb_spark.queries.registry import all_queries
+    from zvdb_spark.sources.tables import load
+
+    rows = (
+        all_queries()["q_agg_approx_percentile"].fn(spark, sf_dir).collect()
+    )
+    assert rows
+    li = load(spark, sf_dir, "lineitem")
+    for r in rows:
+        vals = sorted(
+            x.l_extendedprice
+            for x in li.filter(
+                li.l_returnflag == r.l_returnflag
+            ).select("l_extendedprice").collect()
+        )
+        n = len(vals)
+        assert n == r.n
+        for p, got in (
+            (0.5, r.approx_p50), (0.95, r.approx_p95), (0.99, r.approx_p99)
+        ):
+            import bisect
+
+            # rank window of the returned value in the sorted group
+            lo = bisect.bisect_left(vals, got - 0.005)
+            hi = bisect.bisect_right(vals, got + 0.005)
+            target = p * (n - 1)
+            slack = n / 10_000 + 1
+            assert lo - slack <= target <= hi + slack, (
+                r.l_returnflag, p, got, lo, hi, target
+            )
+
+
 def test_frame_sampling_invariants(spark, sf_dir):
     """4 frames per media row, each exactly frame_size bytes."""
     from zvdb_spark.operators.multimodal import documents_as_media, sample_frames

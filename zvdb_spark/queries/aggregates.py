@@ -182,6 +182,46 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_agg_approx_percentile", oracle=None, tags=("agg", "approx"))
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles (the quantile sibling of
+    q_agg_approx_distinct): ``approx_percentile`` runs the
+    Greenwald-Khanna mergeable summary — each partition keeps a
+    bounded summary, the merge is one tiny shuffle — where the exact
+    percentile (q_agg_percentile) must globally sort each group. At
+    100 TB the exact form's per-group sort is the bottleneck; the
+    sketch's accuracy parameter trades summary size for rank error.
+    Publishes sketch and exact side by side (like the HLL query), so
+    the error is visible in the artifact itself; the pytest suite
+    pins the rank-error bound. Engine-specific sketch -> rows-only."""
+    acc = 10_000  # GK accuracy: rank error <= n / acc per group
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "approx_percentile(l_extendedprice, "
+                f"array(0.5, 0.95, 0.99), {acc})"
+            ).alias("approx_p"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.5, 0.95, 0.99))"
+            ).alias("exact_p"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.round(F.col("approx_p")[0], 2).alias("approx_p50"),
+            F.round(F.col("approx_p")[1], 2).alias("approx_p95"),
+            F.round(F.col("approx_p")[2], 2).alias("approx_p99"),
+            F.round(F.col("exact_p")[0], 2).alias("exact_p50"),
+            F.round(F.col("exact_p")[1], 2).alias("exact_p95"),
+            F.round(F.col("exact_p")[2], 2).alias("exact_p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @register(
     "q_pivot",
     oracle="""

@@ -145,6 +145,8 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_stream_demo_shard_export",
     "q_ann_sq8",
     "q_layout_zorder",
+    "q_table_stats",
+    "q_agg_approx_percentile",
 )
 
 
@@ -195,6 +197,7 @@ def _ensure_loaded() -> None:
         joins,
         multimodal,
         pipeline,
+        profile,
         relational,
         sampling,
         scalar,
