@@ -127,6 +127,8 @@ HEADLINE = [
     "q_dedup_spans_stride",
     "q_dedup_spans_s1",
     "q_export_shards",
+    "q_layout_zorder",
+    "q_table_stats",
 ]
 
 

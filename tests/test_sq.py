@@ -146,7 +146,10 @@ def test_search_determinism_across_partitionings(emb, lohi, ground_truth):
         (r.query_id, r.vec_id, r.rn) for r in b
     ]
     assert np.allclose(
-        [r.sq_dist_sq for r in a], [r.sq_dist_sq for r in b], atol=1e-9
+        [r.sq_dist_sq for r in a],
+        [r.sq_dist_sq for r in b],
+        rtol=1e-5,
+        atol=1e-4,  # f32 scoring: batch-shape-dependent blocking
     )
 
 

@@ -40,8 +40,11 @@ Distributed shape (all stages cluster-side):
   Per-partition top-k then a global window merge: identical contract
   to pq.pq_search / knn.exact_search.
 
-Determinism: min/max is order-independent, rounding is IEEE — same
-codes and same results on any partitioning or cluster size.
+Determinism: min/max is order-independent and rounding is IEEE, so
+the CODES are bit-identical on any partitioning or cluster size.
+Search scores in f32 (like the exact segment path), whose GEMM
+blocking depends on the batch shape — top-k membership and ranks are
+partitioning-invariant (pinned), distances within f32 tolerance.
 
 Approximate distances (bounded rounding error), so this is verified
 by recall against the exact path + the elementwise error bound in
@@ -168,23 +171,32 @@ def sq8_search(
     kk = int(k)
     q_sq = (q * q).sum(axis=1)
 
+    # f32 scoring, like the timed exact path (segments GEMM runs f32):
+    # the reconstruction error (scale/2 per dim) dwarfs f32 rounding,
+    # and f64 here measured ~2x the scan cost for no recall gain
+    lo32 = lo_c.astype(np.float32)
+    scale32 = scale.astype(np.float32)
+    q32 = q.astype(np.float32)
+    q_sq32 = (q32 * q32).sum(axis=1)
+
     def _part(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy()
-            raw = np.stack(
-                [np.frombuffer(b, dtype=np.uint8) for b in pdf["code"]]
-            ).astype(np.float64)
-            vhat = lo_c + raw * scale  # (n, dim) reconstruction
+            # one contiguous decode, not a per-row frombuffer loop
+            raw = np.frombuffer(
+                b"".join(pdf["code"]), dtype=np.uint8
+            ).reshape(len(ids), -1).astype(np.float32)
+            vhat = lo32 + raw * scale32  # (n, dim) reconstruction
             v_sq = (vhat * vhat).sum(axis=1)
             for q0 in range(0, nq, q_block):
-                qb = q[q0 : q0 + q_block]
+                qb = q32[q0 : q0 + q_block]
                 d = (
-                    q_sq[q0 : q0 + q_block][:, None]
+                    q_sq32[q0 : q0 + q_block][:, None]
                     + v_sq[None, :]
                     - 2.0 * (qb @ vhat.T)
-                )
+                ).astype(np.float64)
                 top = _topk_by_dist_id(d, ids, kk)
                 rows = np.take_along_axis(d, top, axis=1)
                 yield pd.DataFrame(
