@@ -516,3 +516,274 @@ def test_commit_log_rejects_uri_schemes(spark, sf_dir, tmp_path):
     docs, out = _tx_setup(spark, sf_dir, tmp_path)
     with pytest.raises(ValueError, match="local filesystem"):
         append_shards_tx(spark, "s3://bucket/x", docs.limit(1), batch_id=0)
+
+
+# --------------------- compaction + power-of-two reshard
+
+
+def _perm(spark, out):
+    """Full committed (shard, pos) -> doc_id permutation."""
+    from zvdb_spark.queries.export import read_committed
+
+    return {
+        (r.shard, r.pos): r.doc_id
+        for r in read_committed(spark, out)
+        .select("shard", "pos", "doc_id")
+        .collect()
+    }
+
+
+def _compacted_setup(spark, sf_dir, tmp_path):
+    """Base export + two tx appends — the multi-file state compaction
+    exists to clean up."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import append_shards_tx
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    assert append_shards_tx(spark, out, odd.filter(F.col("doc_id") % 4 == 1), 1)
+    assert append_shards_tx(spark, out, odd.filter(F.col("doc_id") % 4 == 3), 2)
+    return docs, out
+
+
+def test_compact_preserves_full_permutation(spark, sf_dir, tmp_path):
+    """Compaction is a physical rewrite only: the committed
+    (shard, pos, doc_id) permutation is bit-identical across the swap
+    and across the vacuum that follows, and every shard ends as ONE
+    file."""
+    import glob
+    import os
+
+    from zvdb_spark.queries.export import compact_shards, vacuum_uncommitted
+
+    _, out = _compacted_setup(spark, sf_dir, tmp_path)
+    before = _perm(spark, out)
+    stats = compact_shards(spark, out)
+    assert stats["files_after"] == N_SHARDS
+    assert stats["files_before"] > stats["files_after"]
+    assert _perm(spark, out) == before
+    removed = vacuum_uncommitted(out)
+    assert sorted(removed) == stats["reclaimable"]
+    assert _perm(spark, out) == before
+    for d in glob.glob(os.path.join(out, "shard=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+
+
+def test_compact_crash_before_commit_is_invisible(spark, sf_dir, tmp_path):
+    """The data-write half of a compaction without its commit (crash
+    simulation) leaves the committed view untouched; vacuum reclaims
+    exactly the half-written files."""
+    from zvdb_spark.queries.export import (
+        _data_files,
+        read_committed,
+        vacuum_uncommitted,
+    )
+
+    _, out = _compacted_setup(spark, sf_dir, tmp_path)
+    before = _perm(spark, out)
+    disk0 = set(_data_files(out))
+    # the write half of compact_shards, then "crash" before the commit
+    (
+        read_committed(spark, out)
+        .select("shard", "pos", "doc_id", "lang", "text", "h1")
+        .repartition(N_SHARDS, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("append")
+        .partitionBy("shard")
+        .parquet(out)
+    )
+    half_written = sorted(set(_data_files(out)) - disk0)
+    assert half_written
+    assert _perm(spark, out) == before  # orphans invisible
+    assert vacuum_uncommitted(out) == half_written
+    assert _perm(spark, out) == before
+
+
+def test_replay_fence_survives_compaction(spark, sf_dir, tmp_path):
+    """A batch_id whose rows were compacted away must STILL be fenced:
+    the superseded commit json is retained precisely so a late
+    redelivery stays a no-op."""
+    from zvdb_spark.queries.export import (
+        _data_files,
+        append_shards_tx,
+        compact_shards,
+        vacuum_uncommitted,
+    )
+
+    docs, out = _compacted_setup(spark, sf_dir, tmp_path)
+    compact_shards(spark, out)
+    vacuum_uncommitted(out)
+    before = _perm(spark, out)
+    disk0 = set(_data_files(out))
+    # replay of batch 1 (its rows now live only in compacted files)
+    odd = docs.filter((docs.doc_id % 2 == 1) & (docs.doc_id % 4 == 1))
+    assert append_shards_tx(spark, out, odd, 1) is False
+    assert set(_data_files(out)) == disk0
+    assert _perm(spark, out) == before
+
+
+def test_append_after_compaction_continues_pos(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import (
+        append_shards_tx,
+        compact_shards,
+        read_committed,
+        vacuum_uncommitted,
+    )
+
+    docs, out = _compacted_setup(spark, sf_dir, tmp_path)
+    compact_shards(spark, out)
+    vacuum_uncommitted(out)
+    echo = docs.limit(7).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "lang", "text"
+    )
+    assert append_shards_tx(spark, out, echo, 3) is True
+    back = read_committed(spark, out).groupBy("shard").agg(
+        F.count("*").alias("n"), F.max("pos").alias("mx")
+    )
+    for r in back.collect():
+        assert r.n == r.mx, (r.shard, r.n, r.mx)
+
+
+def test_double_compaction_chains(spark, sf_dir, tmp_path):
+    """Compacting twice (with an append in between) keeps the
+    permutation: the second compact's "replaces" supersedes the first
+    compact commit AND the interleaved append."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import (
+        append_shards_tx,
+        compact_shards,
+        vacuum_uncommitted,
+    )
+
+    docs, out = _compacted_setup(spark, sf_dir, tmp_path)
+    compact_shards(spark, out)
+    echo = docs.limit(5).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "lang", "text"
+    )
+    append_shards_tx(spark, out, echo, 3)
+    before = _perm(spark, out)
+    stats2 = compact_shards(spark, out)
+    vacuum_uncommitted(out)
+    assert stats2["files_after"] == N_SHARDS
+    assert _perm(spark, out) == before
+
+
+def test_reshard_refines_membership_and_preserves_order(
+    spark, sf_dir, tmp_path
+):
+    """h mod 2N refines h mod N: every new shard folds back to its
+    parent, membership is never re-drawn, and within each new shard
+    the doc order equals the parent-shard order restricted to the
+    child (rank by old pos)."""
+    from zvdb_spark.queries.export import (
+        init_commit_log,
+        read_layout_manifest,
+        reshard_double,
+        vacuum_uncommitted,
+        write_shards,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = str(tmp_path / "rs")
+    write_shards(docs, out, n_shards=4)
+    init_commit_log(out)
+    old = _perm(spark, out)
+    stats = reshard_double(spark, out)
+    assert (stats["n_shards_before"], stats["n_shards_after"]) == (4, 8)
+    assert read_layout_manifest(out)["n_shards"] == 8
+    vacuum_uncommitted(out)
+    new = _perm(spark, out)
+    assert len(new) == len(old)
+    # membership refinement + order carry-over, recomputed in Python
+    want: dict[tuple[int, int], int] = {}
+    by_child: dict[int, list[tuple[int, int]]] = {}
+    for (shard, pos), d in old.items():
+        child = _h(str(d)) % 8
+        assert child % 4 == shard  # refinement
+        by_child.setdefault(child, []).append((pos, d))
+    for child, entries in by_child.items():
+        for new_pos, (_, d) in enumerate(sorted(entries), start=1):
+            want[(child, new_pos)] = d
+    assert new == want
+
+
+def test_reshard_interrupted_swap_is_detected_and_repaired(
+    spark, sf_dir, tmp_path
+):
+    """Crash between the reshard commit and the layout-manifest swap:
+    appends refuse to route until repair_layout restores the manifest
+    from the live reshard commit."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import (
+        _write_layout_manifest,
+        append_shards_tx,
+        init_commit_log,
+        read_layout_manifest,
+        repair_layout,
+        reshard_double,
+        write_shards,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = str(tmp_path / "rs2")
+    write_shards(docs, out, n_shards=4)
+    init_commit_log(out)
+    reshard_double(spark, out)
+    # simulate the crash: manifest rolled back to the pre-swap count
+    _write_layout_manifest(out, 4)
+    delta = docs.limit(3).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"), "lang", "text"
+    )
+    with pytest.raises(ValueError, match="interrupted reshard"):
+        append_shards_tx(spark, out, delta, 1)
+    assert repair_layout(out) == 8
+    assert read_layout_manifest(out)["n_shards"] == 8
+    assert append_shards_tx(spark, out, delta, 1) is True
+
+
+def test_maintenance_requires_commit_log(spark, sf_dir, tmp_path):
+    import pytest
+
+    from zvdb_spark.queries.export import (
+        compact_shards,
+        reshard_double,
+        write_shards,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = str(tmp_path / "nolog")
+    write_shards(docs.limit(20), out)
+    with pytest.raises(ValueError, match="commit log"):
+        compact_shards(spark, out)
+    with pytest.raises(ValueError, match="commit log"):
+        reshard_double(spark, out)
+
+
+def test_unknown_commit_format_is_fenced(spark, sf_dir, tmp_path):
+    import json
+    import os
+
+    import pytest
+
+    from zvdb_spark.queries.export import committed_files
+
+    _, out = _tx_setup(spark, sf_dir, tmp_path)
+    with open(os.path.join(out, "_commits", "zz-future.json"), "w") as f:
+        json.dump({"format": 3, "files": []}, f)
+    with pytest.raises(ValueError, match="format"):
+        committed_files(out)
+
+
+def test_q_export_compact_and_reshard_queries(spark, sf_dir):
+    """The declared queries run end-to-end (their invariants are
+    asserted inside) and return the expected manifest shapes."""
+    from zvdb_spark.queries.export import q_export_compact, q_export_reshard
+
+    assert q_export_compact(spark, sf_dir).count() == N_SHARDS
+    assert q_export_reshard(spark, sf_dir).count() == 8

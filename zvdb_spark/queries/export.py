@@ -250,7 +250,17 @@ def append_shards(
 def _check_layout_n(
     out_dir: str, n_shards: int | None, caller: str
 ) -> int:
+    import os
+
     layout_n = read_layout_manifest(out_dir)["n_shards"]
+    if os.path.isdir(_commits_dir(out_dir)):
+        log_n = _log_n_shards(out_dir)
+        if log_n is not None and log_n != layout_n:
+            raise ValueError(
+                f"layout manifest at {out_dir} says {layout_n} shards "
+                f"but the live reshard commit says {log_n} — an "
+                "interrupted reshard; run repair_layout first"
+            )
     if n_shards is None:
         return layout_n
     if n_shards != layout_n:
@@ -299,6 +309,13 @@ def _ranked_batch(
 # argument, reduced to the one artifact this engine exports.
 
 _COMMIT_FORMAT = 1
+# Format 2 adds the optional "replaces" field (compaction/reshard
+# commits supersede the commits they list — see committed_files) and
+# the optional "n_shards" field (reshard commits record the new shard
+# count so repair_layout can restore an interrupted manifest swap).
+# Format-1 commits remain readable forever; the format integer fences
+# only INCOMPATIBLE future layouts.
+_COMMIT_FORMATS = frozenset({1, 2})
 
 
 def _commits_dir(out_dir: str) -> str:
@@ -319,15 +336,28 @@ def _data_files(out_dir: str) -> list[str]:
     )
 
 
-def _write_commit(out_dir: str, name: str, files: list[str]) -> None:
+def _write_commit(
+    out_dir: str,
+    name: str,
+    files: list[str],
+    replaces: list[str] | None = None,
+    n_shards: int | None = None,
+) -> None:
     import json
     import os
 
+    man: dict = {"format": _COMMIT_FORMAT, "files": files}
+    if replaces is not None or n_shards is not None:
+        man["format"] = 2
+        if replaces is not None:
+            man["replaces"] = sorted(replaces)
+        if n_shards is not None:
+            man["n_shards"] = int(n_shards)
     cd = _commits_dir(out_dir)
     os.makedirs(cd, exist_ok=True)
     path = os.path.join(cd, f"{name}.json")
     with open(path + ".tmp", "w") as f:
-        json.dump({"format": _COMMIT_FORMAT, "files": files}, f)
+        json.dump(man, f)
     os.replace(path + ".tmp", path)
 
 
@@ -361,10 +391,9 @@ def init_commit_log(out_dir: str) -> None:
     _write_commit(out_dir, "base", _data_files(out_dir))
 
 
-def committed_files(out_dir: str) -> list[str] | None:
-    """Union of every commit's file list, or None when the layout has
-    no log (plain write_shards/append_shards layout — all files are
-    implicitly committed)."""
+def _read_commits(out_dir: str) -> list[tuple[str, dict]] | None:
+    """(name, manifest) for every commit json, sorted by name, or None
+    when the layout has no log. Validates the format fence."""
     import glob
     import json
     import os
@@ -372,16 +401,38 @@ def committed_files(out_dir: str) -> list[str] | None:
     cd = _commits_dir(out_dir)
     if not os.path.isdir(cd):
         return None
-    files: list[str] = []
+    out: list[tuple[str, dict]] = []
     for c in sorted(glob.glob(os.path.join(cd, "*.json"))):
         with open(c) as f:
             man = json.load(f)
-        if man.get("format") != _COMMIT_FORMAT:
+        if man.get("format") not in _COMMIT_FORMATS:
             raise ValueError(
                 f"commit {c} has format {man.get('format')!r}; this "
-                f"build reads {_COMMIT_FORMAT}"
+                f"build reads {sorted(_COMMIT_FORMATS)}"
             )
-        files.extend(man["files"])
+        out.append((os.path.splitext(os.path.basename(c))[0], man))
+    return out
+
+
+def committed_files(out_dir: str) -> list[str] | None:
+    """Union of every LIVE commit's file list, or None when the layout
+    has no log (plain write_shards/append_shards layout — all files
+    are implicitly committed). A commit named in another commit's
+    ``replaces`` list is superseded (compaction/reshard rewrote its
+    rows): its data files drop out of the committed view, but its json
+    stays on disk forever — it is the replay fence that keeps a
+    redelivered batch_id a no-op even after its rows were compacted
+    away."""
+    commits = _read_commits(out_dir)
+    if commits is None:
+        return None
+    replaced: set[str] = set()
+    for _, man in commits:
+        replaced.update(man.get("replaces", ()))
+    files: list[str] = []
+    for name, man in commits:
+        if name not in replaced:
+            files.extend(man["files"])
     return sorted(set(files))
 
 
@@ -457,6 +508,197 @@ def vacuum_uncommitted(out_dir: str) -> list[str]:
     return orphans
 
 
+# --------------------- compaction + reshard (layout maintenance)
+#
+# A streaming-appended layout accumulates one small file per shard per
+# micro-batch — the classic lakehouse small-file problem (at 100 TB a
+# loader opening a shard would touch thousands of row groups, and the
+# driver's file listing grows without bound). compact_shards is the
+# OPTIMIZE analog: rewrite each shard's committed rows into ONE
+# pos-sorted file and swap atomically through the log — a format-2
+# commit whose "replaces" list supersedes every prior commit, so the
+# swap is a single os.replace; a crash before it leaves only
+# vacuumable orphans, never a double-counted row. reshard_double is
+# the scale-out analog: because membership is H(id) mod N, doubling N
+# REFINES the hash classes (h mod 2N determines h mod N), so every new
+# shard inherits from exactly one old shard — order carries over by
+# old pos and the operation is shard-local (at 100 TB it can run one
+# old shard at a time, each partition-pruned); contrast mod 3N, where
+# every row's membership is re-drawn and the whole corpus re-shuffles.
+
+
+def _live_commit_names(out_dir: str) -> list[str]:
+    commits = _read_commits(out_dir) or []
+    replaced: set[str] = set()
+    for _, man in commits:
+        replaced.update(man.get("replaces", ()))
+    return [n for n, _ in commits if n not in replaced]
+
+
+def _next_seq_name(out_dir: str, prefix: str) -> str:
+    """Sortable sequence name for maintenance commits (single writer
+    assumed, like the rest of the log layer)."""
+    import glob
+    import os
+
+    existing = glob.glob(
+        os.path.join(_commits_dir(out_dir), f"{prefix}-*.json")
+    )
+    return f"{prefix}-{len(existing) + 1:06d}"
+
+
+def _require_log(out_dir: str, caller: str) -> None:
+    import os
+
+    _require_local_path(out_dir, caller)
+    if not os.path.isdir(_commits_dir(out_dir)):
+        raise ValueError(
+            f"no commit log at {out_dir}; {caller} swaps the layout "
+            "through the log — call init_commit_log first"
+        )
+
+
+def _log_n_shards(out_dir: str) -> int | None:
+    """The shard count recorded by the live reshard commit, or None
+    when no live commit carries one (layout manifest is authoritative).
+    More than one live n_shards-bearing commit means a corrupted log
+    (every reshard replaces all predecessors)."""
+    commits = _read_commits(out_dir) or []
+    live = set(_live_commit_names(out_dir))
+    ns = [
+        man["n_shards"]
+        for name, man in commits
+        if name in live and "n_shards" in man
+    ]
+    if len(ns) > 1:
+        raise ValueError(
+            f"commit log at {out_dir} holds {len(ns)} live reshard "
+            "commits — corrupted log"
+        )
+    return int(ns[0]) if ns else None
+
+
+def repair_layout(out_dir: str) -> int:
+    """Recover from a crash between a reshard's commit and its layout-
+    manifest swap: rewrite _layout.json from the live reshard commit's
+    n_shards. Idempotent; returns the (possibly unchanged) shard
+    count."""
+    _require_log(out_dir, "repair_layout")
+    n = _log_n_shards(out_dir)
+    if n is None:
+        return read_layout_manifest(out_dir)["n_shards"]
+    if read_layout_manifest(out_dir)["n_shards"] != n:
+        _write_layout_manifest(out_dir, n)
+    return n
+
+
+def compact_shards(spark: SparkSession, out_dir: str) -> dict:
+    """Rewrite the committed layout into one pos-sorted file per shard
+    and commit the swap atomically (format-2 "replaces" commit). The
+    superseded files become vacuumable orphans; the superseded commit
+    JSONS stay — they remain the batch_id replay fence. Readers see
+    either the old committed view or the new one, never a mixture.
+
+    One shuffle (repartition on shard), driver never holds rows.
+    Returns {"files_before", "files_after", "replaced_commits",
+    "reclaimable"}; pos, membership, and the manifest checksums are
+    invariant by construction (the rows are copied, not recomputed) —
+    pinned by tests/test_export.py."""
+    _require_log(out_dir, "compact_shards")
+    live_before = _live_commit_names(out_dir)
+    files_before = committed_files(out_dir)
+    if not files_before:
+        raise ValueError(f"nothing committed to compact at {out_dir}")
+    n_shards = read_layout_manifest(out_dir)["n_shards"]
+    disk_before = set(_data_files(out_dir))
+    (
+        read_committed(spark, out_dir)
+        .select("shard", "pos", "doc_id", "lang", "text", "h1")
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("append")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    new_files = sorted(set(_data_files(out_dir)) - disk_before)
+    _write_commit(
+        out_dir,
+        _next_seq_name(out_dir, "compact"),
+        new_files,
+        replaces=live_before,
+    )
+    return {
+        "files_before": len(files_before),
+        "files_after": len(new_files),
+        "replaced_commits": live_before,
+        "reclaimable": sorted(set(files_before) - set(new_files)),
+    }
+
+
+def reshard_double(spark: SparkSession, out_dir: str) -> dict:
+    """Double the layout's shard count in place: shard' = H mod 2N.
+    Power-of-two growth is the only growth that SPLITS shards instead
+    of re-drawing membership — h mod 2N lands in {m, m+N} for old
+    shard m = h mod N, so each new shard reads exactly one old shard
+    and per-shard order carries over (new pos = rank by old pos).
+    The swap is one format-2 commit (replaces all live commits,
+    records the new n_shards) followed by the layout-manifest rewrite;
+    a crash between the two is detected by _check_layout_n and healed
+    by repair_layout. Returns {"n_shards_before", "n_shards_after",
+    "files_after"}."""
+    _require_log(out_dir, "reshard_double")
+    old_n = repair_layout(out_dir)  # heal any interrupted predecessor
+    new_n = 2 * old_n
+    live_before = _live_commit_names(out_dir)
+    if not committed_files(out_dir):
+        raise ValueError(f"nothing committed to reshard at {out_dir}")
+    disk_before = set(_data_files(out_dir))
+    src = read_committed(spark, out_dir).select(
+        "shard", "pos", "doc_id", "lang", "text", "h1"
+    )
+    # old pos is unique within the old shard, hence within each new
+    # shard (one parent each) — the rank is deterministic
+    wr = W.partitionBy("shard2").orderBy("pos")
+    resharded = (
+        src.withColumn(
+            "shard2", F.pmod(F.col("h1"), F.lit(new_n)).cast("int")
+        )
+        .withColumn("pos2", F.row_number().over(wr))
+        .select(
+            F.col("shard2").alias("shard"),
+            F.col("pos2").alias("pos"),
+            "doc_id",
+            "lang",
+            "text",
+            "h1",
+        )
+    )
+    resharded.write.mode("append").partitionBy("shard").parquet(out_dir)
+    new_files = sorted(set(_data_files(out_dir)) - disk_before)
+    _write_commit(
+        out_dir,
+        _next_seq_name(out_dir, "reshard"),
+        new_files,
+        replaces=live_before,
+        n_shards=new_n,
+    )
+    _write_layout_manifest(out_dir, new_n)
+    return {
+        "n_shards_before": old_n,
+        "n_shards_after": new_n,
+        "files_after": len(new_files),
+    }
+
+
+def _scratch(spark: SparkSession) -> str | None:
+    """Scratch root for declared queries that materialize a layout:
+    ``zvdb.export.scratch`` conf key when set, else driver-local temp
+    (the local default assumes a single-node / shared filesystem; on a
+    multi-node deployment set the conf key to a cluster-visible path —
+    the same assumption class as the Spark warehouse dir)."""
+    return spark.conf.get("zvdb.export.scratch", None)
+
+
 @register(
     "q_export_shards",
     oracle=None,  # past the driver cap; DuckDB parity via
@@ -481,7 +723,7 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    scratch = spark.conf.get("zvdb.export.scratch", None)
+    scratch = _scratch(spark)
     out = tempfile.mkdtemp(prefix="zvdb_export_", dir=scratch or None)
     try:
         sharded_export(spark, sf_dir, out)
@@ -540,7 +782,7 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_zorder_layout,
     )
 
-    scratch = spark.conf.get("zvdb.export.scratch", None)
+    scratch = _scratch(spark)
     out = tempfile.mkdtemp(prefix="zvdb_zorder_", dir=scratch or None)
     try:
         ev = load(spark, sf_dir, "events").select(
@@ -560,5 +802,157 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type")
             .localCheckpoint(eager=True)
         )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _manifest_rows(df: DataFrame) -> list[tuple]:
+    return sorted(
+        tuple(r) for r in df.select(
+            "shard", "n_docs", "id_sum", "order_checksum"
+        ).collect()
+    )
+
+
+@register(
+    "q_export_compact",
+    oracle=None,  # past the driver cap; invariants asserted inside +
+    # tests/test_export.py (manifest invariance, crash/vacuum, replay
+    # fence survival)
+    tags=("export", "maintenance", "pipeline"),
+)
+def q_export_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-layout compaction (the lakehouse OPTIMIZE analog): a base
+    export absorbs two transactional appends (one small file per shard
+    per batch — the small-file problem), then compact_shards rewrites
+    each shard's committed rows into ONE pos-sorted file and swaps
+    atomically through the commit log. Asserted inside: the committed
+    per-shard manifest (membership + full permutation checksum) is
+    bit-identical before and after the swap, vacuum reclaims exactly
+    the superseded files, and each shard is one file afterwards.
+    Returns the post-compaction committed manifest. Rows-only check:
+    layout maintenance is not SQL-expressible."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="zvdb_compact_", dir=_scratch(spark))
+    try:
+        docs = load(spark, sf_dir, "documents")
+        write_shards(docs.filter(F.col("doc_id") % 3 == 0), out)
+        init_commit_log(out)
+        append_shards_tx(
+            spark, out, docs.filter(F.col("doc_id") % 3 == 1), 1
+        )
+        append_shards_tx(
+            spark, out, docs.filter(F.col("doc_id") % 3 == 2), 2
+        )
+        before = _manifest_rows(committed_manifest(spark, out))
+        stats = compact_shards(spark, out)
+        removed = vacuum_uncommitted(out)
+        if sorted(removed) != stats["reclaimable"]:
+            raise AssertionError(
+                f"vacuum removed {removed}, compaction superseded "
+                f"{stats['reclaimable']}"
+            )
+        per_shard = {
+            d: len(glob.glob(os.path.join(d, "*.parquet")))
+            for d in glob.glob(os.path.join(out, "shard=*"))
+        }
+        if any(n != 1 for n in per_shard.values()):
+            raise AssertionError(
+                f"compaction left multi-file shards: {per_shard}"
+            )
+        after_df = committed_manifest(spark, out).localCheckpoint(
+            eager=True
+        )
+        if _manifest_rows(after_df) != before:
+            raise AssertionError(
+                "compaction changed the committed manifest — the "
+                "permutation was not preserved"
+            )
+        return after_df
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "q_export_reshard",
+    oracle=None,  # past the driver cap; invariants asserted inside +
+    # tests/test_export.py (refinement, order carry-over, interrupted-
+    # swap repair)
+    tags=("export", "maintenance", "pipeline"),
+)
+def q_export_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two shard-count growth: reshard_double splits every
+    shard of a 4-shard layout into two 8-shard children (h mod 8
+    refines h mod 4 — membership is never re-drawn, so each new shard
+    reads exactly one parent and order carries over by old pos).
+    Asserted inside: every row's new shard is H(id) mod 8 and folds
+    back to its parent mod 4, per-parent doc counts and id-sums are
+    conserved, pos is gapless per new shard, and appends route by the
+    NEW count afterwards. Returns the post-reshard committed manifest
+    (8 rows). Rows-only check: layout maintenance is not
+    SQL-expressible."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="zvdb_reshard_", dir=_scratch(spark))
+    try:
+        docs = load(spark, sf_dir, "documents")
+        write_shards(docs, out, n_shards=4)
+        init_commit_log(out)
+        old = {
+            r["shard"]: (r["n_docs"], r["id_sum"])
+            for r in committed_manifest(spark, out).collect()
+        }
+        stats = reshard_double(spark, out)
+        if (stats["n_shards_before"], stats["n_shards_after"]) != (4, 8):
+            raise AssertionError(f"unexpected reshard stats: {stats}")
+        back = read_committed(spark, out)
+        bad = back.filter(
+            (F.pmod(F.col("h1"), F.lit(8)) != F.col("shard"))
+            | (F.pmod(F.col("shard"), F.lit(4)).cast("long")
+               != F.pmod(F.col("h1"), F.lit(4)))
+        ).count()
+        if bad:
+            raise AssertionError(
+                f"{bad} rows violate the mod-8-refines-mod-4 invariant"
+            )
+        child = (
+            back.groupBy(
+                F.pmod(F.col("shard"), F.lit(4)).alias("parent")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("doc_id").alias("id_sum"),
+            )
+            .collect()
+        )
+        for r in child:
+            if (r["n"], r["id_sum"]) != old[r["parent"]]:
+                raise AssertionError(
+                    f"parent {r['parent']} not conserved: "
+                    f"{(r['n'], r['id_sum'])} != {old[r['parent']]}"
+                )
+        # appends must route by the NEW count (the layout manifest was
+        # rewritten as the last step of the swap)
+        echo = docs.filter(F.col("doc_id") % 97 == 0).select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            "lang",
+            "text",
+        )
+        append_shards_tx(spark, out, echo, 1)
+        gaps = (
+            read_committed(spark, out)
+            .groupBy("shard")
+            .agg(F.count("*").alias("n"), F.max("pos").alias("mx"))
+            .filter(F.col("n") != F.col("mx"))
+            .count()
+        )
+        if gaps:
+            raise AssertionError(f"{gaps} shards have pos gaps")
+        return committed_manifest(spark, out).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)

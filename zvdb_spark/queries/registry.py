@@ -147,6 +147,8 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_layout_zorder",
     "q_table_stats",
     "q_agg_approx_percentile",
+    "q_export_compact",
+    "q_export_reshard",
 )
 
 
