@@ -787,3 +787,101 @@ def test_q_export_compact_and_reshard_queries(spark, sf_dir):
 
     assert q_export_compact(spark, sf_dir).count() == N_SHARDS
     assert q_export_reshard(spark, sf_dir).count() == 8
+
+
+def test_snapshot_reads_reproduce_each_commit(spark, sf_dir, tmp_path):
+    """Per-seq snapshot parity: seq 0 is the base permutation, each
+    append's seq adds exactly its batch rows, the latest snapshot
+    equals the committed view, and a later compaction does not rewrite
+    earlier history."""
+    from zvdb_spark.queries.export import (
+        compact_shards,
+        log_history,
+        read_snapshot,
+    )
+
+    _, out = _compacted_setup(spark, sf_dir, tmp_path)
+    before_compact = _perm(spark, out)
+    # snapshots captured per seq BEFORE compaction
+    snaps = {
+        s: {
+            (r.shard, r.pos): r.doc_id
+            for r in read_snapshot(spark, out, s)
+            .select("shard", "pos", "doc_id")
+            .collect()
+        }
+        for s in (0, 1, 2)
+    }
+    assert len(snaps[0]) < len(snaps[1]) < len(snaps[2])
+    assert snaps[2] == before_compact
+    # base rows keep their exact (shard, pos) slots in later snapshots
+    assert all(snaps[1][k] == v for k, v in snaps[0].items())
+    compact_shards(spark, out)
+    hist = log_history(out)
+    assert [h["seq"] for h in hist] == [0, 1, 2, 3]
+    assert [h["live"] for h in hist] == [False, False, False, True]
+    # history not rewritten by the compaction...
+    for s in (0, 1, 2):
+        got = {
+            (r.shard, r.pos): r.doc_id
+            for r in read_snapshot(spark, out, s)
+            .select("shard", "pos", "doc_id")
+            .collect()
+        }
+        assert got == snaps[s], f"seq {s} rewritten by compaction"
+    # ...and the latest snapshot equals the committed view
+    assert {
+        (r.shard, r.pos): r.doc_id
+        for r in read_snapshot(spark, out, 3)
+        .select("shard", "pos", "doc_id")
+        .collect()
+    } == before_compact
+
+
+def test_snapshot_before_compaction_raises_after_vacuum(
+    spark, sf_dir, tmp_path
+):
+    import pytest
+
+    from zvdb_spark.queries.export import (
+        compact_shards,
+        read_snapshot,
+        snapshot_files,
+        vacuum_uncommitted,
+    )
+
+    _, out = _compacted_setup(spark, sf_dir, tmp_path)
+    compact_shards(spark, out)
+    assert snapshot_files(out, 1)  # readable pre-vacuum
+    vacuum_uncommitted(out)
+    with pytest.raises(ValueError, match="vacuum"):
+        snapshot_files(out, 1)
+    # the latest snapshot (post-compaction) is unaffected
+    assert read_snapshot(spark, out, 3).count() > 0
+
+
+def test_snapshot_guards(spark, sf_dir, tmp_path):
+    import pytest
+
+    from zvdb_spark.queries.export import (
+        log_history,
+        snapshot_files,
+        write_shards,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = str(tmp_path / "nolog2")
+    write_shards(docs.limit(10), out)
+    with pytest.raises(ValueError, match="no commit log"):
+        log_history(out)
+    with pytest.raises(ValueError, match="no commit log"):
+        snapshot_files(out, 0)
+    _, logged = _tx_setup(spark, sf_dir, tmp_path)
+    with pytest.raises(ValueError, match="no commits at or before"):
+        snapshot_files(logged, -1)
+
+
+def test_q_export_time_travel_query(spark, sf_dir):
+    from zvdb_spark.queries.export import q_export_time_travel
+
+    assert q_export_time_travel(spark, sf_dir).count() == N_SHARDS

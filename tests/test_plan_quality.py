@@ -263,3 +263,62 @@ def test_decontaminate_single_training_scan(spark, sf_dir):
     n_doc_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert n_doc_scans == 2, f"{n_doc_scans} document scans:\n{plan}"
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injected_on_fact_side(spark, sf_dir):
+    """The 100 TB fact⋈selective-dim shape with broadcast off (the
+    regime where the dim side is too big to broadcast but still
+    selective): Catalyst's InjectRuntimeFilter must build a bloom
+    filter from the dim side's join keys and apply it as a
+    might_contain predicate on the fact side BEFORE the join's
+    shuffle — rows that cannot match never leave the scan stage. The
+    thresholds are lowered to make the small test corpus look like
+    that regime; the rewrite itself is what's pinned (plus result
+    invariance vs the unfiltered join)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+        "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        pt = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+            F.col("p_brand") == "Brand#23"
+        )
+        j = (
+            li.join(pt, li.l_partkey == pt.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        a = plan_audit(j)
+        assert "bloom_filter_agg" in a["plan"], a["plan"][:2000]
+        assert "might_contain" in a["plan"], a["plan"][:2000]
+        got = {tuple(r) for r in j.collect()}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # invariance: the runtime filter only prunes non-matching rows
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_brand") == "Brand#23"
+    )
+    want = {
+        tuple(r)
+        for r in li.join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum("l_quantity").alias("q"))
+        .collect()
+    }
+    assert got == want

@@ -353,6 +353,14 @@ def _write_commit(
             man["replaces"] = sorted(replaces)
         if n_shards is not None:
             man["n_shards"] = int(n_shards)
+    # monotone sequence number — the time-travel axis (single writer,
+    # like the rest of the log layer). The base commit predates the
+    # field and reads as seq 0; every later commit is strictly after.
+    prior = _read_commits(out_dir) or []
+    seq = 1 + max((m.get("seq", 0) for _, m in prior), default=0)
+    if prior:
+        man["format"] = 2
+        man["seq"] = seq
     cd = _commits_dir(out_dir)
     os.makedirs(cd, exist_ok=True)
     path = os.path.join(cd, f"{name}.json")
@@ -446,6 +454,86 @@ def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
         return spark.read.parquet(out_dir)
     if not files:
         raise ValueError(f"commit log at {out_dir} references no files")
+    return spark.read.option("basePath", out_dir).parquet(
+        *[os.path.join(out_dir, f) for f in files]
+    )
+
+
+def log_history(out_dir: str) -> list[dict]:
+    """The log's commit timeline, seq-ascending: one dict per commit
+    with name, seq, n_files, and whether it is still live. The seq
+    axis is what read_snapshot travels on."""
+    commits = _read_commits(out_dir)
+    if commits is None:
+        raise ValueError(f"no commit log at {out_dir}")
+    replaced: set[str] = set()
+    for _, man in commits:
+        replaced.update(man.get("replaces", ()))
+    return sorted(
+        (
+            {
+                "seq": man.get("seq", 0),
+                "name": name,
+                "n_files": len(man["files"]),
+                "live": name not in replaced,
+            }
+            for name, man in commits
+        ),
+        key=lambda r: (r["seq"], r["name"]),
+    )
+
+
+def snapshot_files(out_dir: str, as_of_seq: int) -> list[str]:
+    """The committed file list AS OF commit seq ``as_of_seq``: only
+    commits with seq <= as_of_seq participate, and only THEIR
+    "replaces" lists apply (a later compaction does not rewrite
+    history — time travel sees the pre-compaction files). Raises when
+    a referenced file was already vacuumed: snapshots are valid until
+    vacuum_uncommitted reclaims superseded files, exactly the
+    retention contract of the lakehouse formats this layer mirrors."""
+    import os
+
+    commits = _read_commits(out_dir)
+    if commits is None:
+        raise ValueError(f"no commit log at {out_dir}")
+    window = [
+        (name, man)
+        for name, man in commits
+        if man.get("seq", 0) <= as_of_seq
+    ]
+    if not window:
+        raise ValueError(
+            f"no commits at or before seq {as_of_seq} in {out_dir}"
+        )
+    replaced: set[str] = set()
+    for _, man in window:
+        replaced.update(man.get("replaces", ()))
+    files = sorted(
+        {
+            f
+            for name, man in window
+            if name not in replaced
+            for f in man["files"]
+        }
+    )
+    gone = [f for f in files if not os.path.exists(os.path.join(out_dir, f))]
+    if gone:
+        raise ValueError(
+            f"snapshot seq {as_of_seq} references {len(gone)} vacuumed "
+            f"file(s) (e.g. {gone[0]}) — history before the last "
+            "compaction is only readable until vacuum_uncommitted runs"
+        )
+    return files
+
+
+def read_snapshot(
+    spark: SparkSession, out_dir: str, as_of_seq: int
+) -> DataFrame:
+    """Time-travel read: the layout exactly as committed readers saw
+    it at commit seq ``as_of_seq`` (see snapshot_files)."""
+    import os
+
+    files = snapshot_files(out_dir, as_of_seq)
     return spark.read.option("basePath", out_dir).parquet(
         *[os.path.join(out_dir, f) for f in files]
     )
@@ -873,6 +961,79 @@ def q_export_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "permutation was not preserved"
             )
         return after_df
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "q_export_time_travel",
+    oracle=None,  # past the driver cap; invariants asserted inside +
+    # tests/test_export.py (per-seq snapshot parity, post-vacuum
+    # retention error)
+    tags=("export", "maintenance", "pipeline"),
+)
+def q_export_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel reads over the commit log: every commit carries a
+    monotone seq, and read_snapshot(seq) reproduces the layout exactly
+    as committed readers saw it then — a later compaction does not
+    rewrite history (its "replaces" list only applies to snapshots at
+    or after its own seq), and history stays readable until vacuum
+    reclaims the superseded files (the lakehouse retention contract).
+    Asserted inside: the seq-0 snapshot equals the base manifest
+    captured before any append, each append's seq adds exactly its
+    batch, the latest snapshot equals the committed view across a
+    compaction, and a pre-compaction snapshot raises after vacuum.
+    Returns the seq-0 snapshot manifest. Rows-only check: log
+    maintenance is not SQL-expressible."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="zvdb_tt_", dir=_scratch(spark))
+    try:
+        docs = load(spark, sf_dir, "documents")
+        write_shards(docs.filter(F.col("doc_id") % 3 == 0), out)
+        init_commit_log(out)
+        base = _manifest_rows(export_manifest(spark, out))
+        n_base = sum(r[1] for r in base)
+        b1 = docs.filter(F.col("doc_id") % 3 == 1)
+        b2 = docs.filter(F.col("doc_id") % 3 == 2)
+        append_shards_tx(spark, out, b1, 1)
+        append_shards_tx(spark, out, b2, 2)
+        compact_shards(spark, out)
+        hist = log_history(out)
+        seqs = [h["seq"] for h in hist]
+        if seqs != [0, 1, 2, 3]:
+            raise AssertionError(f"unexpected seq timeline: {hist}")
+        # materialize now: vacuum below reclaims the files this
+        # snapshot reads (that is the point of the final assertion)
+        snap0 = _manifest_agg(read_snapshot(spark, out, 0)).localCheckpoint(
+            eager=True
+        )
+        if _manifest_rows(snap0) != base:
+            raise AssertionError("seq-0 snapshot != base manifest")
+        n1 = read_snapshot(spark, out, 1).count()
+        if n1 != n_base + b1.count():
+            raise AssertionError(
+                f"seq-1 snapshot has {n1} rows, want base+batch1"
+            )
+        latest = _manifest_rows(
+            _manifest_agg(read_snapshot(spark, out, seqs[-1]))
+        )
+        if latest != _manifest_rows(committed_manifest(spark, out)):
+            raise AssertionError(
+                "latest snapshot != committed view across compaction"
+            )
+        vacuum_uncommitted(out)
+        try:
+            snapshot_files(out, 1)
+        except ValueError:
+            pass
+        else:
+            raise AssertionError(
+                "pre-compaction snapshot survived vacuum — retention "
+                "contract broken"
+            )
+        return snap0
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

@@ -149,6 +149,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_agg_approx_percentile",
     "q_export_compact",
     "q_export_reshard",
+    "q_export_time_travel",
 )
 
 
