@@ -1497,6 +1497,79 @@ def main() -> None:
             ),
         }
 
+    def _bench_layout_maintenance():
+        # The shard-layout maintenance ops (queries/export.py) timed on
+        # the sf corpus: compaction (multi-file shards -> one pos-sorted
+        # file each, atomic log swap), power-of-two reshard (h mod 2N
+        # refines h mod N — a split, not a reshuffle), and a time-travel
+        # snapshot read. At this SF the walls are job-overhead-bound
+        # (the corpus is small); the published numbers pin that the ops
+        # stay O(one shuffle) — files_before/after is the scale story.
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from zvdb_spark.queries.export import (
+            _data_files,
+            append_shards_tx,
+            compact_shards,
+            init_commit_log,
+            log_history,
+            read_committed,
+            read_snapshot,
+            reshard_double,
+            vacuum_uncommitted,
+            write_shards,
+        )
+        from zvdb_spark.sources.tables import load
+
+        out = tempfile.mkdtemp(prefix="zvdb_bench_layout_")
+        try:
+            docs = load(spark, SF_DIR, "documents")
+            n_docs = docs.count()
+            write_shards(docs.filter(F.col("doc_id") % 3 == 0), out)
+            init_commit_log(out)
+            append_shards_tx(
+                spark, out, docs.filter(F.col("doc_id") % 3 == 1), 1
+            )
+            append_shards_tx(
+                spark, out, docs.filter(F.col("doc_id") % 3 == 2), 2
+            )
+            files_before = len(_data_files(out))
+            t0 = time.perf_counter()
+            stats_c = compact_shards(spark, out)
+            compact_sec = time.perf_counter() - t0
+            vacuum_uncommitted(out)
+            t0 = time.perf_counter()
+            stats_r = reshard_double(spark, out)
+            reshard_sec = time.perf_counter() - t0
+            vacuum_uncommitted(out)
+            last_seq = log_history(out)[-1]["seq"]
+            t0 = time.perf_counter()
+            n_snap = read_snapshot(spark, out, last_seq).count()
+            snapshot_sec = time.perf_counter() - t0
+            if n_snap != n_docs or read_committed(spark, out).count() != n_docs:
+                raise AssertionError(
+                    f"row conservation broken: {n_snap} != {n_docs}"
+                )
+            timings["layout_compact"] = round(compact_sec, 3)
+            timings["layout_reshard"] = round(reshard_sec, 3)
+            result["layout_maintenance"] = {
+                "n_docs": int(n_docs),
+                "files_before_compact": files_before,
+                "files_after_compact": stats_c["files_after"],
+                "compact_sec": round(compact_sec, 3),
+                "compact_docs_per_s": round(n_docs / compact_sec, 1),
+                "n_shards_after_reshard": stats_r["n_shards_after"],
+                "files_after_reshard": stats_r["files_after"],
+                "reshard_sec": round(reshard_sec, 3),
+                "reshard_docs_per_s": round(n_docs / reshard_sec, 1),
+                "snapshot_read_sec": round(snapshot_sec, 3),
+            }
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
     # -- part 3: reference bench grid (dims x k) ---------------------
     # benchmarks/single_threaded_benchmarks.zig:28-33 defines the grid;
     # high dim is where the per-shard GEMM path shines (arithmetic
@@ -1572,6 +1645,7 @@ def main() -> None:
     _section("insert_build_family", _bench_insert_family)
     _section("skew_join", _bench_skew_join)
     _section("lsh_census_overhead", _bench_census_overhead)
+    _section("layout_maintenance", _bench_layout_maintenance)
     if GRID_ON:
         _section("grid", _bench_grid)
 
