@@ -661,3 +661,135 @@ def test_layout_overwrite_preserves_quantizer(spark, emb, tmp_path):
     write_ivf_layout(codes, path)  # in-place rewrite
     c2, b2 = load_ivf_quantizer(path)
     assert np.array_equal(c2, cents) and np.array_equal(b2, books)
+
+
+# --------------------- OPQ (Ge et al. 2013)
+
+
+def _correlated_corpus(n=1500, dim=64, seed=11):
+    """Anisotropic Gaussian mixed by a fixed dense rotation — the
+    regime plain PQ is blind to: strong directions smeared across
+    every coordinate subspace."""
+    rng = np.random.default_rng(seed)
+    scales = 1.0 / np.sqrt(1.0 + np.arange(dim))  # decaying spectrum
+    z = rng.standard_normal((n, dim)) * scales
+    q, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+    return z @ q
+
+
+def _corr_df(spark, mat):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(len(mat), dtype=np.int64),
+             "emb": list(mat.astype(np.float64))}
+        ),
+        schema="vec_id long, emb array<double>",
+    )
+
+
+def test_opq_rotation_is_orthogonal_and_deterministic(spark):
+    from zvdb_spark.operators.pq import opq_train
+
+    df = _corr_df(spark, _correlated_corpus())
+    rot1, books1 = opq_train(
+        df, m_sub=M_SUB, k_codes=16, n_iter=4, opq_iter=4, sample_n=800
+    )
+    assert np.allclose(rot1.T @ rot1, np.eye(rot1.shape[0]), atol=1e-8)
+    rot2, books2 = opq_train(
+        df, m_sub=M_SUB, k_codes=16, n_iter=4, opq_iter=4, sample_n=800
+    )
+    assert np.array_equal(rot1, rot2) and np.array_equal(books1, books2)
+
+
+def test_opq_cuts_quantization_error_on_correlated_corpus(spark):
+    """The training objective itself: on a corpus with cross-subspace
+    correlation, OPQ's rotated-space codes reconstruct with lower MSE
+    than plain PQ at the identical code budget."""
+    from zvdb_spark.operators.pq import _pq_reconstruct, opq_train
+
+    mat = _correlated_corpus()
+    df = _corr_df(spark, mat)
+    books_pq = pq_train(
+        df, m_sub=M_SUB, k_codes=16, n_iter=8, sample_n=1500
+    )
+    rot, books_opq = opq_train(
+        df, m_sub=M_SUB, k_codes=16, n_iter=8, opq_iter=6, sample_n=1500
+    )
+    mse_pq = ((mat - _pq_reconstruct(mat, books_pq)) ** 2).mean()
+    xr = mat @ rot
+    mse_opq = ((xr - _pq_reconstruct(xr, books_opq)) ** 2).mean()
+    # rotation is an isometry, so the two MSEs are directly comparable
+    assert mse_opq < 0.9 * mse_pq, (mse_opq, mse_pq)
+
+
+def test_opq_recall_at_least_matches_pq_on_correlated_corpus(spark):
+    from zvdb_spark.operators.pq import opq_encode, opq_train
+
+    mat = _correlated_corpus()
+    df = _corr_df(spark, mat).cache()
+    queries = mat[:40]
+    # exact ground truth
+    d = ((queries[:, None, :] - mat[None, :, :]) ** 2).sum(-1)
+    gt = {qi: set(np.argsort(d[qi])[:K]) for qi in range(len(queries))}
+
+    def _recall(top):
+        hits = 0
+        for r in top.collect():
+            if r.vec_id in gt[r.query_id]:
+                hits += 1
+        return hits / (len(queries) * K)
+
+    books_pq = pq_train(df, m_sub=M_SUB, k_codes=16, n_iter=8, sample_n=1500)
+    rot, books_opq = opq_train(
+        df, m_sub=M_SUB, k_codes=16, n_iter=8, opq_iter=6, sample_n=1500
+    )
+    r_pq = _recall(pq_search(pq_encode(df, books_pq), books_pq, queries, k=K))
+    r_opq = _recall(
+        pq_search(
+            opq_encode(df, rot, books_opq), books_opq, queries @ rot, k=K
+        )
+    )
+    assert r_opq >= r_pq, (r_opq, r_pq)
+    df.unpersist()
+
+
+def test_opq_save_load_roundtrip_and_guards(spark, tmp_path):
+    from zvdb_spark.operators.pq import load_opq, opq_train, save_opq
+
+    df = _corr_df(spark, _correlated_corpus(n=600))
+    rot, books = opq_train(
+        df, m_sub=M_SUB, k_codes=16, n_iter=4, opq_iter=3, sample_n=600
+    )
+    p = str(tmp_path / "opq")
+    save_opq(p, rot, books)
+    rot2, books2 = load_opq(p)
+    assert np.array_equal(rot, rot2) and np.array_equal(books, books2)
+    with pytest.raises(ValueError, match="square"):
+        save_opq(p, rot[:, :-1], books)
+    with pytest.raises(ValueError, match="codebook dim"):
+        save_opq(p, np.eye(32), books)
+
+
+def test_q_ann_opq_exact_rerank_contract(spark, sf_dir):
+    """The declared query returns K exactly-scored rows in rank order,
+    and its rank-1 neighbor is the true nearest (rerank_r=50 makes a
+    rank-1 miss on the test corpus a quantizer catastrophe, not
+    noise)."""
+    from zvdb_spark.functions.vector import as_double_array as _ada
+    from zvdb_spark.queries.ann import ANN_K, QUERY_VEC_ID, q_ann_opq
+
+    got = q_ann_opq(spark, sf_dir).collect()
+    assert len(got) == ANN_K
+    dists = [r.dist_sq for r in got]
+    assert dists == sorted(dists)
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _ada("embedding").alias("emb")
+    )
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.stack([np.asarray(r.emb, dtype=np.float64) for r in rows])
+    qv = mat[list(ids).index(QUERY_VEC_ID)]
+    exact_order = np.lexsort((ids, ((mat - qv) ** 2).sum(1)))
+    assert got[0].vec_id == ids[exact_order[0]]

@@ -777,3 +777,189 @@ def ivfpq_build(
         emb, cmat, books, id_col=id_col, vec_col=vec_col
     )
     return books, codes
+
+
+# --------------------- OPQ (optimized product quantization)
+#
+# Ge et al. 2013 (non-parametric OPQ): learn an orthogonal rotation R
+# so the rotated space's coordinate subspaces carry balanced,
+# decorrelated variance before PQ chops them up — plain PQ's blind
+# spot is cross-subspace correlation (a direction split across two
+# subspaces costs quantization error in both). Alternating
+# minimization on the driver-side hash sample: fit codebooks on X R,
+# reconstruct, solve the orthogonal Procrustes problem
+# min_R ||X R - Y||_F (SVD of X^T Y), repeat. Everything distributed
+# stays the existing PQ machinery: encode rotates inside the same
+# Arrow batch GEMM (one fused pass, no extra scan), search rotates
+# the probe batch driver-side (R is orthogonal, so ADC in rotated
+# space estimates the SAME squared-L2 the exact re-rank confirms).
+
+
+def _pq_reconstruct(xr: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Nearest-centroid reconstruction of an already-rotated sample —
+    the Y of the Procrustes step."""
+    m_sub, _, dsub = books.shape
+    out = np.empty_like(xr)
+    for m in range(m_sub):
+        xm = xr[:, m * dsub : (m + 1) * dsub]
+        c = books[m]
+        d = (
+            (xm * xm).sum(1)[:, None]
+            + (c * c).sum(1)[None, :]
+            - 2.0 * (xm @ c.T)
+        )
+        out[:, m * dsub : (m + 1) * dsub] = c[d.argmin(1)]
+    return out
+
+
+def opq_train(
+    emb: DataFrame,
+    m_sub: int,
+    k_codes: int = 256,
+    n_iter: int = 10,
+    opq_iter: int = 8,
+    sample_n: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+    n_rows: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fit (rotation, codebooks): R is (dim, dim) orthogonal, books
+    are PQ codebooks in the ROTATED space. Deterministic (identity
+    init, fixed iteration counts, the same hash sample as pq_train);
+    the inner codebook fits run short (4 Lloyd rounds) and the final
+    fit runs the full ``n_iter``."""
+    sample = hash_sample(
+        emb, sample_n, id_col=id_col, cols=(vec_col,), n_rows=n_rows
+    )
+    x = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    dim = x.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    rot = np.eye(dim)
+    for _ in range(int(opq_iter)):
+        books = _fit_codebooks(x @ rot, m_sub=m_sub, k_codes=k_codes, n_iter=4)
+        y = _pq_reconstruct(x @ rot, books)
+        u, _, vt = np.linalg.svd(x.T @ y)
+        rot = u @ vt
+    books = _fit_codebooks(
+        x @ rot, m_sub=m_sub, k_codes=k_codes, n_iter=n_iter
+    )
+    return rot, books
+
+
+def opq_encode(
+    emb: DataFrame,
+    rot: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+) -> DataFrame:
+    """PQ-encode in the rotated space: the rotation GEMM runs inside
+    the SAME Arrow batch as the per-subspace argmin (one fused pass
+    over the corpus, no extra scan or shuffle — delta over pq_encode
+    is one (batch x dim) @ (dim x dim) matmul per Arrow batch)."""
+    books = np.ascontiguousarray(codebooks)
+    r = np.ascontiguousarray(np.asarray(rot, dtype=np.float64))
+    m_sub, _, dsub = books.shape
+    if r.shape != (m_sub * dsub, m_sub * dsub):
+        raise ValueError(
+            f"rotation {r.shape} does not match codebook dim "
+            f"{m_sub * dsub}"
+        )
+    cnorm = (books * books).sum(2)
+
+    @F.pandas_udf("array<smallint>")
+    def _code(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy()).astype(np.float64) @ r
+        out = np.empty((mat.shape[0], m_sub), dtype=np.int16)
+        for m in range(m_sub):
+            xm = mat[:, m * dsub : (m + 1) * dsub]
+            d = cnorm[m][None, :] - 2.0 * (xm @ books[m].T)
+            out[:, m] = d.argmin(1).astype(np.int16)
+        return pd.Series(list(out))
+
+    return emb.select(F.col(id_col), _code(F.col(vec_col)).alias("code"))
+
+
+def opq_search_rerank(
+    codes: DataFrame,
+    corpus: DataFrame,
+    rot: np.ndarray,
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    rerank_r: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+) -> DataFrame:
+    """pq_search_rerank with the probe batch rotated driver-side for
+    the ADC pass (codes live in the rotated space) and the ORIGINAL
+    queries kept for the exact re-rank (the corpus floats are
+    unrotated; R orthogonal means both spaces rank by the same true
+    squared-L2, so the confirm stage needs no inverse rotation)."""
+    q = np.ascontiguousarray(queries, dtype=np.float64)
+    n_parts = max(1, codes.rdd.getNumPartitions())
+    cap = max(32, -(-2 * int(rerank_r) // n_parts))
+    cand = pq_search(
+        codes, codebooks, q @ np.asarray(rot, dtype=np.float64),
+        k=int(rerank_r), id_col=id_col, per_part_cap=cap,
+    ).select("query_id", id_col)
+    return exact_rerank(
+        cand, corpus, q, k=k, id_col=id_col, vec_col=vec_col,
+        cand_rows=len(q) * int(rerank_r),
+    )
+
+
+_OPQ_FORMAT = 1
+
+
+def save_opq(path: str, rot: np.ndarray, codebooks: np.ndarray) -> str:
+    """Persist the OPQ quantizer (rotation + rotated-space codebooks)
+    under ``path`` as ``_opq.npz`` + ``_opq.json`` — the same
+    underscore-hidden npz+manifest discipline as save_ivf_quantizer,
+    so a code layout directory carries everything a fresh session
+    needs to encode or probe it."""
+    import os
+
+    from zvdb_spark.operators.artifacts import save_npz_manifest
+
+    r = np.ascontiguousarray(np.asarray(rot, dtype=np.float64))
+    b = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float64))
+    if r.ndim != 2 or r.shape[0] != r.shape[1] or b.ndim != 3:
+        raise ValueError(
+            f"rotation must be square (dim, dim), codebooks "
+            f"(m, k, dsub); got {r.shape} and {b.shape}"
+        )
+    if r.shape[0] != b.shape[0] * b.shape[2]:
+        raise ValueError(
+            f"rotation dim {r.shape[0]} != codebook dim "
+            f"{b.shape[0] * b.shape[2]}"
+        )
+    os.makedirs(path, exist_ok=True)
+    save_npz_manifest(
+        os.path.join(path, "_opq.npz"),
+        os.path.join(path, "_opq.json"),
+        {"rot": r, "codebooks": b},
+        {
+            "format": _OPQ_FORMAT,
+            "dim": int(r.shape[0]),
+            "m_sub": int(b.shape[0]),
+            "k_codes": int(b.shape[1]),
+        },
+    )
+    return path
+
+
+def load_opq(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Read back (rotation, codebooks) written by save_opq."""
+    import os
+
+    from zvdb_spark.operators.artifacts import load_npz_manifest
+
+    arrays, _ = load_npz_manifest(
+        os.path.join(path, "_opq.npz"),
+        os.path.join(path, "_opq.json"),
+        _OPQ_FORMAT,
+        "OPQ quantizer",
+    )
+    return arrays["rot"], arrays["codebooks"]

@@ -436,3 +436,59 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round("dist_sq", 4).alias("dist_sq"), "rn")
         .orderBy("rn")
     )
+
+
+@register("q_ann_opq", oracle=None, tags=("ann", "pq", "opq"))
+def q_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimized PQ k-NN (operators/pq.py: opq_train/opq_encode/
+    opq_search_rerank, Ge et al. 2013): an orthogonal rotation learned
+    by alternating Lloyd's + Procrustes on the hash sample rebalances
+    variance across the PQ subspaces before the codes are cut — same
+    16-byte code budget as q_ann_pq, lower quantization error wherever
+    the corpus carries cross-subspace correlation (pytest pins the MSE
+    win on a correlated corpus and parity of everything else). Encode
+    fuses the rotation GEMM into the existing Arrow batch (one corpus
+    pass); search rotates only the probe batch driver-side and
+    re-ranks exactly in the original space.
+
+    The quantizer round-trips disk per call (save_opq/load_opq, the
+    artifacts.py npz+manifest discipline), so the declared artifact is
+    what a fresh session would compute from persisted state. Rows-only
+    at the driver (approximate candidate set); tests/test_pq.py pins
+    rotation orthogonality, determinism, save/load, and the
+    correlated-corpus MSE advantage."""
+    import shutil
+    import tempfile
+
+    from zvdb_spark.operators.pq import (
+        load_opq,
+        opq_encode,
+        opq_search_rerank,
+        opq_train,
+        save_opq,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    rot, books = opq_train(
+        e, m_sub=16, k_codes=64, n_iter=8, opq_iter=6, sample_n=4096
+    )
+    qdir = tempfile.mkdtemp(prefix="zvdb_opq_")
+    try:
+        save_opq(qdir, rot, books)
+        rot, books = load_opq(qdir)
+    finally:
+        shutil.rmtree(qdir, ignore_errors=True)
+    codes = opq_encode(e, rot, books)
+    import numpy as np
+
+    qvec = np.asarray(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).head()["emb"],
+        dtype=np.float64,
+    )[None, :]
+    return (
+        opq_search_rerank(codes, e, rot, books, qvec, k=ANN_K, rerank_r=50)
+        .select("vec_id", F.round("dist_sq", 4).alias("dist_sq"), "rn")
+        .orderBy("rn")
+    )

@@ -894,11 +894,12 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
-def _manifest_rows(df: DataFrame) -> list[tuple]:
-    return sorted(
-        tuple(r) for r in df.select(
-            "shard", "n_docs", "id_sum", "order_checksum"
-        ).collect()
+def _frames_equal(a: DataFrame, b: DataFrame) -> bool:
+    """Multiset equality of two (small) frames, computed distributed —
+    the queries below assert manifest invariance without ever
+    collecting table data to the driver."""
+    return (
+        a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
     )
 
 
@@ -936,7 +937,7 @@ def q_export_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_shards_tx(
             spark, out, docs.filter(F.col("doc_id") % 3 == 2), 2
         )
-        before = _manifest_rows(committed_manifest(spark, out))
+        before = committed_manifest(spark, out).localCheckpoint(eager=True)
         stats = compact_shards(spark, out)
         removed = vacuum_uncommitted(out)
         if sorted(removed) != stats["reclaimable"]:
@@ -955,7 +956,7 @@ def q_export_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         after_df = committed_manifest(spark, out).localCheckpoint(
             eager=True
         )
-        if _manifest_rows(after_df) != before:
+        if not _frames_equal(after_df, before):
             raise AssertionError(
                 "compaction changed the committed manifest — the "
                 "permutation was not preserved"
@@ -993,8 +994,8 @@ def q_export_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load(spark, sf_dir, "documents")
         write_shards(docs.filter(F.col("doc_id") % 3 == 0), out)
         init_commit_log(out)
-        base = _manifest_rows(export_manifest(spark, out))
-        n_base = sum(r[1] for r in base)
+        base = export_manifest(spark, out).localCheckpoint(eager=True)
+        n_base = base.agg(F.sum("n_docs")).first()[0]
         b1 = docs.filter(F.col("doc_id") % 3 == 1)
         b2 = docs.filter(F.col("doc_id") % 3 == 2)
         append_shards_tx(spark, out, b1, 1)
@@ -1009,17 +1010,15 @@ def q_export_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap0 = _manifest_agg(read_snapshot(spark, out, 0)).localCheckpoint(
             eager=True
         )
-        if _manifest_rows(snap0) != base:
+        if not _frames_equal(snap0, base):
             raise AssertionError("seq-0 snapshot != base manifest")
         n1 = read_snapshot(spark, out, 1).count()
         if n1 != n_base + b1.count():
             raise AssertionError(
                 f"seq-1 snapshot has {n1} rows, want base+batch1"
             )
-        latest = _manifest_rows(
-            _manifest_agg(read_snapshot(spark, out, seqs[-1]))
-        )
-        if latest != _manifest_rows(committed_manifest(spark, out)):
+        latest = _manifest_agg(read_snapshot(spark, out, seqs[-1]))
+        if not _frames_equal(latest, committed_manifest(spark, out)):
             raise AssertionError(
                 "latest snapshot != committed view across compaction"
             )
@@ -1064,10 +1063,11 @@ def q_export_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load(spark, sf_dir, "documents")
         write_shards(docs, out, n_shards=4)
         init_commit_log(out)
-        old = {
-            r["shard"]: (r["n_docs"], r["id_sum"])
-            for r in committed_manifest(spark, out).collect()
-        }
+        old = (
+            committed_manifest(spark, out)
+            .select("shard", "n_docs", "id_sum")
+            .localCheckpoint(eager=True)
+        )
         stats = reshard_double(spark, out)
         if (stats["n_shards_before"], stats["n_shards_after"]) != (4, 8):
             raise AssertionError(f"unexpected reshard stats: {stats}")
@@ -1081,22 +1081,17 @@ def q_export_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(
                 f"{bad} rows violate the mod-8-refines-mod-4 invariant"
             )
-        child = (
-            back.groupBy(
-                F.pmod(F.col("shard"), F.lit(4)).alias("parent")
-            )
-            .agg(
-                F.count("*").alias("n"),
-                F.sum("doc_id").alias("id_sum"),
-            )
-            .collect()
+        child = back.groupBy(
+            F.pmod(F.col("shard"), F.lit(4)).cast("long").alias("shard")
+        ).agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
         )
-        for r in child:
-            if (r["n"], r["id_sum"]) != old[r["parent"]]:
-                raise AssertionError(
-                    f"parent {r['parent']} not conserved: "
-                    f"{(r['n'], r['id_sum'])} != {old[r['parent']]}"
-                )
+        if not _frames_equal(child, old):
+            raise AssertionError(
+                "per-parent doc counts / id-sums not conserved by the "
+                "reshard split"
+            )
         # appends must route by the NEW count (the layout manifest was
         # rewritten as the last step of the swap)
         echo = docs.filter(F.col("doc_id") % 97 == 0).select(

@@ -150,6 +150,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_export_compact",
     "q_export_reshard",
     "q_export_time_travel",
+    "q_ann_opq",
 )
 
 
