@@ -151,6 +151,8 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_export_reshard",
     "q_export_time_travel",
     "q_ann_opq",
+    "q_text_bm25",
+    "q_hybrid_rrf",
 )
 
 
@@ -203,6 +205,7 @@ def _ensure_loaded() -> None:
         pipeline,
         profile,
         relational,
+        retrieval,
         sampling,
         scalar,
         setops,
