@@ -129,6 +129,8 @@ HEADLINE = [
     "q_export_shards",
     "q_layout_zorder",
     "q_table_stats",
+    "q_text_bm25",
+    "q_hybrid_rrf",
 ]
 
 
