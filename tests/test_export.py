@@ -885,3 +885,49 @@ def test_q_export_time_travel_query(spark, sf_dir):
     from zvdb_spark.queries.export import q_export_time_travel
 
     assert q_export_time_travel(spark, sf_dir).count() == N_SHARDS
+
+
+def test_vacuum_retention_window_keeps_recent_snapshots(
+    spark, sf_dir, tmp_path
+):
+    """vacuum(retain_last=1) keeps the pre-compaction snapshot
+    readable (the lakehouse retention window); a later plain vacuum
+    reclaims it. Crash orphans are removed regardless of retention."""
+    import glob
+    import os
+    import shutil
+
+    import pytest
+
+    from zvdb_spark.queries.export import (
+        compact_shards,
+        read_snapshot,
+        snapshot_files,
+        vacuum_uncommitted,
+    )
+
+    _, out = _compacted_setup(spark, sf_dir, tmp_path)
+    pre = _perm(spark, out)
+    compact_shards(spark, out)  # head seq 3; seq 2 = pre-compaction
+    # plant a crash orphan: must go even under retention
+    shard_dir = sorted(glob.glob(os.path.join(out, "shard=*")))[0]
+    src = glob.glob(os.path.join(shard_dir, "*.parquet"))[0]
+    orphan = os.path.join(shard_dir, "part-orphan-ret.parquet")
+    shutil.copyfile(src, orphan)
+    removed = vacuum_uncommitted(out, retain_last=1)
+    assert [os.path.basename(r) for r in removed] == [
+        "part-orphan-ret.parquet"
+    ]
+    # the retained snapshot still reproduces the pre-compaction state
+    got = {
+        (r.shard, r.pos): r.doc_id
+        for r in read_snapshot(spark, out, 2)
+        .select("shard", "pos", "doc_id")
+        .collect()
+    }
+    assert got == pre
+    # dropping retention reclaims history; the live view survives
+    assert vacuum_uncommitted(out)
+    with pytest.raises(ValueError, match="vacuum"):
+        snapshot_files(out, 2)
+    assert _perm(spark, out) == pre

@@ -576,17 +576,54 @@ def append_shards_tx(
     return True
 
 
-def vacuum_uncommitted(out_dir: str) -> list[str]:
-    """Delete data files no commit references (the leftovers of a
-    crash between a batch's data write and its commit), along with
-    their Hadoop ``.crc`` checksum sidecars. Returns the removed data
-    files' relative paths; a log-less layout is left untouched."""
+def _snapshot_files_no_check(
+    commits: list[tuple[str, dict]], as_of_seq: int
+) -> set[str]:
+    """snapshot_files' file-set computation without the on-disk
+    existence check — used by vacuum's retention math, where missing
+    files are precisely what is being decided."""
+    window = [
+        (name, man)
+        for name, man in commits
+        if man.get("seq", 0) <= as_of_seq
+    ]
+    replaced: set[str] = set()
+    for _, man in window:
+        replaced.update(man.get("replaces", ()))
+    return {
+        f
+        for name, man in window
+        if name not in replaced
+        for f in man["files"]
+    }
+
+
+def vacuum_uncommitted(out_dir: str, retain_last: int = 0) -> list[str]:
+    """Delete data files the committed view no longer references —
+    crash orphans (a data write whose commit never landed) and files
+    superseded by compaction/reshard — along with their Hadoop
+    ``.crc`` checksum sidecars. Returns the removed data files'
+    relative paths; a log-less layout is left untouched.
+
+    ``retain_last=N`` additionally protects every file some snapshot
+    within the last N commit seqs still references, so
+    ``read_snapshot`` keeps working that far back — the lakehouse
+    retention-window contract (Delta's ``VACUUM RETAIN``, reduced to
+    commit granularity). The default 0 retains only the live view:
+    history becomes unreadable, exactly as documented in
+    snapshot_files."""
     import os
 
     committed = committed_files(out_dir)
     if committed is None:
         return []
-    orphans = sorted(set(_data_files(out_dir)) - set(committed))
+    protected = set(committed)
+    if retain_last > 0:
+        commits = _read_commits(out_dir) or []
+        seqs = sorted({man.get("seq", 0) for _, man in commits})
+        for s in seqs[-(retain_last + 1):]:
+            protected |= _snapshot_files_no_check(commits, s)
+    orphans = sorted(set(_data_files(out_dir)) - protected)
     for rel in orphans:
         os.remove(os.path.join(out_dir, rel))
         d, base = os.path.split(os.path.join(out_dir, rel))
