@@ -931,3 +931,325 @@ def test_vacuum_retention_window_keeps_recent_snapshots(
     with pytest.raises(ValueError, match="vacuum"):
         snapshot_files(out, 2)
     assert _perm(spark, out) == pre
+
+
+# --------------------- round 11: multi-writer protocol
+
+
+def _gapless(spark, out):
+    """Committed per-shard pos is exactly 1..n (no gaps, no dups)."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import read_committed
+
+    bad = (
+        read_committed(spark, out)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("pos").alias("mx"),
+            F.count_distinct("pos").alias("nd"),
+        )
+        .filter((F.col("n") != F.col("mx")) | (F.col("n") != F.col("nd")))
+        .count()
+    )
+    return bad == 0
+
+
+def test_racing_appends_from_two_writers(spark, sf_dir, tmp_path):
+    """Two concurrent writers appending DISTINCT batches: the
+    put-if-absent protocol forces the loser of each seq race to
+    re-rank and retry, so the final committed view holds every batch
+    exactly once with a gapless per-shard permutation — equal to the
+    serial result's membership (pos interleaving may differ by race
+    order; the contract is the standing-state invariants, not a
+    global order)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import (
+        append_shards_tx,
+        log_history,
+        read_committed,
+    )
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    batches = {
+        i: odd.filter(F.col("doc_id") % 8 == b).localCheckpoint(eager=True)
+        for i, b in enumerate([1, 3, 5, 7], start=1)
+    }
+    results: dict[int, bool] = {}
+    errors: list[BaseException] = []
+
+    def run(ids):
+        try:
+            for i in ids:
+                results[i] = append_shards_tx(spark, out, batches[i], i)
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            errors.append(e)
+
+    t1 = threading.Thread(target=run, args=([1, 3],))
+    t2 = threading.Thread(target=run, args=([2, 4],))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    assert all(results[i] for i in batches), results
+    # every batch's rows landed exactly once
+    back = read_committed(spark, out)
+    n_base = docs.filter(F.col("doc_id") % 2 == 0).count()
+    assert back.count() == n_base + sum(b.count() for b in batches.values())
+    assert back.select("doc_id").distinct().count() == back.count()
+    assert _gapless(spark, out)
+    # the seq chain is dense — every commit saw its predecessors
+    seqs = [h["seq"] for h in log_history(out)]
+    assert seqs == list(range(len(seqs)))
+
+
+def test_racing_append_vs_compaction(spark, sf_dir, tmp_path):
+    """The first real deployment shape: streaming appends racing a
+    background compaction. Appends commute with compaction, so BOTH
+    writers succeed and the final committed view equals the serial
+    result (same rows, gapless pos, manifest intact)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import (
+        append_shards_tx,
+        compact_shards,
+        read_committed,
+    )
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    batches = {
+        i: odd.filter(F.col("doc_id") % 6 == b).localCheckpoint(eager=True)
+        for i, b in enumerate([1, 3, 5], start=1)
+    }
+    errors: list[BaseException] = []
+    stats: dict = {}
+
+    def appender():
+        try:
+            for i in batches:
+                assert append_shards_tx(spark, out, batches[i], i)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    def compactor():
+        try:
+            stats.update(compact_shards(spark, out))
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    t1 = threading.Thread(target=appender)
+    t2 = threading.Thread(target=compactor)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    assert stats["files_after"] >= 1
+    back = read_committed(spark, out)
+    n_base = docs.filter(F.col("doc_id") % 2 == 0).count()
+    assert back.count() == n_base + sum(b.count() for b in batches.values())
+    assert back.select("doc_id").distinct().count() == back.count()
+    assert _gapless(spark, out)
+
+
+def test_racing_same_batch_twins(spark, sf_dir, tmp_path):
+    """Two writers redelivering the SAME batch_id (the crashed-driver
+    twin): exactly one commit lands; the other call reports the
+    replay (False) — through the pre-fence or by losing the seq race
+    to its own label — and the rows appear once."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import append_shards_tx, read_committed
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    delta = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .limit(40)
+        .localCheckpoint(eager=True)
+    )
+    results: list[bool] = []
+    errors: list[BaseException] = []
+
+    def run():
+        try:
+            results.append(append_shards_tx(spark, out, delta, 7))
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [threading.Thread(target=run) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    assert sorted(results) == [False, True]
+    back = read_committed(spark, out)
+    assert back.select("doc_id").distinct().count() == back.count()
+    assert (
+        back.count()
+        == docs.filter(F.col("doc_id") % 2 == 0).count() + delta.count()
+    )
+
+
+def test_racing_compactions_both_converge(spark, sf_dir, tmp_path):
+    """compact vs compact is a real conflict (both would leave their
+    rewrite live — duplicate rows): the seq loser abandons its staged
+    files and recompacts from the winner's view, so both calls return
+    and the manifest is unchanged with no duplicated rows."""
+    import threading
+
+    from zvdb_spark.queries.export import (
+        compact_shards,
+        committed_manifest,
+        read_committed,
+    )
+
+    docs, out = _compacted_setup(spark, sf_dir, tmp_path)
+    before = committed_manifest(spark, out).localCheckpoint(eager=True)
+    n_before = read_committed(spark, out).count()
+    errors: list[BaseException] = []
+
+    def run():
+        try:
+            compact_shards(spark, out)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [threading.Thread(target=run) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    assert read_committed(spark, out).count() == n_before
+    after = committed_manifest(spark, out)
+    assert after.exceptAll(before).isEmpty()
+    assert before.exceptAll(after).isEmpty()
+
+
+def test_compaction_heals_interrupted_reshard(spark, sf_dir, tmp_path):
+    """Crash between a reshard's commit and its manifest swap, then a
+    compaction: compact_shards repairs the layout FIRST (it would
+    otherwise canonize the stale count) and carries n_shards forward
+    in its own commit, so the repair information survives the
+    replaces-swap and later appends route by the true count."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import (
+        _log_n_shards,
+        _write_layout_manifest,
+        append_shards_tx,
+        compact_shards,
+        init_commit_log,
+        read_committed,
+        read_layout_manifest,
+        reshard_double,
+        write_shards,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = str(tmp_path / "rs3")
+    write_shards(docs, out, n_shards=4)
+    init_commit_log(out)
+    reshard_double(spark, out)
+    # simulate the crash: manifest rolled back to the pre-swap count
+    _write_layout_manifest(out, 4)
+    compact_shards(spark, out)
+    # the compaction healed the manifest and preserved the repair
+    # information past the reshard commit it superseded
+    assert read_layout_manifest(out)["n_shards"] == 8
+    assert _log_n_shards(out) == 8
+    # appends route by the true count afterwards
+    delta = docs.limit(5).select(
+        (F.col("doc_id") + 40_000_000).alias("doc_id"), "lang", "text"
+    )
+    assert append_shards_tx(spark, out, delta, 1)
+    bad = (
+        read_committed(spark, out)
+        .filter(F.pmod(F.col("h1"), F.lit(8)) != F.col("shard"))
+        .count()
+    )
+    assert bad == 0
+    assert _gapless(spark, out)
+
+
+def test_incremental_reshard_equals_global(spark, sf_dir, tmp_path):
+    """reshard_double(incremental=True) — one partition-pruned job
+    per OLD shard, the 100 TB execution path — produces a committed
+    manifest bit-identical (membership AND permutation checksum) to
+    the single-window global mode."""
+    from zvdb_spark.queries.export import (
+        committed_manifest,
+        init_commit_log,
+        reshard_double,
+        write_shards,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    outs = {}
+    for mode in ("global", "incr"):
+        out = str(tmp_path / f"rs-{mode}")
+        write_shards(docs, out, n_shards=4)
+        init_commit_log(out)
+        stats = reshard_double(spark, out, incremental=(mode == "incr"))
+        assert stats["n_shards_after"] == 8
+        outs[mode] = committed_manifest(spark, out).localCheckpoint(
+            eager=True
+        )
+    assert outs["global"].exceptAll(outs["incr"]).isEmpty()
+    assert outs["incr"].exceptAll(outs["global"]).isEmpty()
+
+
+def test_vacuum_under_concurrent_reader_fails_loudly(
+    spark, sf_dir, tmp_path
+):
+    """A snapshot reader whose files are reclaimed mid-read fails
+    LOUDLY, never returns silently-partial rows: the session keeps
+    ignoreMissingFiles off, so the scan of a vacuumed file raises."""
+    import pytest
+
+    from zvdb_spark.queries.export import (
+        compact_shards,
+        read_snapshot,
+        vacuum_uncommitted,
+    )
+
+    # silent row-dropping on missing files must stay off — the whole
+    # fail-loudly contract rests on this conf
+    assert (
+        spark.conf.get("spark.sql.files.ignoreMissingFiles", "false")
+        == "false"
+    )
+    _, out = _compacted_setup(spark, sf_dir, tmp_path)
+    pre = read_snapshot(spark, out, 1)  # plan pinned to pre-compaction files
+    n_pre = pre.count()  # completes fine before the vacuum
+    assert n_pre > 0
+    compact_shards(spark, out)
+    vacuum_uncommitted(out)  # reclaims the files `pre` reads
+    with pytest.raises(Exception, match="(?i)file|exist|FileNotFound"):
+        pre.count()
+
+
+def test_vacuum_sweeps_stale_staging_dirs_only(spark, sf_dir, tmp_path):
+    """A crashed writer's hour-old _staging-* dir is reclaimed; a
+    fresh one (a LIVE writer mid-flight) is left alone."""
+    import os
+    import time
+
+    from zvdb_spark.queries.export import vacuum_uncommitted
+
+    _, out = _tx_setup(spark, sf_dir, tmp_path)
+    stale = os.path.join(out, "_staging-deadbeef")
+    fresh = os.path.join(out, "_staging-cafef00d")
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    vacuum_uncommitted(out)
+    assert not os.path.isdir(stale)
+    assert os.path.isdir(fresh)

@@ -218,33 +218,66 @@ def append_shards(
     standing layout would silently violate shard = H(id) mod N for
     every appended doc, so an explicit mismatch raises."""
     import os
+    import uuid
 
-    n_shards = _check_layout_n(out_dir, n_shards, "append_shards")
-    logged = os.path.isdir(_commits_dir(out_dir))
-    before = _data_files(out_dir)
-    ranked = _ranked_batch(
-        # on a logged layout rank against the COMMITTED view, so a
-        # crash orphan can never shift the permutation (same rule as
-        # append_shards_tx)
-        read_committed(spark, out_dir) if logged
-        else spark.read.parquet(out_dir),
-        new_docs,
-        n_shards,
-    )
-    (
+    if not os.path.isdir(_commits_dir(out_dir)):
+        n = _check_layout_n(out_dir, n_shards, "append_shards")
+        ranked = _ranked_batch(
+            spark.read.parquet(out_dir), new_docs, n
+        )
         ranked.write.mode("append").partitionBy("shard").parquet(out_dir)
-    )
+        return ranked
     # A logged layout must never hold data files no commit references
     # — vacuum_uncommitted would DELETE a plain append's rows as crash
     # orphans. A plain append to a logged layout therefore commits
-    # itself (under a uuid name: there is no batch_id to fence on —
+    # itself (under a uuid label: there is no batch_id to fence on —
     # use append_shards_tx when redelivery fencing is the point).
-    if logged:
-        import uuid
-
-        new_files = sorted(set(_data_files(out_dir)) - set(before))
-        _write_commit(out_dir, f"plain-{uuid.uuid4().hex[:12]}", new_files)
+    # Ranked against the COMMITTED view, so a crash orphan can never
+    # shift the permutation (same rule as append_shards_tx), and
+    # published through the same conflict-checked protocol.
+    ranked, _ = _append_committed(
+        spark, out_dir, new_docs, n_shards,
+        f"plain-{uuid.uuid4().hex[:12]}", "append_shards",
+    )
     return ranked
+
+
+def _append_committed(
+    spark: SparkSession,
+    out_dir: str,
+    new_docs: DataFrame,
+    n_shards: int | None,
+    label: str,
+    caller: str,
+    max_attempts: int = 5,
+) -> tuple[DataFrame, str | None]:
+    """The shared logged-append transaction: snapshot the log, rank
+    the batch against the committed view, stage-write the files, and
+    publish. An append commutes with a concurrent compaction (pos is
+    untouched) but conflicts with a concurrent append or reshard —
+    then the staged files are abandoned as vacuumable orphans and the
+    whole attempt re-runs from a fresh snapshot (layout re-checked,
+    pos re-ranked). Returns (ranked frame, committed name) — name
+    None when a twin carrying the same label won (replay)."""
+    last: CommitConflict | None = None
+    for _ in range(max_attempts):
+        n = _check_layout_n(out_dir, n_shards, caller)
+        commits = _read_commits(out_dir) or []
+        ranked = _ranked_batch(
+            _read_files_df(spark, out_dir, _live_files_from(commits)),
+            new_docs,
+            n,
+        )
+        new_files = _stage_write(ranked, out_dir)
+        try:
+            name = _publish_commit(
+                out_dir, label, new_files, snapshot=commits
+            )
+        except CommitConflict as e:
+            last = e
+            continue
+        return ranked, name
+    raise last  # type: ignore[misc]
 
 
 def _check_layout_n(
@@ -298,24 +331,69 @@ def _ranked_batch(
 # FileStreamSink and the lakehouse formats do: data files land under
 # their final partition dirs with unique names, but a batch only
 # EXISTS once its file list is atomically recorded in
-# _commits/<batch_id>.json. Readers (read_committed /
-# committed_manifest) resolve the layout from the log, so a crash
-# between the data write and the commit leaves invisible orphans
-# (reclaimed by vacuum_uncommitted), never duplicate rows; a retried
-# batch_id is a no-op because its commit already exists. Single
-# writer assumed (Structured Streaming's foreachBatch guarantees
-# serial batch ids per query); at 100 TB the log also spares the
-# driver a full recursive listing — exactly the Delta/Iceberg
-# argument, reduced to the one artifact this engine exports.
+# _commits/<seq>.json. Readers (read_committed / committed_manifest)
+# resolve the layout from the log, so a crash between the data write
+# and the commit leaves invisible orphans (reclaimed by
+# vacuum_uncommitted), never duplicate rows; a retried batch_id is a
+# no-op because a commit carrying its label already exists.
+# MULTI-WRITER SAFE since round 11: commits are published by
+# put-if-absent on the seq-named file (_publish_commit — the
+# Delta/Iceberg optimistic-concurrency protocol, public), data files
+# are positively attributed through staged writes (_stage_write), and
+# losers of a non-commuting race retry from a fresh snapshot
+# (appends re-rank; maintenance recomputes). At 100 TB the log also
+# spares the driver a full recursive listing — exactly the
+# Delta/Iceberg argument, reduced to the one artifact this engine
+# exports.
 
-_COMMIT_FORMAT = 1
+_COMMIT_FORMAT = 2
 # Format 2 adds the optional "replaces" field (compaction/reshard
-# commits supersede the commits they list — see committed_files) and
-# the optional "n_shards" field (reshard commits record the new shard
-# count so repair_layout can restore an interrupted manifest swap).
-# Format-1 commits remain readable forever; the format integer fences
-# only INCOMPATIBLE future layouts.
+# commits supersede the commits they list — see committed_files), the
+# optional "n_shards" field (maintenance commits record the layout's
+# shard count so repair_layout can restore an interrupted manifest
+# swap), and — since the multi-writer protocol — the "label" and
+# "seq" fields every new commit carries. Format-1 commits remain
+# readable forever; the format integer fences only INCOMPATIBLE
+# future layouts.
 _COMMIT_FORMATS = frozenset({1, 2})
+
+
+class CommitConflict(RuntimeError):
+    """A concurrent, non-commuting commit landed between this
+    writer's log snapshot and its publication attempt (see
+    _CONFLICTS for the commute matrix). The loser's staged data
+    files are crash orphans — invisible to committed readers and
+    reclaimed by vacuum_uncommitted; callers retry from a fresh
+    snapshot (appends re-rank, maintenance recomputes)."""
+
+
+def _commit_kind(label: str) -> str:
+    """Conflict-matrix class of a commit label: appends add rows
+    (labels ``b<batch>``/``plain-*``/legacy digit names), compact
+    rewrites the live rows in place, reshard re-draws the layout."""
+    if label == "base":
+        return "base"
+    if label.startswith("compact"):
+        return "compact"
+    if label.startswith("reshard"):
+        return "reshard"
+    return "append"
+
+
+# Which concurrent winner kinds force the named kind to abort and
+# retry from a fresh snapshot. Appends commute with compaction (a
+# compaction never changes per-shard max pos and never replaces a
+# commit it did not see), so an append that loses only to a compact
+# simply advances to the next seq. Every other pair is a real
+# conflict: append↔append can mint colliding pos, compact↔compact
+# would leave both rewrites live (duplicate rows), and a reshard
+# invalidates everyone's routing.
+_CONFLICTS = {
+    "append": {"append", "reshard", "base"},
+    "compact": {"compact", "reshard", "base"},
+    "reshard": {"append", "compact", "reshard", "base"},
+    "base": {"append", "compact", "reshard", "base"},
+}
 
 
 def _commits_dir(out_dir: str) -> str:
@@ -336,37 +414,86 @@ def _data_files(out_dir: str) -> list[str]:
     )
 
 
-def _write_commit(
+def _publish_commit(
     out_dir: str,
-    name: str,
+    label: str,
     files: list[str],
+    *,
+    snapshot: list[tuple[str, dict]],
     replaces: list[str] | None = None,
     n_shards: int | None = None,
-) -> None:
+) -> str | None:
+    """Atomically publish a commit at the next free seq — the
+    multi-writer CAS of this log layer, the put-if-absent protocol of
+    the lakehouse formats it mirrors (Delta/Iceberg; public). Commit
+    files are named by seq alone (``{seq:020d}.json``), so two
+    writers CANNOT both take a seq: the manifest is staged to a tmp
+    file and ``os.link``-ed to the seq name — link is atomic and
+    fails with FileExistsError when the seq is taken. On a collision
+    the winner's manifest (complete by construction: content is fully
+    written before the link) is read and classified against
+    _CONFLICTS: a commuting winner (e.g. a compaction under an
+    append) just advances this writer to the next seq; a
+    non-commuting winner raises CommitConflict; a winner carrying the
+    SAME label is a twin replay of this very commit — return None so
+    the caller reports "already committed". Because every writer
+    starts at its snapshot's max seq + 1 and walks forward one
+    collision at a time, the seq chain is dense and every published
+    commit has provably seen (and classified) every commit before it.
+
+    ``snapshot`` is the (name, manifest) list the caller already read
+    to compute ``files`` — reused here so publication adds ZERO
+    full-log parses (only the colliding manifests are read, one per
+    lost seq)."""
     import json
     import os
+    import uuid
 
-    man: dict = {"format": _COMMIT_FORMAT, "files": files}
-    if replaces is not None or n_shards is not None:
-        man["format"] = 2
-        if replaces is not None:
-            man["replaces"] = sorted(replaces)
-        if n_shards is not None:
-            man["n_shards"] = int(n_shards)
-    # monotone sequence number — the time-travel axis (single writer,
-    # like the rest of the log layer). The base commit predates the
-    # field and reads as seq 0; every later commit is strictly after.
-    prior = _read_commits(out_dir) or []
-    seq = 1 + max((m.get("seq", 0) for _, m in prior), default=0)
-    if prior:
-        man["format"] = 2
-        man["seq"] = seq
     cd = _commits_dir(out_dir)
     os.makedirs(cd, exist_ok=True)
-    path = os.path.join(cd, f"{name}.json")
-    with open(path + ".tmp", "w") as f:
-        json.dump(man, f)
-    os.replace(path + ".tmp", path)
+    man: dict = {"format": _COMMIT_FORMAT, "files": files, "label": label}
+    if replaces is not None:
+        man["replaces"] = sorted(replaces)
+    if n_shards is not None:
+        man["n_shards"] = int(n_shards)
+    kind = _commit_kind(label)
+    # monotone sequence number — the time-travel axis. Legacy commits
+    # without the field read as seq 0 (the base).
+    seq = 1 + max((m.get("seq", 0) for _, m in snapshot), default=-1)
+    tmp = os.path.join(cd, f"_tmp-{uuid.uuid4().hex}")
+    try:
+        while True:
+            man["seq"] = seq
+            with open(tmp, "w") as f:
+                json.dump(man, f)
+            path = os.path.join(cd, f"{seq:020d}.json")
+            try:
+                os.link(tmp, path)
+                return f"{seq:020d}"
+            except FileExistsError:
+                with open(path) as f:
+                    winner = json.load(f)
+                other = winner.get(
+                    "label",
+                    os.path.splitext(os.path.basename(path))[0],
+                )
+                if other == label and kind == "append":
+                    # a twin replay of this very batch already
+                    # committed (maintenance labels are generic —
+                    # same-label maintenance twins fall through to
+                    # the conflict matrix and recompute)
+                    return None
+                if _commit_kind(other) in _CONFLICTS[kind]:
+                    raise CommitConflict(
+                        f"{label} lost seq {seq} to non-commuting "
+                        f"commit {other!r} at {out_dir}"
+                    )
+                seq += 1  # commuting winner — advance and retry
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def _require_local_path(out_dir: str, caller: str) -> None:
@@ -396,7 +523,7 @@ def init_commit_log(out_dir: str) -> None:
     _require_local_path(out_dir, "init_commit_log")
     if os.path.isdir(_commits_dir(out_dir)):
         raise ValueError(f"commit log already exists at {out_dir}")
-    _write_commit(out_dir, "base", _data_files(out_dir))
+    _publish_commit(out_dir, "base", _data_files(out_dir), snapshot=[])
 
 
 def _read_commits(out_dir: str) -> list[tuple[str, dict]] | None:
@@ -422,6 +549,22 @@ def _read_commits(out_dir: str) -> list[tuple[str, dict]] | None:
     return out
 
 
+def _live_names_from(commits: list[tuple[str, dict]]) -> list[str]:
+    replaced: set[str] = set()
+    for _, man in commits:
+        replaced.update(man.get("replaces", ()))
+    return [n for n, _ in commits if n not in replaced]
+
+
+def _live_files_from(commits: list[tuple[str, dict]]) -> list[str]:
+    live = set(_live_names_from(commits))
+    files: list[str] = []
+    for name, man in commits:
+        if name in live:
+            files.extend(man["files"])
+    return sorted(set(files))
+
+
 def committed_files(out_dir: str) -> list[str] | None:
     """Union of every LIVE commit's file list, or None when the layout
     has no log (plain write_shards/append_shards layout — all files
@@ -434,29 +577,80 @@ def committed_files(out_dir: str) -> list[str] | None:
     commits = _read_commits(out_dir)
     if commits is None:
         return None
-    replaced: set[str] = set()
-    for _, man in commits:
-        replaced.update(man.get("replaces", ()))
-    files: list[str] = []
-    for name, man in commits:
-        if name not in replaced:
-            files.extend(man["files"])
-    return sorted(set(files))
+    return _live_files_from(commits)
 
 
-def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The layout as the log defines it: only committed data files.
-    Falls back to the plain directory read when no log exists."""
+def _read_files_df(
+    spark: SparkSession, out_dir: str, files: list[str]
+) -> DataFrame:
+    """Scan exactly ``files`` (relative to ``out_dir``), keeping the
+    shard partition column via basePath."""
     import os
 
-    files = committed_files(out_dir)
-    if files is None:
-        return spark.read.parquet(out_dir)
     if not files:
         raise ValueError(f"commit log at {out_dir} references no files")
     return spark.read.option("basePath", out_dir).parquet(
         *[os.path.join(out_dir, f) for f in files]
     )
+
+
+def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The layout as the log defines it: only committed data files.
+    Falls back to the plain directory read when no log exists."""
+    files = committed_files(out_dir)
+    if files is None:
+        return spark.read.parquet(out_dir)
+    return _read_files_df(spark, out_dir, files)
+
+
+def _stage_write(ranked: DataFrame, out_dir: str) -> list[str]:
+    """Write a batch's partition files into an underscore-hidden
+    staging dir, then rename them into the final ``shard=*`` dirs
+    driver-side (same-filesystem metadata ops, one per file) and
+    return exactly the relative paths THIS writer created. Positive
+    attribution is what makes the commit protocol safe under
+    concurrent writers: the old before/after directory diff would
+    claim a neighbour's simultaneously-landing files for this commit
+    (double-counting their rows once both commits publish). Staging +
+    rename is the FileStreamSink / lakehouse write pattern (public).
+    Hadoop ``.crc`` sidecars move with their data files; a crash
+    mid-move leaves an ``_staging-*`` dir readers never see (removed
+    by vacuum_uncommitted) plus at worst already-moved files no
+    commit references — ordinary vacuumable orphans."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    stage = os.path.join(out_dir, f"_staging-{uuid.uuid4().hex[:12]}")
+    try:
+        (
+            ranked.write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(stage)
+        )
+        moved: list[str] = []
+        for src in sorted(
+            glob.glob(os.path.join(stage, "shard=*", "*.parquet"))
+        ):
+            shard_dir = os.path.basename(os.path.dirname(src))
+            dst_dir = os.path.join(out_dir, shard_dir)
+            os.makedirs(dst_dir, exist_ok=True)
+            base = os.path.basename(src)
+            if os.path.exists(os.path.join(dst_dir, base)):
+                # task-UUID part names never collide in practice;
+                # disambiguate defensively anyway
+                base = f"{uuid.uuid4().hex[:8]}-{base}"
+            os.rename(src, os.path.join(dst_dir, base))
+            crc = os.path.join(
+                os.path.dirname(src), f".{os.path.basename(src)}.crc"
+            )
+            if os.path.exists(crc):
+                os.rename(crc, os.path.join(dst_dir, f".{base}.crc"))
+            moved.append(f"{shard_dir}/{base}")
+        return sorted(moved)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def log_history(out_dir: str) -> list[dict]:
@@ -550,10 +744,15 @@ def append_shards_tx(
     log: a batch_id whose commit exists is a replay and returns False
     without touching disk; otherwise the batch's rows are ranked
     against the COMMITTED standing state (orphans from a prior crash
-    can't shift pos), written as new partition files, and committed by
-    one atomic rename. This is the foreachBatch sink contract —
-    Structured Streaming redelivers a failed micro-batch under the
-    same batch_id, and this function makes that redelivery a no-op."""
+    can't shift pos), stage-written as new partition files, and
+    published at the next seq via the put-if-absent protocol
+    (_publish_commit) — safe under concurrent writers: a racing
+    append or reshard makes this writer re-rank and retry, a racing
+    compaction commutes, and a racing twin of the SAME batch_id turns
+    this call into the replay no-op. This is the foreachBatch sink
+    contract — Structured Streaming redelivers a failed micro-batch
+    under the same batch_id, and this function makes that redelivery
+    a no-op."""
     import os
 
     _require_local_path(out_dir, "append_shards_tx")
@@ -562,18 +761,25 @@ def append_shards_tx(
             f"no commit log at {out_dir}; call init_commit_log after "
             "the base export (plain append_shards does not fence)"
         )
-    name = f"{int(batch_id):020d}"
-    if os.path.exists(os.path.join(_commits_dir(out_dir), f"{name}.json")):
+    legacy = f"{int(batch_id):020d}"
+    label = f"b{legacy}"
+    # replay fence: the snapshot the ranking read needs anyway already
+    # holds every manifest — no extra I/O (legacy pre-label commits
+    # are fenced by their file name)
+    commits = _read_commits(out_dir) or []
+    if any(
+        m.get("label") == label
+        # pre-label commits were named by batch_id directly; new
+        # commits are named by seq, so the name fence only applies
+        # to manifests without a label field
+        or ("label" not in m and n == legacy)
+        for n, m in commits
+    ):
         return False
-    n_shards = _check_layout_n(out_dir, n_shards, "append_shards_tx")
-    before = set(_data_files(out_dir))
-    ranked = _ranked_batch(
-        read_committed(spark, out_dir), new_docs, n_shards
+    _, name = _append_committed(
+        spark, out_dir, new_docs, n_shards, label, "append_shards_tx"
     )
-    ranked.write.mode("append").partitionBy("shard").parquet(out_dir)
-    new_files = sorted(set(_data_files(out_dir)) - before)
-    _write_commit(out_dir, name, new_files)
-    return True
+    return name is not None
 
 
 def _snapshot_files_no_check(
@@ -630,6 +836,22 @@ def vacuum_uncommitted(out_dir: str, retain_last: int = 0) -> list[str]:
         crc = os.path.join(d, f".{base}.crc")
         if os.path.exists(crc):
             os.remove(crc)
+    # staging dirs a crashed writer left mid-move are invisible to
+    # readers (underscore-prefixed) but still hold disk — sweep the
+    # stale ones only (an hour-old threshold so a LIVE concurrent
+    # writer's in-flight staging dir is never yanked from under it;
+    # same reasoning as Delta's vacuum retention, reduced to staging)
+    import glob
+    import shutil
+    import time
+
+    for d in glob.glob(os.path.join(out_dir, "_staging-*")):
+        try:
+            stale = time.time() - os.path.getmtime(d) > 3600
+        except OSError:
+            continue
+        if stale:
+            shutil.rmtree(d, ignore_errors=True)
     return orphans
 
 
@@ -653,23 +875,7 @@ def vacuum_uncommitted(out_dir: str, retain_last: int = 0) -> list[str]:
 
 
 def _live_commit_names(out_dir: str) -> list[str]:
-    commits = _read_commits(out_dir) or []
-    replaced: set[str] = set()
-    for _, man in commits:
-        replaced.update(man.get("replaces", ()))
-    return [n for n, _ in commits if n not in replaced]
-
-
-def _next_seq_name(out_dir: str, prefix: str) -> str:
-    """Sortable sequence name for maintenance commits (single writer
-    assumed, like the rest of the log layer)."""
-    import glob
-    import os
-
-    existing = glob.glob(
-        os.path.join(_commits_dir(out_dir), f"{prefix}-*.json")
-    )
-    return f"{prefix}-{len(existing) + 1:06d}"
+    return _live_names_from(_read_commits(out_dir) or [])
 
 
 def _require_log(out_dir: str, caller: str) -> None:
@@ -684,10 +890,11 @@ def _require_log(out_dir: str, caller: str) -> None:
 
 
 def _log_n_shards(out_dir: str) -> int | None:
-    """The shard count recorded by the live reshard commit, or None
-    when no live commit carries one (layout manifest is authoritative).
-    More than one live n_shards-bearing commit means a corrupted log
-    (every reshard replaces all predecessors)."""
+    """The shard count recorded by the live maintenance commit
+    (reshard, or a compaction carrying it forward), or None when no
+    live commit carries one (layout manifest is authoritative). More
+    than one live n_shards-bearing commit means a corrupted log
+    (every maintenance commit replaces all its predecessors)."""
     commits = _read_commits(out_dir) or []
     live = set(_live_commit_names(out_dir))
     ns = [
@@ -717,12 +924,24 @@ def repair_layout(out_dir: str) -> int:
     return n
 
 
-def compact_shards(spark: SparkSession, out_dir: str) -> dict:
+def compact_shards(
+    spark: SparkSession, out_dir: str, max_attempts: int = 3
+) -> dict:
     """Rewrite the committed layout into one pos-sorted file per shard
     and commit the swap atomically (format-2 "replaces" commit). The
     superseded files become vacuumable orphans; the superseded commit
     JSONS stay — they remain the batch_id replay fence. Readers see
     either the old committed view or the new one, never a mixture.
+
+    Starts by healing any interrupted reshard swap (repair_layout) so
+    the compaction can never canonize a stale manifest count, and
+    carries the layout's n_shards forward in its own commit — the
+    repair information survives even though this commit supersedes
+    the reshard commit that first recorded it. Published through the
+    put-if-absent protocol: a concurrent append commutes (its rows
+    are untouched, its commit stays live); a concurrent compaction or
+    reshard makes this writer abandon its staged files (vacuumable)
+    and recompute from a fresh snapshot.
 
     One shuffle (repartition on shard), driver never holds rows.
     Returns {"files_before", "files_after", "replaced_commits",
@@ -730,61 +949,48 @@ def compact_shards(spark: SparkSession, out_dir: str) -> dict:
     invariant by construction (the rows are copied, not recomputed) —
     pinned by tests/test_export.py."""
     _require_log(out_dir, "compact_shards")
-    live_before = _live_commit_names(out_dir)
-    files_before = committed_files(out_dir)
-    if not files_before:
-        raise ValueError(f"nothing committed to compact at {out_dir}")
-    n_shards = read_layout_manifest(out_dir)["n_shards"]
-    disk_before = set(_data_files(out_dir))
-    (
-        read_committed(spark, out_dir)
-        .select("shard", "pos", "doc_id", "lang", "text", "h1")
-        .repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "pos")
-        .write.mode("append")
-        .partitionBy("shard")
-        .parquet(out_dir)
-    )
-    new_files = sorted(set(_data_files(out_dir)) - disk_before)
-    _write_commit(
-        out_dir,
-        _next_seq_name(out_dir, "compact"),
-        new_files,
-        replaces=live_before,
-    )
-    return {
-        "files_before": len(files_before),
-        "files_after": len(new_files),
-        "replaced_commits": live_before,
-        "reclaimable": sorted(set(files_before) - set(new_files)),
-    }
+    n_shards = repair_layout(out_dir)
+    last: CommitConflict | None = None
+    for _ in range(max_attempts):
+        commits = _read_commits(out_dir) or []
+        live_before = _live_names_from(commits)
+        files_before = _live_files_from(commits)
+        if not files_before:
+            raise ValueError(f"nothing committed to compact at {out_dir}")
+        new_files = _stage_write(
+            _read_files_df(spark, out_dir, files_before)
+            .select("shard", "pos", "doc_id", "lang", "text", "h1")
+            .repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", "pos"),
+            out_dir,
+        )
+        try:
+            _publish_commit(
+                out_dir,
+                "compact",
+                new_files,
+                snapshot=commits,
+                replaces=live_before,
+                n_shards=n_shards,
+            )
+        except CommitConflict as e:
+            last = e
+            continue
+        return {
+            "files_before": len(files_before),
+            "files_after": len(new_files),
+            "replaced_commits": live_before,
+            "reclaimable": sorted(set(files_before) - set(new_files)),
+        }
+    raise last  # type: ignore[misc]
 
 
-def reshard_double(spark: SparkSession, out_dir: str) -> dict:
-    """Double the layout's shard count in place: shard' = H mod 2N.
-    Power-of-two growth is the only growth that SPLITS shards instead
-    of re-drawing membership — h mod 2N lands in {m, m+N} for old
-    shard m = h mod N, so each new shard reads exactly one old shard
-    and per-shard order carries over (new pos = rank by old pos).
-    The swap is one format-2 commit (replaces all live commits,
-    records the new n_shards) followed by the layout-manifest rewrite;
-    a crash between the two is detected by _check_layout_n and healed
-    by repair_layout. Returns {"n_shards_before", "n_shards_after",
-    "files_after"}."""
-    _require_log(out_dir, "reshard_double")
-    old_n = repair_layout(out_dir)  # heal any interrupted predecessor
-    new_n = 2 * old_n
-    live_before = _live_commit_names(out_dir)
-    if not committed_files(out_dir):
-        raise ValueError(f"nothing committed to reshard at {out_dir}")
-    disk_before = set(_data_files(out_dir))
-    src = read_committed(spark, out_dir).select(
-        "shard", "pos", "doc_id", "lang", "text", "h1"
-    )
-    # old pos is unique within the old shard, hence within each new
-    # shard (one parent each) — the rank is deterministic
+def _resharded(src: DataFrame, new_n: int) -> DataFrame:
+    """shard' = H mod 2N with order carried over by old pos. Old pos
+    is unique within the old shard, hence within each new shard (one
+    parent each) — the rank is deterministic."""
     wr = W.partitionBy("shard2").orderBy("pos")
-    resharded = (
+    return (
         src.withColumn(
             "shard2", F.pmod(F.col("h1"), F.lit(new_n)).cast("int")
         )
@@ -798,21 +1004,82 @@ def reshard_double(spark: SparkSession, out_dir: str) -> dict:
             "h1",
         )
     )
-    resharded.write.mode("append").partitionBy("shard").parquet(out_dir)
-    new_files = sorted(set(_data_files(out_dir)) - disk_before)
-    _write_commit(
-        out_dir,
-        _next_seq_name(out_dir, "reshard"),
-        new_files,
-        replaces=live_before,
-        n_shards=new_n,
-    )
-    _write_layout_manifest(out_dir, new_n)
-    return {
-        "n_shards_before": old_n,
-        "n_shards_after": new_n,
-        "files_after": len(new_files),
-    }
+
+
+def reshard_double(
+    spark: SparkSession,
+    out_dir: str,
+    incremental: bool = False,
+    max_attempts: int = 3,
+) -> dict:
+    """Double the layout's shard count in place: shard' = H mod 2N.
+    Power-of-two growth is the only growth that SPLITS shards instead
+    of re-drawing membership — h mod 2N lands in {m, m+N} for old
+    shard m = h mod N, so each new shard reads exactly one old shard
+    and per-shard order carries over (new pos = rank by old pos).
+
+    Two execution modes, identical results (pinned by pytest):
+    ``incremental=False`` (default) runs ONE job — a single window
+    (partition by new shard, rank by old pos) over the committed
+    view, i.e. one full-corpus shuffle; ``incremental=True`` exploits
+    the refinement property literally and runs one small job per OLD
+    shard — a partition-pruned read of that shard's committed files,
+    a shuffle of 1/N of the corpus, an append — so at 100 TB the
+    reshard proceeds shard-at-a-time with bounded working set. Both
+    modes stage their files and publish ONE commit at the end, so the
+    swap stays atomic either way.
+
+    The swap is one format-2 commit (replaces all live commits,
+    records the new n_shards) followed by the layout-manifest
+    rewrite; a crash between the two is detected by _check_layout_n
+    and healed by repair_layout. A concurrent commit of ANY kind
+    conflicts with a reshard (put-if-absent protocol): the staged
+    files are abandoned (vacuumable) and the reshard recomputes from
+    a fresh snapshot. Returns {"n_shards_before", "n_shards_after",
+    "files_after"}."""
+    _require_log(out_dir, "reshard_double")
+    old_n = repair_layout(out_dir)  # heal any interrupted predecessor
+    new_n = 2 * old_n
+    last: CommitConflict | None = None
+    for _ in range(max_attempts):
+        commits = _read_commits(out_dir) or []
+        live_before = _live_names_from(commits)
+        files = _live_files_from(commits)
+        if not files:
+            raise ValueError(f"nothing committed to reshard at {out_dir}")
+        cols = ["shard", "pos", "doc_id", "lang", "text", "h1"]
+        new_files: list[str] = []
+        if incremental:
+            for m in range(old_n):
+                fm = [f for f in files if f.startswith(f"shard={m}/")]
+                if not fm:
+                    continue
+                part = _read_files_df(spark, out_dir, fm).select(*cols)
+                new_files.extend(_stage_write(_resharded(part, new_n),
+                                              out_dir))
+            new_files.sort()
+        else:
+            src = _read_files_df(spark, out_dir, files).select(*cols)
+            new_files = _stage_write(_resharded(src, new_n), out_dir)
+        try:
+            _publish_commit(
+                out_dir,
+                "reshard",
+                new_files,
+                snapshot=commits,
+                replaces=live_before,
+                n_shards=new_n,
+            )
+        except CommitConflict as e:
+            last = e
+            continue
+        _write_layout_manifest(out_dir, new_n)
+        return {
+            "n_shards_before": old_n,
+            "n_shards_after": new_n,
+            "files_after": len(new_files),
+        }
+    raise last  # type: ignore[misc]
 
 
 def _scratch(spark: SparkSession) -> str | None:
