@@ -1,0 +1,315 @@
+"""Mechanized bench-claim ranges for README.md / SCALING.md.
+
+Three consecutive rounds (r7 lossless, r9 cap64, r10 graph range) a
+hand-edited performance range in the prose went stale against the
+recorded bench windows — the manual copy step was the bug. This
+script OWNS those numbers now:
+
+- ``record``  — ingest every recoverable bench window (the committed
+  ``bench_out.json``, its git history, and the driver's
+  ``BENCH_r*.json`` tails) into the append-only
+  ``CLAIMS_HISTORY.jsonl``, deduplicated by source id.
+- ``check``   — recompute each claim's range across all recorded
+  windows and verify every ``<!--claim:KEY:FMT-->...<!--/claim-->``
+  marker in README.md / SCALING.md / CLAIMS.md matches. Exit 1 on
+  drift. ``tests/test_claims.py`` runs this in CI, so a refreshed
+  bench sample that moves a range FAILS the build until the prose is
+  regenerated.
+- ``fix``     — rewrite the marker contents in place and regenerate
+  the CLAIMS.md table.
+
+Round-end discipline: refresh bench_out.json from HEAD, then
+``python scripts/claims.py record fix``, then commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HISTORY = os.path.join(ROOT, "CLAIMS_HISTORY.jsonl")
+CLAIMS_MD = os.path.join(ROOT, "CLAIMS.md")
+PROSE_FILES = ("README.md", "SCALING.md")
+
+# Every mechanized claim key. Tail scalars are regex-extractable from
+# truncated BENCH_r*.json tails; nested keys only from full samples.
+CLAIM_KEYS = [
+    "graph_1m_qps_ratio_vs_exact",
+    "ivfpq_1m_cap64_qps_ratio_vs_exact",
+    "ivfpq_1m_lossless_qps_ratio_vs_exact",
+    "persisted_vs_memory_ratio",
+    "salted_over_plain",
+    "census_overhead_pct",
+    "sq8_vs_exact_qps_ratio",
+    "opq_recall_delta_vs_pq",
+]
+
+# Windows quoted by the committed round-10 verdict whose raw BENCH
+# files were truncated past recovery (the driver keeps only a tail).
+# Kept so the prose hedges stay provable ("cap64 has LOST to exact":
+# the 0.71 window). Append-only; each row cites its source.
+SEED_WINDOWS = [
+    {
+        "source": "VERDICT.md@d5ee3ff (r9 driver window)",
+        "values": {
+            "graph_1m_qps_ratio_vs_exact": 4.9,
+            "ivfpq_1m_cap64_qps_ratio_vs_exact": 0.71,
+        },
+    },
+]
+
+
+def _extract(sample: dict) -> dict:
+    """Claim values from one full bench JSON sample."""
+    out: dict = {}
+
+    def walk(o):
+        for k, v in o.items():
+            if isinstance(v, dict):
+                walk(v)
+            elif k in CLAIM_KEYS and isinstance(v, (int, float)):
+                out[k] = float(v)
+
+    walk(sample)
+    rerank_r = sample.get("ivfpq_1m", {}).get("rerank_r", 400)
+    for pt in sample.get("ivfpq_1m", {}).get("cap_sweep", []):
+        cap, r = pt.get("per_task_cap"), pt.get("qps_ratio_vs_exact")
+        if cap is not None and r is not None and cap >= rerank_r:
+            out["ivfpq_1m_lossless_qps_ratio_vs_exact"] = float(r)
+    return out
+
+
+_TAIL_PAT = re.compile(r'"([a-z0-9_]+)":\s*(-?\d+(?:\.\d+)?)')
+
+
+def _extract_tail(tail: str) -> dict:
+    scal = {k: float(v) for k, v in _TAIL_PAT.findall(tail)}
+    return {k: scal[k] for k in CLAIM_KEYS if k in scal}
+
+
+def _iter_sources():
+    """(source_id, values) for every recoverable window, current
+    state only (git history is ingested by ``record``)."""
+    bo = os.path.join(ROOT, "bench_out.json")
+    if os.path.exists(bo):
+        with open(bo) as f:
+            sample = json.load(f)
+        yield "bench_out.json@worktree", _extract(sample)
+    import glob
+
+    for p in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
+        with open(p) as f:
+            d = json.load(f)
+        vals = _extract_tail(d.get("tail") or "")
+        if vals:
+            yield os.path.basename(p), vals
+
+
+def _git_history_sources():
+    import subprocess
+
+    try:
+        shas = subprocess.run(
+            ["git", "log", "--format=%H", "--", "bench_out.json"],
+            cwd=ROOT, capture_output=True, text=True, check=True,
+        ).stdout.split()
+    except Exception:
+        return
+    for sha in shas:
+        try:
+            blob = subprocess.run(
+                ["git", "show", f"{sha}:bench_out.json"],
+                cwd=ROOT, capture_output=True, text=True, check=True,
+            ).stdout
+            vals = _extract(json.loads(blob))
+        except Exception:
+            continue
+        if vals:
+            yield f"bench_out.json@{sha[:8]}", vals
+
+
+def load_history() -> list[dict]:
+    rows = []
+    if os.path.exists(HISTORY):
+        with open(HISTORY) as f:
+            rows = [json.loads(line) for line in f if line.strip()]
+    return rows
+
+
+def record() -> int:
+    """Append every not-yet-recorded window to CLAIMS_HISTORY.jsonl.
+    The worktree bench_out.json is NOT recorded (it changes until the
+    round-end commit); it participates in ranges live via check/fix."""
+    rows = load_history()
+    seen = {r["source"] for r in rows}
+    added = 0
+    candidates = list(_git_history_sources()) + [
+        (s, v) for s, v in _iter_sources() if not s.endswith("@worktree")
+    ] + [(r["source"], r["values"]) for r in SEED_WINDOWS]
+    with open(HISTORY, "a") as f:
+        for source, vals in candidates:
+            if source in seen or not vals:
+                continue
+            f.write(json.dumps({"source": source, "values": vals}) + "\n")
+            seen.add(source)
+            added += 1
+    print(f"recorded {added} new window(s); history={len(seen)}")
+    return 0
+
+
+def all_windows() -> list[dict]:
+    """Committed history plus the live worktree sample."""
+    rows = load_history()
+    seen = {r["source"] for r in rows}
+    for source, vals in _iter_sources():
+        if source not in seen and vals:
+            rows.append({"source": source, "values": vals})
+    return rows
+
+
+def ranges() -> dict:
+    agg: dict = {}
+    committed: dict = {}
+    for row in all_windows():
+        for k, v in row["values"].items():
+            agg.setdefault(k, []).append(v)
+            if row["source"] == "bench_out.json@worktree":
+                committed[k] = v
+    return {
+        k: {
+            "min": min(vs),
+            "max": max(vs),
+            "n": len(vs),
+            "committed": committed.get(k),
+        }
+        for k, vs in agg.items()
+    }
+
+
+def _fmt_num(v: float) -> str:
+    return f"{v:.2f}" if abs(v) < 1 else f"{v:.1f}"
+
+
+def render(key: str, fmt: str, r: dict) -> str:
+    s = r.get(key)
+    if s is None:
+        raise SystemExit(f"claim key {key} has no recorded window")
+    if fmt == "range_x":
+        return f"{_fmt_num(s['min'])}-{_fmt_num(s['max'])}x"
+    if fmt == "committed_x":
+        return f"{_fmt_num(s['committed'])}x"
+    if fmt == "committed_pct":
+        return f"{s['committed']:.1f}%"
+    if fmt == "committed":
+        return _fmt_num(s["committed"])
+    if fmt == "min_x":
+        return f"{_fmt_num(s['min'])}x"
+    raise SystemExit(f"unknown claim format {fmt!r}")
+
+
+_MARKER = re.compile(
+    r"<!--claim:([a-z0-9_]+):([a-z_]+)-->(.*?)<!--/claim-->", re.S
+)
+
+
+def _prose_paths():
+    return [os.path.join(ROOT, p) for p in PROSE_FILES] + [CLAIMS_MD]
+
+
+def check() -> int:
+    r = ranges()
+    bad = 0
+    for path in _prose_paths():
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            text = f.read()
+        for key, fmt, current in _MARKER.findall(text):
+            want = render(key, fmt, r)
+            if current.strip() != want:
+                print(
+                    f"STALE {os.path.basename(path)}: {key}:{fmt} says "
+                    f"{current.strip()!r}, recorded windows say {want!r}"
+                )
+                bad += 1
+    n_markers = sum(
+        len(_MARKER.findall(open(p).read()))
+        for p in _prose_paths()
+        if os.path.exists(p)
+    )
+    print(f"checked {n_markers} marker(s): {bad} stale")
+    return 1 if bad else 0
+
+
+def fix() -> int:
+    r = ranges()
+    for path in _prose_paths():
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            text = f.read()
+
+        def sub(m):
+            return (
+                f"<!--claim:{m.group(1)}:{m.group(2)}-->"
+                f"{render(m.group(1), m.group(2), r)}<!--/claim-->"
+            )
+
+        new = _MARKER.sub(sub, text)
+        if new != text:
+            with open(path, "w") as f:
+                f.write(new)
+            print(f"rewrote {os.path.basename(path)}")
+    _write_claims_md(r)
+    return 0
+
+
+def _write_claims_md(r: dict) -> None:
+    windows = all_windows()
+    lines = [
+        "# CLAIMS — mechanized bench ranges",
+        "",
+        "Generated by `python scripts/claims.py fix` from "
+        "`CLAIMS_HISTORY.jsonl` (every recoverable recorded bench "
+        "window) plus the live `bench_out.json`. README/SCALING quote "
+        "these numbers through `<!--claim:KEY:FMT-->` markers; "
+        "`tests/test_claims.py` fails when any marker drifts from the "
+        "recorded windows. Do not edit by hand.",
+        "",
+        "| claim key | committed sample | min | max | windows |",
+        "|---|---|---|---|---|",
+    ]
+    for k in CLAIM_KEYS:
+        s = r.get(k)
+        if not s:
+            continue
+        com = "—" if s["committed"] is None else _fmt_num(s["committed"])
+        lines.append(
+            f"| {k} | {com} | {_fmt_num(s['min'])} | "
+            f"{_fmt_num(s['max'])} | {s['n']} |"
+        )
+    lines += [
+        "",
+        f"Windows recorded: {len(windows)} "
+        "(sources: bench_out.json git history, BENCH_r*.json driver "
+        "tails, verdict-cited r9 windows, live worktree sample).",
+        "",
+    ]
+    with open(CLAIMS_MD + ".tmp", "w") as f:
+        f.write("\n".join(lines))
+    os.replace(CLAIMS_MD + ".tmp", CLAIMS_MD)
+    print(f"wrote {os.path.basename(CLAIMS_MD)}")
+
+
+if __name__ == "__main__":
+    cmds = sys.argv[1:] or ["check"]
+    rc = 0
+    for cmd in cmds:
+        fn = {"record": record, "check": check, "fix": fix}.get(cmd)
+        if fn is None:
+            raise SystemExit(f"usage: claims.py [record|check|fix ...]")
+        rc = fn() or rc
+    raise SystemExit(rc)
