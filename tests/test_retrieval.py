@@ -102,3 +102,91 @@ def test_rrf_arithmetic_and_missing_modality(spark, sf_dir):
     assert single > 0
     scores = [r.rrf for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+# --------------------- round 11: batched retrieval
+
+
+def test_bm25_batch_matches_oracle(spark, sf_dir):
+    from zvdb_spark.queries.retrieval import (
+        BM25_BATCH_ORACLE,
+        q_text_bm25_batch,
+    )
+
+    assert_matches_oracle(
+        q_text_bm25_batch(spark, sf_dir), BM25_BATCH_ORACLE, sf_dir
+    )
+
+
+def test_rrf_batch_matches_oracle(spark, sf_dir):
+    from zvdb_spark.queries.retrieval import (
+        RRF_BATCH_ORACLE,
+        q_hybrid_rrf_batch,
+    )
+
+    assert_matches_oracle(
+        q_hybrid_rrf_batch(spark, sf_dir), RRF_BATCH_ORACLE, sf_dir
+    )
+
+
+def test_batch_windows_are_partitioned_by_query(spark, sf_dir):
+    """The r10 verdict's ask: no rank window in the batched paths is
+    global — every windowspecdefinition carries the query_id
+    partition key, so the plan is Q parallel per-query heaps, never
+    one single-task window."""
+    import re
+
+    from zvdb_spark.queries.retrieval import (
+        q_hybrid_rrf_batch,
+        q_text_bm25_batch,
+    )
+
+    for fn in (q_text_bm25_batch, q_hybrid_rrf_batch):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, f"{fn.__name__}: no window found in plan"
+        for spec in specs:
+            assert "query_id" in spec, (
+                f"{fn.__name__} has an unpartitioned rank window: "
+                f"windowspecdefinition({spec})"
+            )
+
+
+def test_bm25_batch_explode_is_filtered_before_shuffle(spark, sf_dir):
+    """Scale shape: the corpus explode is semi-joined against the
+    broadcast query-term set (BroadcastHashJoin), so the tf shuffle
+    carries only query-matching tokens — the corpus x avg_len blow-up
+    never crosses the wire."""
+    from zvdb_spark.queries.retrieval import q_text_bm25_batch
+
+    plan = (
+        q_text_bm25_batch(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_batch_matches_single_query_scores(spark, sf_dir):
+    """Cross-path agreement: a batch query whose terms equal the
+    fixed BM25_TERMS reproduces q_text_bm25's per-doc scores (the HOF
+    formulation and the pair formulation are the same math)."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.retrieval import (
+        BM25_TOPK,
+        bm25_batch,
+        bm25_scores,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    q = docs.sparkSession.createDataFrame(
+        [(99, " ".join(BM25_TERMS))], "query_id int, qtext string"
+    )
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_batch(docs, q, top_k=BM25_TOPK).collect()
+    }
+    want = {r.doc_id: r.bm25 for r in bm25_scores(docs).collect()}
+    assert got == want
