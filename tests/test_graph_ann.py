@@ -578,3 +578,73 @@ spark.stop()
         for rw in want.itertuples()
     )
     assert got == expect
+
+
+# --------------------- round 11: predicate-aware (filtered) search
+
+
+def _exact_filtered(emb, q, pred_col, k):
+    """Ground truth: exact pre-filtered top-k per query."""
+    allowed = emb.filter(pred_col)
+    return exact_search_blocked(
+        allowed, q, k=k
+    ).toPandas()
+
+
+def test_filtered_search_recall_and_purity(spark, sf_dir, built):
+    """Moderate selectivity (~50%): post-filter with adaptive ef
+    reaches >= 0.9 recall vs the exact pre-filtered ground truth, and
+    every returned row passes the predicate."""
+    emb, idx = built
+    q = _queries(spark, emb)
+    pred = F.col("vec_id") % 2 == 0
+    allowed = emb.filter(pred).select("vec_id")
+    res = idx.search_filtered(q, allowed, k=5, n_queries=20)
+    pdf = res.toPandas()
+    assert (pdf.vec_id % 2 == 0).all()
+    assert pdf.groupby("query_id").size().max() <= 5
+    ex = _exact_filtered(emb, q, pred, 5)
+    assert _recall(pdf, ex, 5) >= 0.9
+
+
+def test_filtered_search_selective_predicate_grows_ef(spark, sf_dir, built):
+    """~5% selectivity: the first fetch can't hold 5 survivors per
+    query, so the adaptive rounds must kick in — full k is still
+    delivered for every query and recall stays high."""
+    emb, idx = built
+    q = _queries(spark, emb, n=8)
+    pred = F.col("vec_id") % 20 == 0
+    allowed = emb.filter(pred).select("vec_id")
+    res = idx.search_filtered(
+        q, allowed, k=5, ef0=20, ef_cap=100_000, n_queries=8
+    )
+    pdf = res.toPandas()
+    assert (pdf.vec_id % 20 == 0).all()
+    assert (pdf.groupby("query_id").size() == 5).all()
+    ex = _exact_filtered(emb, q, pred, 5)
+    assert _recall(pdf, ex, 5) >= 0.9
+
+
+def test_filtered_search_cap_returns_best_effort(spark, sf_dir, built):
+    """An impossible predicate (no corpus row passes) terminates at
+    the ef cap with an empty result — bounded rounds, no spin."""
+    emb, idx = built
+    q = _queries(spark, emb, n=4)
+    allowed = emb.filter(F.col("vec_id") < 0).select("vec_id")
+    res = idx.search_filtered(q, allowed, k=5, ef0=16, ef_cap=64,
+                              n_queries=4)
+    assert res.count() == 0
+
+
+def test_filtered_search_ascending_per_query(spark, sf_dir, built):
+    emb, idx = built
+    q = _queries(spark, emb, n=6)
+    allowed = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    pdf = (
+        idx.search_filtered(q, allowed, k=5, n_queries=6)
+        .orderBy("query_id", "dist_sq", "vec_id")
+        .toPandas()
+    )
+    for _, g in pdf.groupby("query_id"):
+        d = g.dist_sq.to_numpy()
+        assert (np.diff(d) >= -1e-12).all()

@@ -153,6 +153,9 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_ann_opq",
     "q_text_bm25",
     "q_hybrid_rrf",
+    "q_text_bm25_batch",
+    "q_hybrid_rrf_batch",
+    "q_knn_filtered_ann",
 )
 
 
