@@ -361,7 +361,13 @@ def test_saved_index_survives_retire_and_purge(spark, sf_dir, tmp_path):
     import zvdb_spark.operators.segments as S
 
     emb = _emb(spark, sf_dir).localCheckpoint(eager=True)
-    idx = GraphIndex(m=8, ef=64).build(emb)
+    # isolated segment dir: the future-clock purge below sweeps the
+    # WHOLE directory it is pointed at, and on the shared default dir
+    # it reaped every other live (unpinned) index in the module —
+    # including the module-scoped fixture any later test still uses
+    idx = GraphIndex(
+        m=8, ef=64, index_dir=str(tmp_path / "segs")
+    ).build(emb)
     idx.state()
     own = [p for p, _, _ in idx._vec_meta.values()]
     d = os.path.dirname(own[0])
