@@ -213,25 +213,41 @@ def main() -> None:
     )
 
     # -- part 1: headline declared queries on testdata ---------------
-    # Two executions per query: the first pays one-time whole-stage
-    # codegen compilation (measured: q_dedup_ngram_jaccard 8.9 s cold
-    # vs 1.4 s warm — all Janino, no plan difference), the second is
-    # the steady-state a long-running cluster actually sees. Both are
-    # published: `queries` carries steady-state, `cold_run_sec` the
-    # first run.
+    # Two executions per query, INTERLEAVED as two full passes over
+    # the list (r10 finding: per-query seconds swung 2-6x across
+    # rounds from host load because a query's two runs sat
+    # back-to-back in one load window — spreading the second run a
+    # full pass away decorrelates the spike). Pass 1 pays one-time
+    # whole-stage codegen (measured: q_dedup_ngram_jaccard 8.9 s cold
+    # vs 1.4 s warm — all Janino, no plan difference) and is
+    # published as `cold_run_sec`; `queries` carries the per-query
+    # best-of-2 across both passes.
     cold_runs: dict[str, float] = {}
     for name in HEADLINE:
         def _one(name=name):
             t0 = time.perf_counter()
             _noop_write(qs[name].fn(spark, SF_DIR))
             cold = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            _noop_write(qs[name].fn(spark, SF_DIR))
-            warm = time.perf_counter() - t0
             cold_runs[name] = round(cold, 3)
-            timings[name] = round(min(cold, warm), 3)
+            timings[name] = round(cold, 3)
 
         _section(name, _one)
+
+    def _queries_pass2():
+        for name in HEADLINE:
+            if name in errors:
+                continue
+            try:
+                t0 = time.perf_counter()
+                _noop_write(qs[name].fn(spark, SF_DIR))
+                warm = time.perf_counter() - t0
+                timings[name] = round(min(timings[name], warm), 3)
+            except Exception as exc:  # noqa: BLE001 — keep the pass
+                errors[f"{name}#pass2"] = (
+                    f"{type(exc).__name__}: {exc}"[:200]
+                )
+
+    _section("queries_pass2", _queries_pass2)
 
     # -- part 2: reference-comparable vector bench -------------------
     def _best_of(n: int, fn) -> float:
@@ -1572,6 +1588,164 @@ def main() -> None:
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
+    def _bench_opq():
+        # OPQ vs plain PQ in ONE shared load window on the CLUSTERED
+        # corpus — correlated subspaces are where the learned rotation
+        # bites (r10 verdict #3: the OPQ advantage claim was pinned
+        # only at sf0.01 pytest scale). Identical budget both sides:
+        # m_sub=16 one-byte codes (16 B/vector), identical rerank R,
+        # searches interleaved; the recall delta is published as a
+        # tail scalar (opq_recall_delta_vs_pq) and mechanized into
+        # CLAIMS.md.
+        from zvdb_spark.operators.pq import (
+            opq_encode,
+            opq_search_rerank,
+            opq_train,
+            pq_encode,
+            pq_search_rerank,
+            pq_train,
+        )
+
+        cemb = state["cemb"]
+        cqueries = state["cqueries"]
+        cex_pdf = state["cex_pdf"]
+        t0 = time.perf_counter()
+        books = pq_train(
+            cemb, m_sub=16, k_codes=256, n_iter=4, sample_n=20_000
+        )
+        timings["opqwin_pq_train"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        rot, obooks = opq_train(
+            cemb, m_sub=16, k_codes=256, n_iter=4, opq_iter=6,
+            sample_n=20_000,
+        )
+        timings["opq_train"] = round(time.perf_counter() - t0, 3)
+        codes = pq_encode(cemb, books).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        ocodes = opq_encode(cemb, rot, obooks).localCheckpoint(eager=True)
+        enc_sec = time.perf_counter() - t0
+        timings["opq_encode"] = round(enc_sec, 3)
+        rr = 50
+        secs = _interleaved({
+            "pq": lambda: _noop_write(
+                pq_search_rerank(
+                    codes, cemb, books, cqueries[:ann_nq],
+                    k=BENCH_K, rerank_r=rr,
+                )
+            ),
+            "opq": lambda: _noop_write(
+                opq_search_rerank(
+                    ocodes, cemb, rot, obooks, cqueries[:ann_nq],
+                    k=BENCH_K, rerank_r=rr,
+                )
+            ),
+        })
+        timings["opqwin_pq_search_r50"] = round(secs["pq"], 3)
+        timings["opq_search_r50"] = round(secs["opq"], 3)
+        rec_pq = _recall_of(
+            pq_search_rerank(
+                codes, cemb, books, cqueries[:n_probe],
+                k=BENCH_K, rerank_r=rr,
+            ).toPandas(),
+            cex_pdf,
+            n_probe,
+        )
+        rec_opq = _recall_of(
+            opq_search_rerank(
+                ocodes, cemb, rot, obooks, cqueries[:n_probe],
+                k=BENCH_K, rerank_r=rr,
+            ).toPandas(),
+            cex_pdf,
+            n_probe,
+        )
+        result["opq_vs_pq"] = {
+            "corpus": "clustered",
+            "m_sub": 16,
+            "bytes_per_vector": 16,
+            "rerank_r": rr,
+            "pq_qps": round(ann_nq / secs["pq"], 2),
+            "opq_qps": round(ann_nq / secs["opq"], 2),
+            "pq_recall": round(rec_pq, 3),
+            "opq_recall": round(rec_opq, 3),
+        }
+        result["opq_recall_delta_vs_pq"] = round(rec_opq - rec_pq, 3)
+
+    def _bench_filtered_ann():
+        # Predicate-aware graph search (GraphIndex.search_filtered:
+        # post-filter with adaptive ef growth) vs the exact PRE-filter
+        # path, at three predicate selectivities, each pair timed in
+        # its own shared window (r10 verdict #6). The expected shape:
+        # the graph path wins at mild selectivity and loses ground as
+        # the predicate sharpens (each survivor costs a deeper beam)
+        # while the exact path's cost FALLS with selectivity (GEMM
+        # over survivors only) — the crossover tells a user where to
+        # route.
+        from pyspark.sql import functions as F
+
+        from zvdb_spark.operators.knn import exact_search_blocked
+
+        cgidx = state["cgidx"]
+        cemb = state["cemb"]
+        cqueries = state["cqueries"]
+        nq_f = min(2000, ann_nq)
+        qdf_f = _qdf(cqueries[:nq_f])
+        qdf_p = _qdf(cqueries[:n_probe])
+        rows = []
+        for mod in (2, 10, 100):
+            allowed = cemb.filter(
+                F.col("vec_id") % mod == 0
+            ).localCheckpoint(eager=True)
+            allowed_ids = allowed.select("vec_id")
+            n_allowed = allowed.count()
+            # warm both paths once outside the window
+            _noop_write(
+                cgidx.search_filtered(
+                    qdf_p, allowed_ids, k=BENCH_K, n_queries=n_probe
+                )
+            )
+            _noop_write(
+                exact_search_blocked(
+                    allowed, qdf_p, k=BENCH_K,
+                    n_corpus=n_allowed, n_probes=n_probe,
+                )
+            )
+            secs = _interleaved({
+                "graph": lambda a=allowed_ids: _noop_write(
+                    cgidx.search_filtered(
+                        qdf_f, a, k=BENCH_K, n_queries=nq_f
+                    )
+                ),
+                "exact": lambda a=allowed, n=n_allowed: _noop_write(
+                    exact_search_blocked(
+                        a, qdf_f, k=BENCH_K, n_corpus=n, n_probes=nq_f
+                    )
+                ),
+            })
+            g_pdf = cgidx.search_filtered(
+                qdf_p, allowed_ids, k=BENCH_K, n_queries=n_probe
+            ).toPandas()
+            ex_pdf = exact_search_blocked(
+                allowed, qdf_p, k=BENCH_K,
+                n_corpus=n_allowed, n_probes=n_probe,
+            ).toPandas()
+            rows.append({
+                "selectivity": round(n_allowed / BENCH_N, 4),
+                "n_allowed": n_allowed,
+                "graph_qps": round(nq_f / secs["graph"], 2),
+                "exact_qps": round(nq_f / secs["exact"], 2),
+                "graph_over_exact": round(
+                    secs["exact"] / secs["graph"], 3
+                ),
+                "recall": round(_recall_of(g_pdf, ex_pdf, n_probe), 3),
+            })
+            timings[f"filtered_ann_graph_mod{mod}"] = round(
+                secs["graph"], 3
+            )
+            timings[f"filtered_ann_exact_mod{mod}"] = round(
+                secs["exact"], 3
+            )
+        result["filtered_ann"] = rows
+
     # -- part 3: reference bench grid (dims x k) ---------------------
     # benchmarks/single_threaded_benchmarks.zig:28-33 defines the grid;
     # high dim is where the per-shard GEMM path shines (arithmetic
@@ -1634,6 +1808,10 @@ def main() -> None:
         _section("search_parallelism", _bench_parallelism)
         if _section("ivfpq", _bench_ivfpq):
             _section("ivfpq_persisted", _bench_ivfpq_persisted)
+        _section("opq_vs_pq", _bench_opq)
+        # filtered search benches BEFORE the append section mutates
+        # the clustered index
+        _section("filtered_ann", _bench_filtered_ann)
         _section("save_load", _bench_save_load)
         # 10x crossover run only at full bench scale (smoke runs
         # skip; env "1" forces it at reduced scale for testing)
