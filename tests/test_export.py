@@ -1253,3 +1253,225 @@ def test_vacuum_sweeps_stale_staging_dirs_only(spark, sf_dir, tmp_path):
     vacuum_uncommitted(out)
     assert not os.path.isdir(stale)
     assert os.path.isdir(fresh)
+
+
+# --------------------- round 11: logged deletes (tombstones)
+
+
+def test_delete_is_merge_on_read_and_fenced(spark, sf_dir, tmp_path):
+    """A delete writes only tombstones (standing data files
+    untouched), the committed view drops exactly the victims, the
+    survivors keep their (shard, pos) slots, and a replayed batch_id
+    is a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import (
+        _data_files,
+        delete_docs_tx,
+        read_committed,
+    )
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    pre = _perm(spark, out)
+    victims = (
+        docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 3 == 0))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    vids = {r.doc_id for r in victims.collect()}
+    files_before = set(_data_files(out))
+    assert delete_docs_tx(spark, out, victims, 1) is True
+    assert delete_docs_tx(spark, out, victims, 1) is False  # replay
+    assert set(_data_files(out)) == files_before
+    assert os.path.isdir(os.path.join(out, "_tombstones"))
+    post = _perm(spark, out)
+    # survivors keep their exact slots; victims' slots vacate
+    assert post == {k: v for k, v in pre.items() if v not in vids}
+
+
+def test_delete_survivor_view_appends_above_hwm_after_compaction(
+    spark, sf_dir, tmp_path
+):
+    """Compaction materializes the delete (no data file holds a
+    victim id, tombstone commit superseded, vacuum reclaims the
+    tombstone files) and carries the pos high-water mark: a fresh
+    append lands strictly above the PRE-delete max pos even when the
+    deleted rows were the shard tails."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import (
+        append_shards_tx,
+        compact_shards,
+        delete_docs_tx,
+        read_committed,
+        vacuum_uncommitted,
+    )
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    before = read_committed(spark, out)
+    hwm = {
+        int(r["shard"]): int(r["mx"])
+        for r in before.groupBy("shard").agg(F.max("pos").alias("mx"))
+        .collect()
+    }
+    # delete the TAIL of every shard (max-pos rows) — the adversarial
+    # case for pos re-minting
+    w_tail = (
+        before.groupBy("shard").agg(F.max("pos").alias("mx"))
+    )
+    victims = (
+        before.join(w_tail, "shard")
+        .filter(F.col("pos") >= F.col("mx") - 1)
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    assert delete_docs_tx(spark, out, victims, 1)
+    compact_shards(spark, out)
+    removed = vacuum_uncommitted(out)
+    assert any("_tombstones" in r for r in removed)
+    assert not glob.glob(os.path.join(out, "_tombstones", "*", "*"))
+    assert read_committed(spark, out).join(
+        victims, "doc_id"
+    ).count() == 0
+    delta = docs.filter(F.col("doc_id") % 101 == 1).select(
+        (F.col("doc_id") + 70_000_000).alias("doc_id"), "lang", "text"
+    )
+    assert append_shards_tx(spark, out, delta, 2)
+    news = (
+        read_committed(spark, out)
+        .filter(F.col("doc_id") >= 70_000_000)
+        .select("shard", "pos")
+        .collect()
+    )
+    assert news
+    for r in news:
+        assert r.pos > hwm[int(r.shard)], (r.shard, r.pos, hwm)
+
+
+def test_delete_time_travel_and_vacuum_contract(spark, sf_dir, tmp_path):
+    """A pre-delete snapshot still shows the victims; the post-delete
+    snapshot hides them; after compaction + vacuum the pre-delete
+    history fails loudly (retention contract) while the live view
+    stays correct."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import (
+        compact_shards,
+        delete_docs_tx,
+        log_history,
+        read_committed,
+        read_snapshot,
+        vacuum_uncommitted,
+    )
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    victims = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    n_all = read_committed(spark, out).count()
+    n_vic = victims.count()
+    assert delete_docs_tx(spark, out, victims, 1)
+    hist = {h["name"]: h for h in log_history(out)}
+    del_seq = max(h["seq"] for h in hist.values())
+    assert read_snapshot(spark, out, del_seq - 1).count() == n_all
+    assert read_snapshot(spark, out, del_seq).count() == n_all - n_vic
+    compact_shards(spark, out)
+    vacuum_uncommitted(out)
+    assert read_committed(spark, out).count() == n_all - n_vic
+    with pytest.raises(Exception):
+        read_snapshot(spark, out, del_seq - 1).count()
+
+
+def test_reshard_materializes_deletes(spark, sf_dir, tmp_path):
+    """reshard_double over a tombstoned layout drops the victims in
+    BOTH execution modes and conserves the survivor multiset."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import (
+        delete_docs_tx,
+        init_commit_log,
+        read_committed,
+        reshard_double,
+        write_shards,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    for mode in (False, True):
+        out = str(tmp_path / f"rsdel{int(mode)}")
+        write_shards(docs, out, n_shards=4)
+        init_commit_log(out)
+        victims = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+        assert delete_docs_tx(spark, out, victims, 1)
+        want = {
+            r.doc_id
+            for r in read_committed(spark, out).select("doc_id").collect()
+        }
+        reshard_double(spark, out, incremental=mode)
+        got_df = read_committed(spark, out)
+        got = {r.doc_id for r in got_df.select("doc_id").collect()}
+        assert got == want
+        assert got_df.join(victims, "doc_id").count() == 0
+        assert _gapless(spark, out)  # reshard re-mints pos densely
+
+
+def test_racing_delete_and_append_commute(spark, sf_dir, tmp_path):
+    """A delete racing an append: both commit (commute — tombstones
+    are id-addressed), the final view = standing + batch - victims."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import (
+        append_shards_tx,
+        delete_docs_tx,
+        read_committed,
+    )
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    batch = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .limit(60)
+        .localCheckpoint(eager=True)
+    )
+    victims = (
+        docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 4 == 0))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    results: dict = {}
+    errors: list[BaseException] = []
+
+    def run(fn, key):
+        try:
+            results[key] = fn()
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    t1 = threading.Thread(
+        target=run, args=(lambda: append_shards_tx(spark, out, batch, 5), "a")
+    )
+    t2 = threading.Thread(
+        target=run, args=(lambda: delete_docs_tx(spark, out, victims, 6), "d")
+    )
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    assert results == {"a": True, "d": True}
+    back = read_committed(spark, out)
+    n_base = docs.filter(F.col("doc_id") % 2 == 0).count()
+    assert back.count() == n_base + batch.count() - victims.count()
+    assert back.join(victims, "doc_id").count() == 0
+    assert back.select("doc_id").distinct().count() == back.count()
+
+
+def test_q_export_delete_query(spark, sf_dir):
+    from zvdb_spark.queries.export import q_export_delete
+
+    assert q_export_delete(spark, sf_dir).count() == N_SHARDS

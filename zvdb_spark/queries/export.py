@@ -263,10 +263,16 @@ def _append_committed(
     for _ in range(max_attempts):
         n = _check_layout_n(out_dir, n_shards, caller)
         commits = _read_commits(out_dir) or []
+        # rank against the DATA view (soft-deleted rows included) plus
+        # the maintenance high-water mark: a deleted row's pos must
+        # never be re-minted, so the max is over everything that EVER
+        # held a position, not just the rows a reader sees
+        data, _, hwm = _live_split_from(commits)
         ranked = _ranked_batch(
-            _read_files_df(spark, out_dir, _live_files_from(commits)),
+            _read_files_df(spark, out_dir, data),
             new_docs,
             n,
+            pos_hwm=hwm,
         )
         new_files = _stage_write(ranked, out_dir)
         try:
@@ -305,13 +311,35 @@ def _check_layout_n(
 
 
 def _ranked_batch(
-    standing: DataFrame, new_docs: DataFrame, n_shards: int
+    standing: DataFrame,
+    new_docs: DataFrame,
+    n_shards: int,
+    pos_hwm: dict[int, int] | None = None,
 ) -> DataFrame:
     """The shared append rank: pos = the standing frame's per-shard
-    max + the batch's hash rank within the shard."""
+    max + the batch's hash rank within the shard. ``pos_hwm`` is the
+    high-water mark maintenance commits carry (a compaction that
+    materialized deletes may have dropped a shard's max-pos rows; the
+    mark keeps appended positions monotone so a deleted row's pos is
+    never re-minted under a resume cursor)."""
     base_max = standing.groupBy("shard").agg(
         F.max("pos").alias("max_pos")
     )
+    if pos_hwm:
+        spark = standing.sparkSession
+        hwm_df = spark.createDataFrame(
+            [(int(s), int(p)) for s, p in pos_hwm.items()],
+            "shard int, max_pos int",
+        )
+        base_max = (
+            base_max.select(
+                F.col("shard").cast("int").alias("shard"),
+                F.col("max_pos").cast("int").alias("max_pos"),
+            )
+            .unionByName(hwm_df)
+            .groupBy("shard")
+            .agg(F.max("max_pos").alias("max_pos"))
+        )
     batch = _hashed(new_docs, n_shards)
     wr = W.partitionBy("shard").orderBy("h2", "doc_id")
     return (
@@ -369,14 +397,17 @@ class CommitConflict(RuntimeError):
 
 def _commit_kind(label: str) -> str:
     """Conflict-matrix class of a commit label: appends add rows
-    (labels ``b<batch>``/``plain-*``/legacy digit names), compact
-    rewrites the live rows in place, reshard re-draws the layout."""
+    (labels ``b<batch>``/``plain-*``/legacy digit names), deletes add
+    id tombstones (``d<batch>``), compact rewrites the live rows in
+    place, reshard re-draws the layout."""
     if label == "base":
         return "base"
     if label.startswith("compact"):
         return "compact"
     if label.startswith("reshard"):
         return "reshard"
+    if label.startswith("d") and label[1:].isdigit():
+        return "delete"
     return "append"
 
 
@@ -384,15 +415,19 @@ def _commit_kind(label: str) -> str:
 # retry from a fresh snapshot. Appends commute with compaction (a
 # compaction never changes per-shard max pos and never replaces a
 # commit it did not see), so an append that loses only to a compact
-# simply advances to the next seq. Every other pair is a real
-# conflict: append↔append can mint colliding pos, compact↔compact
-# would leave both rewrites live (duplicate rows), and a reshard
-# invalidates everyone's routing.
+# simply advances to the next seq. Deletes commute with EVERYTHING
+# except base: a tombstone is id-addressed, valid against any data
+# layout (appended, compacted, or resharded rows keep their ids), and
+# two deletes union. Every other pair is a real conflict:
+# append↔append can mint colliding pos, compact↔compact would leave
+# both rewrites live (duplicate rows), and a reshard invalidates
+# everyone's routing.
 _CONFLICTS = {
     "append": {"append", "reshard", "base"},
+    "delete": {"base"},
     "compact": {"compact", "reshard", "base"},
     "reshard": {"append", "compact", "reshard", "base"},
-    "base": {"append", "compact", "reshard", "base"},
+    "base": {"append", "delete", "compact", "reshard", "base"},
 }
 
 
@@ -422,6 +457,7 @@ def _publish_commit(
     snapshot: list[tuple[str, dict]],
     replaces: list[str] | None = None,
     n_shards: int | None = None,
+    pos_hwm: dict[int, int] | None = None,
 ) -> str | None:
     """Atomically publish a commit at the next free seq — the
     multi-writer CAS of this log layer, the put-if-absent protocol of
@@ -456,6 +492,8 @@ def _publish_commit(
         man["replaces"] = sorted(replaces)
     if n_shards is not None:
         man["n_shards"] = int(n_shards)
+    if pos_hwm:
+        man["pos_hwm"] = {str(s): int(p) for s, p in pos_hwm.items()}
     kind = _commit_kind(label)
     # monotone sequence number — the time-travel axis. Legacy commits
     # without the field read as seq 0 (the base).
@@ -477,7 +515,7 @@ def _publish_commit(
                     "label",
                     os.path.splitext(os.path.basename(path))[0],
                 )
-                if other == label and kind == "append":
+                if other == label and kind in ("append", "delete"):
                     # a twin replay of this very batch already
                     # committed (maintenance labels are generic —
                     # same-label maintenance twins fall through to
@@ -565,6 +603,42 @@ def _live_files_from(commits: list[tuple[str, dict]]) -> list[str]:
     return sorted(set(files))
 
 
+def _split_files(
+    commits: list[tuple[str, dict]], names: set[str]
+) -> tuple[list[str], list[str], dict[int, int]]:
+    """(data_files, tombstone_files, pos_hwm) across ``names``:
+    delete commits contribute tombstone id files, everything else
+    data files; pos_hwm is the per-shard position high-water mark the
+    maintenance commits carry forward (see compact_shards)."""
+    data: list[str] = []
+    tomb: list[str] = []
+    hwm: dict[int, int] = {}
+    for name, man in commits:
+        if name not in names:
+            continue
+        kind = _commit_kind(man.get("label", name))
+        (tomb if kind == "delete" else data).extend(man["files"])
+        for s, p in man.get("pos_hwm", {}).items():
+            hwm[int(s)] = max(hwm.get(int(s), 0), int(p))
+    return sorted(set(data)), sorted(set(tomb)), hwm
+
+
+def _live_split_from(
+    commits: list[tuple[str, dict]],
+) -> tuple[list[str], list[str], dict[int, int]]:
+    return _split_files(commits, set(_live_names_from(commits)))
+
+
+def _tombstone_ids(
+    spark: SparkSession, out_dir: str, tomb_files: list[str]
+) -> DataFrame:
+    import os
+
+    return spark.read.parquet(
+        *[os.path.join(out_dir, f) for f in tomb_files]
+    ).select("doc_id").distinct()
+
+
 def committed_files(out_dir: str) -> list[str] | None:
     """Union of every LIVE commit's file list, or None when the layout
     has no log (plain write_shards/append_shards layout — all files
@@ -595,12 +669,24 @@ def _read_files_df(
 
 
 def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The layout as the log defines it: only committed data files.
-    Falls back to the plain directory read when no log exists."""
-    files = committed_files(out_dir)
-    if files is None:
+    """The layout as the log defines it: only committed data files,
+    minus rows a live delete commit tombstones (merge-on-read — the
+    lakehouse DELETE pattern: tombstones are tiny id files, the
+    anti-join broadcasts them, and compaction/reshard MATERIALIZE
+    them so the debt never accumulates). Falls back to the plain
+    directory read when no log exists."""
+    commits = _read_commits(out_dir)
+    if commits is None:
         return spark.read.parquet(out_dir)
-    return _read_files_df(spark, out_dir, files)
+    data, tomb, _ = _live_split_from(commits)
+    df = _read_files_df(spark, out_dir, data)
+    if tomb:
+        df = df.join(
+            F.broadcast(_tombstone_ids(spark, out_dir, tomb)),
+            "doc_id",
+            "left_anti",
+        )
+    return df
 
 
 def _stage_write(ranked: DataFrame, out_dir: str) -> list[str]:
@@ -724,13 +810,40 @@ def read_snapshot(
     spark: SparkSession, out_dir: str, as_of_seq: int
 ) -> DataFrame:
     """Time-travel read: the layout exactly as committed readers saw
-    it at commit seq ``as_of_seq`` (see snapshot_files)."""
-    import os
-
-    files = snapshot_files(out_dir, as_of_seq)
-    return spark.read.option("basePath", out_dir).parquet(
-        *[os.path.join(out_dir, f) for f in files]
+    it at commit seq ``as_of_seq`` (see snapshot_files) — including
+    delete semantics: only tombstones committed AT OR BEFORE the
+    snapshot seq apply, so a pre-delete snapshot still shows the
+    deleted rows (until vacuum reclaims history, at which point the
+    read fails loudly)."""
+    snapshot_files(out_dir, as_of_seq)  # window + vacuum guard
+    commits = _read_commits(out_dir) or []
+    data, tomb, _ = _split_files(
+        commits, _window_live_names(commits, as_of_seq)
     )
+    df = _read_files_df(spark, out_dir, data)
+    if tomb:
+        df = df.join(
+            F.broadcast(_tombstone_ids(spark, out_dir, tomb)),
+            "doc_id",
+            "left_anti",
+        )
+    return df
+
+
+def _window_live_names(
+    commits: list[tuple[str, dict]], as_of_seq: int
+) -> set[str]:
+    """Live commit names within the seq window (the same rule
+    snapshot_files applies: only the window's own replaces lists)."""
+    window = [
+        (name, man)
+        for name, man in commits
+        if man.get("seq", 0) <= as_of_seq
+    ]
+    replaced: set[str] = set()
+    for _, man in window:
+        replaced.update(man.get("replaces", ()))
+    return {name for name, _ in window if name not in replaced}
 
 
 def append_shards_tx(
@@ -782,6 +895,57 @@ def append_shards_tx(
     return name is not None
 
 
+def delete_docs_tx(
+    spark: SparkSession,
+    out_dir: str,
+    doc_ids: DataFrame,
+    batch_id: int,
+) -> bool:
+    """Exactly-once logged DELETE — merge-on-read tombstones, the
+    lakehouse pattern reduced to this layout (and the operation a
+    training-corpus store actually needs: right-to-be-forgotten /
+    contamination removal without rewriting 100 TB). The id set is
+    written as a tiny tombstone parquet under ``_tombstones/`` and
+    published as a ``delete`` commit; committed readers anti-join the
+    (broadcast) tombstone ids, so standing data files are NEVER
+    rewritten at delete time; the next compaction or reshard
+    MATERIALIZES the deletes and supersedes the tombstone commits, so
+    the read-side debt never accumulates. Deleted rows keep their
+    (shard, pos) slots vacant forever — compaction carries a
+    per-shard position high-water mark so later appends never re-mint
+    a deleted row's pos under a loader's resume cursor. Time travel
+    honors the seq window: a pre-delete snapshot still shows the
+    rows. Fenced like appends: a redelivered batch_id (or a racing
+    twin) is a no-op returning False; a delete commit commutes with
+    every concurrent writer (tombstones are id-addressed — valid
+    against appended, compacted, and resharded layouts alike)."""
+    import os
+    import uuid
+
+    _require_log(out_dir, "delete_docs_tx")
+    label = f"d{int(batch_id):020d}"
+    commits = _read_commits(out_dir) or []
+    if any(m.get("label") == label for _, m in commits):
+        return False
+    rel_dir = f"_tombstones/{label}-{uuid.uuid4().hex[:8]}"
+    tgt = os.path.join(out_dir, rel_dir)
+    (
+        doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(tgt)
+    )
+    import glob
+
+    files = sorted(
+        os.path.relpath(f, out_dir)
+        for f in glob.glob(os.path.join(tgt, "*.parquet"))
+    )
+    name = _publish_commit(out_dir, label, files, snapshot=commits)
+    # a losing twin's tombstone dir is an ordinary vacuumable orphan
+    return name is not None
+
+
 def _snapshot_files_no_check(
     commits: list[tuple[str, dict]], as_of_seq: int
 ) -> set[str]:
@@ -829,13 +993,31 @@ def vacuum_uncommitted(out_dir: str, retain_last: int = 0) -> list[str]:
         seqs = sorted({man.get("seq", 0) for _, man in commits})
         for s in seqs[-(retain_last + 1):]:
             protected |= _snapshot_files_no_check(commits, s)
-    orphans = sorted(set(_data_files(out_dir)) - protected)
+    import glob as _glob
+
+    on_disk_tombs = {
+        os.path.relpath(f, out_dir)
+        for f in _glob.glob(
+            os.path.join(out_dir, "_tombstones", "*", "*.parquet")
+        )
+    }
+    orphans = sorted(
+        (set(_data_files(out_dir)) | on_disk_tombs) - protected
+    )
     for rel in orphans:
         os.remove(os.path.join(out_dir, rel))
         d, base = os.path.split(os.path.join(out_dir, rel))
         crc = os.path.join(d, f".{base}.crc")
         if os.path.exists(crc):
             os.remove(crc)
+    # prune emptied per-delete tombstone dirs (only Spark control
+    # files — _SUCCESS, .crc sidecars — remain once every parquet in
+    # the dir was reclaimed)
+    import shutil as _shutil
+
+    for d in _glob.glob(os.path.join(out_dir, "_tombstones", "*")):
+        if not _glob.glob(os.path.join(d, "*.parquet")):
+            _shutil.rmtree(d, ignore_errors=True)
     # staging dirs a crashed writer left mid-move are invisible to
     # readers (underscore-prefixed) but still hold disk — sweep the
     # stale ones only (an hour-old threshold so a LIVE concurrent
@@ -955,12 +1137,32 @@ def compact_shards(
         commits = _read_commits(out_dir) or []
         live_before = _live_names_from(commits)
         files_before = _live_files_from(commits)
-        if not files_before:
+        data, tomb, hwm = _live_split_from(commits)
+        if not data:
             raise ValueError(f"nothing committed to compact at {out_dir}")
+        src = _read_files_df(spark, out_dir, data).select(
+            "shard", "pos", "doc_id", "lang", "text", "h1"
+        )
+        # the position high-water mark is taken over the DATA view
+        # (soft-deleted rows included) BEFORE the tombstones are
+        # materialized away, and carried in the commit so appends
+        # stay monotone after the deleted tail rows are gone —
+        # n_shards-bounded driver read
+        new_hwm = dict(hwm)
+        shard_max = src.groupBy("shard").agg(
+            F.max("pos").alias("mx")
+        ).collect()  # driver-bounded(n_shards): commit metadata
+        for r in shard_max:
+            s = int(r["shard"])
+            new_hwm[s] = max(new_hwm.get(s, 0), int(r["mx"]))
+        if tomb:
+            src = src.join(
+                F.broadcast(_tombstone_ids(spark, out_dir, tomb)),
+                "doc_id",
+                "left_anti",
+            )
         new_files = _stage_write(
-            _read_files_df(spark, out_dir, files_before)
-            .select("shard", "pos", "doc_id", "lang", "text", "h1")
-            .repartition(n_shards, "shard")
+            src.repartition(n_shards, "shard")
             .sortWithinPartitions("shard", "pos"),
             out_dir,
         )
@@ -972,6 +1174,7 @@ def compact_shards(
                 snapshot=commits,
                 replaces=live_before,
                 n_shards=n_shards,
+                pos_hwm=new_hwm,
             )
         except CommitConflict as e:
             last = e
@@ -1044,23 +1247,40 @@ def reshard_double(
     for _ in range(max_attempts):
         commits = _read_commits(out_dir) or []
         live_before = _live_names_from(commits)
-        files = _live_files_from(commits)
-        if not files:
+        data, tomb, _ = _live_split_from(commits)
+        if not data:
             raise ValueError(f"nothing committed to reshard at {out_dir}")
         cols = ["shard", "pos", "doc_id", "lang", "text", "h1"]
+        tomb_ids = (
+            _tombstone_ids(spark, out_dir, tomb).localCheckpoint(
+                eager=True
+            )
+            if tomb
+            else None
+        )
+
+        def _view(files_subset):
+            df = _read_files_df(spark, out_dir, files_subset).select(*cols)
+            if tomb_ids is not None:
+                # reshard materializes deletes (pos is re-minted
+                # 1..n per new shard anyway — the permutation is
+                # redefined, so no high-water mark survives)
+                df = df.join(F.broadcast(tomb_ids), "doc_id", "left_anti")
+            return df
+
         new_files: list[str] = []
         if incremental:
             for m in range(old_n):
-                fm = [f for f in files if f.startswith(f"shard={m}/")]
+                fm = [f for f in data if f.startswith(f"shard={m}/")]
                 if not fm:
                     continue
-                part = _read_files_df(spark, out_dir, fm).select(*cols)
-                new_files.extend(_stage_write(_resharded(part, new_n),
-                                              out_dir))
+                new_files.extend(
+                    _stage_write(_resharded(_view(fm), new_n), out_dir)
+                )
             new_files.sort()
         else:
-            src = _read_files_df(spark, out_dir, files).select(*cols)
-            new_files = _stage_write(_resharded(src, new_n), out_dir)
+            new_files = _stage_write(_resharded(_view(data), new_n),
+                                     out_dir)
         try:
             _publish_commit(
                 out_dir,
@@ -1413,6 +1633,109 @@ def q_export_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if gaps:
             raise AssertionError(f"{gaps} shards have pos gaps")
+        return committed_manifest(spark, out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "q_export_delete",
+    oracle=None,  # past the driver cap; invariants asserted inside +
+    # tests/test_export.py (tombstone read, materialization, hwm,
+    # time travel, vacuum)
+    tags=("export", "delete", "maintenance", "pipeline"),
+)
+def q_export_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logged merge-on-read DELETE over the shard layout
+    (delete_docs_tx): a base export plus one transactional append,
+    then a tombstone delete of every doc_id divisible by 5, then a
+    compaction that MATERIALIZES the deletes. Asserted inside: the
+    committed view drops exactly the tombstoned rows without
+    rewriting any standing file at delete time; survivors keep their
+    (shard, pos) slots; a replayed delete batch is a no-op; after
+    compaction no data file holds a deleted id, the tombstone commit
+    is superseded, and a fresh append takes positions ABOVE the
+    pre-delete high-water mark (a deleted row's pos is never
+    re-minted). Returns the post-compaction committed manifest.
+    Rows-only check: log maintenance is not SQL-expressible."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="zvdb_del_", dir=_scratch(spark))
+    try:
+        docs = load(spark, sf_dir, "documents")
+        write_shards(docs.filter(F.col("doc_id") % 2 == 0), out)
+        init_commit_log(out)
+        append_shards_tx(
+            spark, out, docs.filter(F.col("doc_id") % 2 == 1), 1
+        )
+        before = read_committed(spark, out)
+        n_before = before.count()
+        hwm_df = (
+            before.groupBy("shard")
+            .agg(F.max("pos").alias("hwm"))
+            .localCheckpoint(eager=True)
+        )
+        victims = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+        n_victims = victims.count()
+        files_at_delete = set(_data_files(out))
+        if not delete_docs_tx(spark, out, victims, 2):
+            raise AssertionError("first delete reported a replay")
+        if delete_docs_tx(spark, out, victims, 2):
+            raise AssertionError("replayed delete was not fenced")
+        if set(_data_files(out)) != files_at_delete:
+            raise AssertionError(
+                "delete rewrote standing data files (must be "
+                "tombstone-only)"
+            )
+        after = read_committed(spark, out)
+        if after.count() != n_before - n_victims:
+            raise AssertionError("committed view wrong after delete")
+        if after.join(victims, "doc_id").count() != 0:
+            raise AssertionError("deleted ids still visible")
+        stats = compact_shards(spark, out)
+        vacuum_uncommitted(out)
+        leaked = (
+            read_committed(spark, out).join(victims, "doc_id").count()
+        )
+        if leaked:
+            raise AssertionError(
+                f"{leaked} deleted ids resurfaced after compaction"
+            )
+        # the tombstone commits are superseded by the compaction
+        live = _live_commit_names(out)
+        commits = dict(_read_commits(out) or [])
+        if any(
+            _commit_kind(commits[n].get("label", n)) == "delete"
+            for n in live
+        ):
+            raise AssertionError(
+                "tombstone commit still live after compaction"
+            )
+        # appends after the materialized delete stay ABOVE the
+        # pre-delete high-water mark
+        echo = docs.filter(F.col("doc_id") % 97 == 3).select(
+            (F.col("doc_id") + 50_000_000).alias("doc_id"),
+            "lang",
+            "text",
+        )
+        append_shards_tx(spark, out, echo, 3)
+        bad = (
+            read_committed(spark, out)
+            .filter(F.col("doc_id") >= 50_000_000)
+            .groupBy("shard")
+            .agg(F.min("pos").alias("mn"))
+            .join(hwm_df, "shard")
+            .filter(F.col("mn") <= F.col("hwm"))
+            .count()
+        )
+        if bad:
+            raise AssertionError(
+                f"{bad} shards re-minted a pos at or below the "
+                "pre-delete high-water mark"
+            )
         return committed_manifest(spark, out).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)

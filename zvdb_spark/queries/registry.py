@@ -156,6 +156,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_text_bm25_batch",
     "q_hybrid_rrf_batch",
     "q_knn_filtered_ann",
+    "q_export_delete",
 )
 
 
