@@ -131,6 +131,10 @@ HEADLINE = [
     "q_table_stats",
     "q_text_bm25",
     "q_hybrid_rrf",
+    "q_text_bm25_batch",
+    "q_hybrid_rrf_batch",
+    "q_knn_filtered_ann",
+    "q_export_delete",
 ]
 
 
@@ -194,8 +198,17 @@ def main() -> None:
     # lands with whatever numbers the other sections produced.
     def _section(name: str, fn) -> bool:
         load_probe[name] = _load_probe_ms()
+        t0 = time.perf_counter()
         try:
             fn()
+            # stderr progress marker: the stdout JSON is printed only
+            # at the end, so a killed/slow run is otherwise
+            # undiagnosable (r11 finding: 58 min of silence)
+            print(
+                f"[bench] {name} ok in "
+                f"{time.perf_counter() - t0:.1f}s",
+                file=sys.stderr,
+            )
             return True
         except Exception as exc:  # noqa: BLE001 — bench must survive
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -1687,7 +1700,7 @@ def main() -> None:
         cgidx = state["cgidx"]
         cemb = state["cemb"]
         cqueries = state["cqueries"]
-        nq_f = min(2000, ann_nq)
+        nq_f = min(1000, ann_nq)
         qdf_f = _qdf(cqueries[:nq_f])
         qdf_p = _qdf(cqueries[:n_probe])
         rows = []

@@ -205,13 +205,17 @@ def render(key: str, fmt: str, r: dict) -> str:
         return f"{s['committed']:.1f}%"
     if fmt == "committed":
         return _fmt_num(s["committed"])
+    if fmt == "committed_3f":
+        return f"{s['committed']:+.3f}"
+    if fmt == "range_3f":
+        return f"{s['min']:+.3f}..{s['max']:+.3f}"
     if fmt == "min_x":
         return f"{_fmt_num(s['min'])}x"
     raise SystemExit(f"unknown claim format {fmt!r}")
 
 
 _MARKER = re.compile(
-    r"<!--claim:([a-z0-9_]+):([a-z_]+)-->(.*?)<!--/claim-->", re.S
+    r"<!--claim:([a-z0-9_]+):([a-z0-9_]+)-->(.*?)<!--/claim-->", re.S
 )
 
 
