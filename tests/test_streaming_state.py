@@ -77,3 +77,20 @@ def test_stream_stream_join_matches_batch_twin(spark, sf_dir):
     }
     assert got == want
     assert sum(v[0] for v in want.values()) > 0, "join matched nothing"
+
+
+def test_cdc_upsert_stream_demo(spark, sf_dir):
+    """The CDC change-feed demo's internal assertions (replay fencing
+    on both commit halves, dels-absent/adds-present arithmetic,
+    (shard, pos) uniqueness, tombstoned-id masking and post-compaction
+    re-ingest) all run inside; here we pin the returned manifest
+    shape and that every shard survived."""
+    from zvdb_spark.queries.registry import all_queries
+
+    pdf = (
+        all_queries()["q_stream_demo_cdc_upsert"]
+        .fn(spark, sf_dir)
+        .toPandas()
+    )
+    assert len(pdf) == 8  # one row per shard
+    assert (pdf.n_docs > 0).all()

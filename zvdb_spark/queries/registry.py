@@ -157,6 +157,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_hybrid_rrf_batch",
     "q_knn_filtered_ann",
     "q_export_delete",
+    "q_stream_demo_cdc_upsert",
 )
 
 

@@ -691,3 +691,146 @@ def run_shard_export_stream_demo(
         shutil.rmtree(land, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def run_cdc_upsert_stream_demo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming CHANGE FEED applied to the shard layout — the CDC
+    shape every production corpus eventually needs: each micro-batch
+    carries (op, doc) rows, 'del' ops become a tombstone commit and
+    'add' ops an append commit, BOTH fenced under the micro-batch's
+    batch_id (the two commit kinds live in disjoint label namespaces
+    — d<batch> vs b<batch> — so one redelivered micro-batch re-fences
+    both halves independently; delete commutes with append, so the
+    pair needs no cross-commit transaction for correctness of the
+    final view).
+
+    Merge-on-read identity semantics, asserted inside: while a
+    tombstone is LIVE, its doc_id stays deleted — a later re-add of
+    the same id is masked by the anti-join (the id is the identity,
+    not the row); once a compaction MATERIALIZES the delete and
+    supersedes the tombstone commit, the id is free again and a
+    re-ingest becomes visible. Also asserted: a replayed micro-batch
+    is a no-op on both halves, the final committed view equals
+    base - deletes + adds exactly, and (shard, pos) stays unique.
+    Returns the committed per-shard manifest."""
+    import shutil
+    import tempfile
+
+    from zvdb_spark.queries.export import (
+        append_shards_tx,
+        committed_manifest,
+        compact_shards,
+        delete_docs_tx,
+        init_commit_log,
+        read_committed,
+        write_shards,
+    )
+    from zvdb_spark.sources.tables import load
+
+    land = tempfile.mkdtemp(prefix="zvdb_cdc_land_")
+    out = tempfile.mkdtemp(prefix="zvdb_cdc_out_")
+    ckpt = tempfile.mkdtemp(prefix="zvdb_cdc_ckpt_")
+    try:
+        docs = load(spark, sf_dir, "documents")
+        base = docs.filter(F.col("doc_id") % 2 == 0)
+        write_shards(base, out)
+        init_commit_log(out)
+
+        # the change feed: deletes target base ids (doc_id % 6 == 0),
+        # adds carry fresh ids shifted past the corpus
+        dels = base.filter(F.col("doc_id") % 3 == 0).select(
+            F.lit("del").alias("op"), "doc_id", "lang", "text"
+        )
+        adds = docs.filter(F.col("doc_id") % 2 == 1).select(
+            F.lit("add").alias("op"),
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "lang",
+            "text",
+        )
+        feed = dels.unionByName(adds)
+        feed.repartition(3).write.mode("overwrite").parquet(land)
+        schema = spark.read.parquet(land).schema
+
+        applied: list[int] = []
+
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            b_dels = batch_df.filter(F.col("op") == "del").select(
+                "doc_id"
+            )
+            b_adds = batch_df.filter(F.col("op") == "add").select(
+                "doc_id", "lang", "text"
+            )
+            did = delete_docs_tx(spark, out, b_dels, batch_id)
+            aid = append_shards_tx(spark, out, b_adds, batch_id)
+            if did or aid:
+                applied.append(batch_id)
+            # redelivery drill: both halves must fence now
+            if delete_docs_tx(spark, out, b_dels, batch_id):
+                raise AssertionError(
+                    f"replayed delete {batch_id} applied twice"
+                )
+            if append_shards_tx(spark, out, b_adds, batch_id):
+                raise AssertionError(
+                    f"replayed append {batch_id} applied twice"
+                )
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+            .writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_bounded(q)
+        if not applied:
+            raise AssertionError("change feed delivered no batches")
+
+        back = read_committed(spark, out)
+        n_base = base.count()
+        n_dels = dels.count()
+        n_adds = adds.count()
+        if back.count() != n_base - n_dels + n_adds:
+            raise AssertionError("committed view != base - dels + adds")
+        if back.filter(
+            (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 3 == 0)
+            & (F.col("doc_id") < 1_000_000)
+        ).count():
+            raise AssertionError("deleted ids still visible")
+        dup = (
+            back.groupBy("shard", "pos").count().filter("count > 1")
+            .count()
+        )
+        if dup:
+            raise AssertionError(f"{dup} duplicated (shard, pos) slots")
+
+        # identity semantics: a re-add of a LIVE-tombstoned id is
+        # masked; after compaction supersedes the tombstone, the same
+        # id re-ingests visibly
+        victim = base.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id", "lang", "text"
+        ).limit(1).localCheckpoint(eager=True)
+        append_shards_tx(spark, out, victim, 900)
+        if read_committed(spark, out).join(
+            victim.select("doc_id"), "doc_id"
+        ).count():
+            raise AssertionError(
+                "re-add of a live-tombstoned id leaked through the "
+                "anti-join"
+            )
+        compact_shards(spark, out)
+        append_shards_tx(spark, out, victim, 901)
+        if read_committed(spark, out).join(
+            victim.select("doc_id"), "doc_id"
+        ).count() != 1:
+            raise AssertionError(
+                "re-ingest after compaction did not become visible"
+            )
+        return committed_manifest(spark, out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
