@@ -82,9 +82,9 @@ def test_stream_stream_join_matches_batch_twin(spark, sf_dir):
 def test_cdc_upsert_stream_demo(spark, sf_dir):
     """The CDC change-feed demo's internal assertions (replay fencing
     on both commit halves, dels-absent/adds-present arithmetic,
-    (shard, pos) uniqueness, tombstoned-id masking and post-compaction
-    re-ingest) all run inside; here we pin the returned manifest
-    shape and that every shard survived."""
+    (shard, pos) uniqueness, last-writer-wins re-add visibility and
+    compaction view-invariance) all run inside; here we pin the
+    returned manifest shape and that every shard survived."""
     from zvdb_spark.queries.registry import all_queries
 
     pdf = (

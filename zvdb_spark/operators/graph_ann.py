@@ -1541,7 +1541,13 @@ class GraphIndex:
 
         ef_i = int(ef0 or max(self.ef, 4 * k))
         ef_i = max(ef_i, k)
-        allowed_ids = allowed.select("vec_id")
+        # distinct() hardens the contract against a caller passing a
+        # non-deduplicated allowed frame: duplicate vec_ids would
+        # inflate per-query survivor counts (finalizing before k
+        # DISTINCT hits exist) and duplicate ids inside top-k; the
+        # dedup is one tiny-side shuffle, negligible next to the
+        # search rounds
+        allowed_ids = allowed.select("vec_id").distinct()
         remaining = queries
         nq = n_queries
         parts: list[DataFrame] = []

@@ -416,17 +416,25 @@ def _commit_kind(label: str) -> str:
 # compaction never changes per-shard max pos and never replaces a
 # commit it did not see), so an append that loses only to a compact
 # simply advances to the next seq. Deletes commute with EVERYTHING
-# except base: a tombstone is id-addressed, valid against any data
-# layout (appended, compacted, or resharded rows keep their ids), and
-# two deletes union. Every other pair is a real conflict:
-# append↔append can mint colliding pos, compact↔compact would leave
-# both rewrites live (duplicate rows), and a reshard invalidates
-# everyone's routing.
+# from the DELETE's side: a tombstone is id-addressed and seq-scoped
+# (it masks rows from data commits with seq <= its own), so advancing
+# past any winner just serializes the delete AFTER it — masking a
+# concurrent append's or rewrite's rows is a valid linearization —
+# and two deletes union. The reverse direction is NOT symmetric since
+# round 12's seq-scoped tombstones: a compact/reshard MATERIALIZES
+# exactly the deletes in its snapshot and re-mints every surviving
+# row under its own (higher) seq, so a delete that lands between the
+# rewrite's snapshot and its publication would end up scoped BELOW
+# the rewritten rows and silently stop masking — the rewrite must
+# abort and recompute with the tombstone in view. Every other pair is
+# a real conflict: append↔append can mint colliding pos,
+# compact↔compact would leave both rewrites live (duplicate rows),
+# and a reshard invalidates everyone's routing.
 _CONFLICTS = {
     "append": {"append", "reshard", "base"},
     "delete": {"base"},
-    "compact": {"compact", "reshard", "base"},
-    "reshard": {"append", "compact", "reshard", "base"},
+    "compact": {"compact", "reshard", "delete", "base"},
+    "reshard": {"append", "compact", "reshard", "delete", "base"},
     "base": {"append", "delete", "compact", "reshard", "base"},
 }
 
@@ -507,10 +515,23 @@ def _publish_commit(
             path = os.path.join(cd, f"{seq:020d}.json")
             try:
                 os.link(tmp, path)
+                _maybe_checkpoint(out_dir, seq)
                 return f"{seq:020d}"
             except FileExistsError:
                 with open(path) as f:
                     winner = json.load(f)
+                if "label" not in winner:
+                    # a pre-format-2 commit named by batch_id whose
+                    # 20-digit name happens to equal THIS seq: it is
+                    # ancient history, not a concurrent writer (every
+                    # live writer stamps a label), so its name is
+                    # just an occupied slot — advance past it instead
+                    # of classifying a label-less manifest as a
+                    # conflicting append, which would recompute the
+                    # same max-seq+1 forever and wedge the chain.
+                    # Format-1 commits remain readable AND harmless.
+                    seq += 1
+                    continue
                 other = winner.get(
                     "label",
                     os.path.splitext(os.path.basename(path))[0],
@@ -564,9 +585,61 @@ def init_commit_log(out_dir: str) -> None:
     _publish_commit(out_dir, "base", _data_files(out_dir), snapshot=[])
 
 
-def _read_commits(out_dir: str) -> list[tuple[str, dict]] | None:
+# Roll a checkpoint every N commits. The checkpoint is the log's
+# read-amortizer (Delta's `_last_checkpoint` pattern, public): without
+# it every transactional op JSON-parses the WHOLE log — O(total
+# commits) driver I/O per streaming micro-batch, quadratic over the
+# stream's life. A checkpoint holds the full (name, manifest) list at
+# write time, so a reader opens ONE checkpoint + only the commits the
+# checkpoint has not seen (membership by file name — no opens for
+# covered commits). Commit jsons are never deleted, so checkpoints are
+# purely a read optimization: every consumer (replay fences, time
+# travel, vacuum retention) sees the same complete history.
+_CHECKPOINT_EVERY = 16
+
+
+def _ckpt_dir(out_dir: str) -> str:
+    import os
+
+    return os.path.join(_commits_dir(out_dir), "_ckpts")
+
+
+def _maybe_checkpoint(out_dir: str, seq: int) -> None:
+    """Best-effort checkpoint roll after publishing ``seq``: every
+    _CHECKPOINT_EVERY commits, re-read the full log once (the O(n)
+    cost is paid 1/N of the time — amortized O(1) extra opens per
+    commit) and publish it as one json via tmp + atomic rename. Two
+    writers rolling concurrently is harmless: os.replace is atomic
+    and either file is a valid base (the tail fill-in is
+    membership-based, not offset-based). Never fails the commit it
+    rides on."""
+    import json
+    import os
+    import uuid
+
+    if seq <= 0 or seq % _CHECKPOINT_EVERY:
+        return
+    try:
+        commits = _read_commits(out_dir, use_checkpoint=False) or []
+        kd = _ckpt_dir(out_dir)
+        os.makedirs(kd, exist_ok=True)
+        tmp = os.path.join(kd, f"_tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"format": 1, "commits": commits}, f)
+        os.replace(tmp, os.path.join(kd, f"{seq:020d}.json"))
+    except OSError:  # checkpointing is maintenance, never a failure
+        pass
+
+
+def _read_commits(
+    out_dir: str, use_checkpoint: bool = True
+) -> list[tuple[str, dict]] | None:
     """(name, manifest) for every commit json, sorted by name, or None
-    when the layout has no log. Validates the format fence."""
+    when the layout has no log. Validates the format fence. Reads the
+    latest checkpoint (when one exists) + only the UNCOVERED commit
+    files — coverage is by name membership, not name ordering, so a
+    new seq-named commit that sorts below a gapped legacy name is
+    still picked up."""
     import glob
     import json
     import os
@@ -575,7 +648,23 @@ def _read_commits(out_dir: str) -> list[tuple[str, dict]] | None:
     if not os.path.isdir(cd):
         return None
     out: list[tuple[str, dict]] = []
+    seen: set[str] = set()
+    if use_checkpoint:
+        cks = sorted(glob.glob(os.path.join(_ckpt_dir(out_dir), "*.json")))
+        if cks:
+            with open(cks[-1]) as f:
+                ck = json.load(f)
+            if ck.get("format") != 1:
+                raise ValueError(
+                    f"checkpoint {cks[-1]} has format "
+                    f"{ck.get('format')!r}; this build reads 1"
+                )
+            out = [(n, m) for n, m in ck["commits"]]
+            seen = {n for n, _ in out}
     for c in sorted(glob.glob(os.path.join(cd, "*.json"))):
+        name = os.path.splitext(os.path.basename(c))[0]
+        if name in seen:
+            continue
         with open(c) as f:
             man = json.load(f)
         if man.get("format") not in _COMMIT_FORMATS:
@@ -583,8 +672,8 @@ def _read_commits(out_dir: str) -> list[tuple[str, dict]] | None:
                 f"commit {c} has format {man.get('format')!r}; this "
                 f"build reads {sorted(_COMMIT_FORMATS)}"
             )
-        out.append((os.path.splitext(os.path.basename(c))[0], man))
-    return out
+        out.append((name, man))
+    return sorted(out, key=lambda nm: nm[0])
 
 
 def _live_names_from(commits: list[tuple[str, dict]]) -> list[str]:
@@ -603,24 +692,40 @@ def _live_files_from(commits: list[tuple[str, dict]]) -> list[str]:
     return sorted(set(files))
 
 
-def _split_files(
+def _seq_split(
     commits: list[tuple[str, dict]], names: set[str]
-) -> tuple[list[str], list[str], dict[int, int]]:
-    """(data_files, tombstone_files, pos_hwm) across ``names``:
-    delete commits contribute tombstone id files, everything else
-    data files; pos_hwm is the per-shard position high-water mark the
-    maintenance commits carry forward (see compact_shards)."""
-    data: list[str] = []
-    tomb: list[str] = []
+) -> tuple[dict[str, int], dict[str, int], dict[int, int]]:
+    """Per-seq file maps across ``names``: (data rel-path → its
+    commit's seq, tombstone rel-path → its delete commit's seq,
+    pos_hwm). The seq attribution is what scopes a tombstone: it
+    masks only rows whose data commit has seq <= the delete's seq
+    (see _masked_view). Delete commits contribute tombstone id files,
+    everything else data files; pos_hwm is the per-shard position
+    high-water mark the maintenance commits carry forward (see
+    compact_shards)."""
+    data: dict[str, int] = {}
+    tomb: dict[str, int] = {}
     hwm: dict[int, int] = {}
     for name, man in commits:
         if name not in names:
             continue
+        seq = int(man.get("seq", 0))
         kind = _commit_kind(man.get("label", name))
-        (tomb if kind == "delete" else data).extend(man["files"])
+        tgt = tomb if kind == "delete" else data
+        for f in man["files"]:
+            tgt[f] = max(tgt.get(f, seq), seq)
         for s, p in man.get("pos_hwm", {}).items():
             hwm[int(s)] = max(hwm.get(int(s), 0), int(p))
-    return sorted(set(data)), sorted(set(tomb)), hwm
+    return data, tomb, hwm
+
+
+def _split_files(
+    commits: list[tuple[str, dict]], names: set[str]
+) -> tuple[list[str], list[str], dict[int, int]]:
+    """Flat-list view of _seq_split for callers that only need the
+    file sets (vacuum retention, file listings)."""
+    data, tomb, hwm = _seq_split(commits, names)
+    return sorted(data), sorted(tomb), hwm
 
 
 def _live_split_from(
@@ -629,14 +734,78 @@ def _live_split_from(
     return _split_files(commits, set(_live_names_from(commits)))
 
 
-def _tombstone_ids(
-    spark: SparkSession, out_dir: str, tomb_files: list[str]
+def _tombstone_ids_seq(
+    spark: SparkSession, out_dir: str, tomb: dict[str, int]
 ) -> DataFrame:
+    """One (doc_id, del_seq) row per tombstoned id, del_seq = the
+    HIGHEST delete seq that names the id (two deletes of the same id
+    union to the later scope). Tombstone files are tiny id lists —
+    the frame is broadcast by every consumer."""
     import os
 
-    return spark.read.parquet(
-        *[os.path.join(out_dir, f) for f in tomb_files]
-    ).select("doc_id").distinct()
+    by_seq: dict[int, list[str]] = {}
+    for f, s in tomb.items():
+        by_seq.setdefault(s, []).append(f)
+    parts = [
+        spark.read.parquet(*[os.path.join(out_dir, f) for f in fs])
+        .select("doc_id", F.lit(s).cast("long").alias("del_seq"))
+        for s, fs in sorted(by_seq.items())
+    ]
+    tdf = parts[0]
+    for p in parts[1:]:
+        tdf = tdf.unionByName(p)
+    return tdf.groupBy("doc_id").agg(F.max("del_seq").alias("del_seq"))
+
+
+def _masked_view(
+    spark: SparkSession,
+    out_dir: str,
+    data: dict[str, int],
+    tomb: dict[str, int],
+    tomb_df: DataFrame | None = None,
+) -> DataFrame:
+    """The data files' rows minus SEQ-SCOPED tombstones: a delete
+    commit at seq S masks a row iff the row's data commit has
+    seq <= S — last-writer-wins, the Delta/Iceberg delete semantics
+    (public). Consequences the id-global anti-join of round 11 got
+    wrong: a re-add of a deleted id under a LATER commit is visible
+    immediately, and maintenance (which materializes every tombstone
+    it saw and re-mints survivors under its own seq) provably never
+    changes the committed view, whenever it runs.
+
+    Plumbing: each row's data seq comes from a file-count-bounded
+    broadcast join on the scan's ``_metadata.file_path`` (per-FILE
+    metadata — no per-row state is written anywhere); tombstones
+    reduce to one broadcast (doc_id, max del_seq) row per id; the
+    anti-join condition is id equality AND del_seq >= data_seq. The
+    no-tombstone fast path is the plain committed scan, unchanged."""
+    df = _read_files_df(spark, out_dir, sorted(data))
+    if not tomb and tomb_df is None:
+        return df
+    cols = df.columns
+    fmap = spark.createDataFrame(
+        sorted(data.items()), "rel: string, data_seq: long"
+    )
+    rel = F.regexp_extract(
+        F.col("_metadata.file_path"), r"(shard=[^/]+/[^/]+)$", 1
+    )
+    left = (
+        df.withColumn("_rel", rel)
+        .join(F.broadcast(fmap), F.col("_rel") == F.col("rel"))
+        .drop("rel", "_rel")
+        .alias("l")
+    )
+    tdf = (
+        tomb_df
+        if tomb_df is not None
+        else _tombstone_ids_seq(spark, out_dir, tomb)
+    ).alias("t")
+    return left.join(
+        F.broadcast(tdf),
+        (F.col("l.doc_id") == F.col("t.doc_id"))
+        & (F.col("t.del_seq") >= F.col("l.data_seq")),
+        "left_anti",
+    ).select(*cols)
 
 
 def committed_files(out_dir: str) -> list[str] | None:
@@ -672,21 +841,15 @@ def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
     """The layout as the log defines it: only committed data files,
     minus rows a live delete commit tombstones (merge-on-read — the
     lakehouse DELETE pattern: tombstones are tiny id files, the
-    anti-join broadcasts them, and compaction/reshard MATERIALIZE
-    them so the debt never accumulates). Falls back to the plain
-    directory read when no log exists."""
+    anti-join broadcasts them seq-scoped so a later re-add wins, and
+    compaction/reshard MATERIALIZE them so the debt never
+    accumulates). Falls back to the plain directory read when no log
+    exists."""
     commits = _read_commits(out_dir)
     if commits is None:
         return spark.read.parquet(out_dir)
-    data, tomb, _ = _live_split_from(commits)
-    df = _read_files_df(spark, out_dir, data)
-    if tomb:
-        df = df.join(
-            F.broadcast(_tombstone_ids(spark, out_dir, tomb)),
-            "doc_id",
-            "left_anti",
-        )
-    return df
+    data, tomb, _ = _seq_split(commits, set(_live_names_from(commits)))
+    return _masked_view(spark, out_dir, data, tomb)
 
 
 def _stage_write(ranked: DataFrame, out_dir: str) -> list[str]:
@@ -814,20 +977,14 @@ def read_snapshot(
     delete semantics: only tombstones committed AT OR BEFORE the
     snapshot seq apply, so a pre-delete snapshot still shows the
     deleted rows (until vacuum reclaims history, at which point the
-    read fails loudly)."""
+    read fails loudly) and a re-add after the delete wins within the
+    window (seq-scoped masking, same rule as read_committed)."""
     snapshot_files(out_dir, as_of_seq)  # window + vacuum guard
     commits = _read_commits(out_dir) or []
-    data, tomb, _ = _split_files(
+    data, tomb, _ = _seq_split(
         commits, _window_live_names(commits, as_of_seq)
     )
-    df = _read_files_df(spark, out_dir, data)
-    if tomb:
-        df = df.join(
-            F.broadcast(_tombstone_ids(spark, out_dir, tomb)),
-            "doc_id",
-            "left_anti",
-        )
-    return df
+    return _masked_view(spark, out_dir, data, tomb)
 
 
 def _window_live_names(
@@ -907,18 +1064,25 @@ def delete_docs_tx(
     contamination removal without rewriting 100 TB). The id set is
     written as a tiny tombstone parquet under ``_tombstones/`` and
     published as a ``delete`` commit; committed readers anti-join the
-    (broadcast) tombstone ids, so standing data files are NEVER
-    rewritten at delete time; the next compaction or reshard
-    MATERIALIZES the deletes and supersedes the tombstone commits, so
-    the read-side debt never accumulates. Deleted rows keep their
-    (shard, pos) slots vacant forever — compaction carries a
-    per-shard position high-water mark so later appends never re-mint
-    a deleted row's pos under a loader's resume cursor. Time travel
+    (broadcast) tombstone ids SEQ-SCOPED — the tombstone masks only
+    rows from data commits at or below its own seq, so a later
+    re-add of the same id wins immediately (last-writer-wins, the
+    Delta/Iceberg delete semantics every CDC consumer expects) —
+    and standing data files are NEVER rewritten at delete time; the
+    next compaction or reshard MATERIALIZES the deletes and
+    supersedes the tombstone commits, so the read-side debt never
+    accumulates and the committed view is provably invariant under
+    maintenance timing. A deleted (not re-added) row's (shard, pos)
+    slot stays vacant forever — compaction carries a per-shard
+    position high-water mark so later appends never re-mint a
+    deleted row's pos under a loader's resume cursor. Time travel
     honors the seq window: a pre-delete snapshot still shows the
     rows. Fenced like appends: a redelivered batch_id (or a racing
-    twin) is a no-op returning False; a delete commit commutes with
-    every concurrent writer (tombstones are id-addressed — valid
-    against appended, compacted, and resharded layouts alike)."""
+    twin) is a no-op returning False; from the DELETE's side the
+    commit commutes with every concurrent writer (advancing past a
+    winner serializes the delete after it — a valid linearization);
+    the REVERSE is not symmetric: a compact/reshard that did not see
+    this tombstone aborts and recomputes (see _CONFLICTS)."""
     import os
     import uuid
 
@@ -968,7 +1132,9 @@ def _snapshot_files_no_check(
     }
 
 
-def vacuum_uncommitted(out_dir: str, retain_last: int = 0) -> list[str]:
+def vacuum_uncommitted(
+    out_dir: str, retain_last: int = 0, grace_sec: float = 3600.0
+) -> list[str]:
     """Delete data files the committed view no longer references —
     crash orphans (a data write whose commit never landed) and files
     superseded by compaction/reshard — along with their Hadoop
@@ -981,8 +1147,20 @@ def vacuum_uncommitted(out_dir: str, retain_last: int = 0) -> list[str]:
     retention-window contract (Delta's ``VACUUM RETAIN``, reduced to
     commit granularity). The default 0 retains only the live view:
     history becomes unreadable, exactly as documented in
-    snapshot_files."""
+    snapshot_files.
+
+    ``grace_sec`` protects RECENT unreferenced files: a concurrent
+    writer that has renamed its staged files into ``shard=*/`` (or
+    written its tombstone parquet) but not yet published its commit
+    looks exactly like a crash orphan — deleting those files would
+    land the about-to-publish commit pointing at nothing. Files
+    younger than the grace window are therefore skipped (Delta's
+    VACUUM retention, applied to data files the way the staging-dir
+    sweep below always applied it to staging dirs). Pass 0.0 only
+    when writers are provably quiescent (single-writer demos,
+    tests)."""
     import os
+    import time as _time
 
     committed = committed_files(out_dir)
     if committed is None:
@@ -1001,9 +1179,20 @@ def vacuum_uncommitted(out_dir: str, retain_last: int = 0) -> list[str]:
             os.path.join(out_dir, "_tombstones", "*", "*.parquet")
         )
     }
-    orphans = sorted(
+    now = _time.time()
+    candidates = sorted(
         (set(_data_files(out_dir)) | on_disk_tombs) - protected
     )
+    orphans: list[str] = []
+    for rel in candidates:
+        try:
+            if now - os.path.getmtime(os.path.join(out_dir, rel)) < (
+                grace_sec
+            ):
+                continue  # possibly a live writer's pre-publish file
+        except OSError:
+            continue
+        orphans.append(rel)
     for rel in orphans:
         os.remove(os.path.join(out_dir, rel))
         d, base = os.path.split(os.path.join(out_dir, rel))
@@ -1137,30 +1326,31 @@ def compact_shards(
         commits = _read_commits(out_dir) or []
         live_before = _live_names_from(commits)
         files_before = _live_files_from(commits)
-        data, tomb, hwm = _live_split_from(commits)
+        data, tomb, hwm = _seq_split(commits, set(live_before))
         if not data:
             raise ValueError(f"nothing committed to compact at {out_dir}")
-        src = _read_files_df(spark, out_dir, data).select(
-            "shard", "pos", "doc_id", "lang", "text", "h1"
-        )
+        cols = ["shard", "pos", "doc_id", "lang", "text", "h1"]
         # the position high-water mark is taken over the DATA view
         # (soft-deleted rows included) BEFORE the tombstones are
         # materialized away, and carried in the commit so appends
         # stay monotone after the deleted tail rows are gone —
         # n_shards-bounded driver read
         new_hwm = dict(hwm)
-        shard_max = src.groupBy("shard").agg(
-            F.max("pos").alias("mx")
-        ).collect()  # driver-bounded(n_shards): commit metadata
+        shard_max = (
+            _read_files_df(spark, out_dir, sorted(data))
+            .groupBy("shard")
+            .agg(F.max("pos").alias("mx"))
+            .collect()  # driver-bounded(n_shards): commit metadata
+        )
         for r in shard_max:
             s = int(r["shard"])
             new_hwm[s] = max(new_hwm.get(s, 0), int(r["mx"]))
-        if tomb:
-            src = src.join(
-                F.broadcast(_tombstone_ids(spark, out_dir, tomb)),
-                "doc_id",
-                "left_anti",
-            )
+        # materialize exactly the seq-scoped deletes (a re-added row
+        # with data seq above its tombstone's seq SURVIVES — the
+        # committed view is invariant under compaction timing); any
+        # delete landing after this snapshot conflicts (see
+        # _CONFLICTS) and forces a recompute
+        src = _masked_view(spark, out_dir, data, tomb).select(*cols)
         new_files = _stage_write(
             src.repartition(n_shards, "shard")
             .sortWithinPartitions("shard", "pos"),
@@ -1247,31 +1437,36 @@ def reshard_double(
     for _ in range(max_attempts):
         commits = _read_commits(out_dir) or []
         live_before = _live_names_from(commits)
-        data, tomb, _ = _live_split_from(commits)
+        data, tomb, _ = _seq_split(commits, set(live_before))
         if not data:
             raise ValueError(f"nothing committed to reshard at {out_dir}")
         cols = ["shard", "pos", "doc_id", "lang", "text", "h1"]
+        # reshard materializes the seq-scoped deletes (pos is
+        # re-minted 1..n per new shard anyway — the permutation is
+        # redefined, so no high-water mark survives); the tombstone
+        # frame is checkpointed once and reused across the
+        # incremental mode's per-old-shard jobs
         tomb_ids = (
-            _tombstone_ids(spark, out_dir, tomb).localCheckpoint(
+            _tombstone_ids_seq(spark, out_dir, tomb).localCheckpoint(
                 eager=True
             )
             if tomb
             else None
         )
 
-        def _view(files_subset):
-            df = _read_files_df(spark, out_dir, files_subset).select(*cols)
-            if tomb_ids is not None:
-                # reshard materializes deletes (pos is re-minted
-                # 1..n per new shard anyway — the permutation is
-                # redefined, so no high-water mark survives)
-                df = df.join(F.broadcast(tomb_ids), "doc_id", "left_anti")
-            return df
+        def _view(data_subset: dict[str, int]) -> DataFrame:
+            return _masked_view(
+                spark, out_dir, data_subset, tomb, tomb_df=tomb_ids
+            ).select(*cols)
 
         new_files: list[str] = []
         if incremental:
             for m in range(old_n):
-                fm = [f for f in data if f.startswith(f"shard={m}/")]
+                fm = {
+                    f: s
+                    for f, s in data.items()
+                    if f.startswith(f"shard={m}/")
+                }
                 if not fm:
                     continue
                 new_files.extend(
@@ -1463,7 +1658,7 @@ def q_export_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         before = committed_manifest(spark, out).localCheckpoint(eager=True)
         stats = compact_shards(spark, out)
-        removed = vacuum_uncommitted(out)
+        removed = vacuum_uncommitted(out, grace_sec=0.0)  # quiescent demo
         if sorted(removed) != stats["reclaimable"]:
             raise AssertionError(
                 f"vacuum removed {removed}, compaction superseded "
@@ -1546,7 +1741,7 @@ def q_export_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(
                 "latest snapshot != committed view across compaction"
             )
-        vacuum_uncommitted(out)
+        vacuum_uncommitted(out, grace_sec=0.0)  # quiescent demo
         try:
             snapshot_files(out, 1)
         except ValueError:
@@ -1652,12 +1847,15 @@ def q_export_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction that MATERIALIZES the deletes. Asserted inside: the
     committed view drops exactly the tombstoned rows without
     rewriting any standing file at delete time; survivors keep their
-    (shard, pos) slots; a replayed delete batch is a no-op; after
-    compaction no data file holds a deleted id, the tombstone commit
-    is superseded, and a fresh append takes positions ABOVE the
-    pre-delete high-water mark (a deleted row's pos is never
-    re-minted). Returns the post-compaction committed manifest.
-    Rows-only check: log maintenance is not SQL-expressible."""
+    (shard, pos) slots; a replayed delete batch is a no-op; a re-add
+    of a deleted id under a later commit is visible IMMEDIATELY
+    (seq-scoped tombstones — last-writer-wins) and survives the
+    compaction unchanged; after compaction no other data file holds
+    a deleted id, the tombstone commit is superseded, and a fresh
+    append takes positions ABOVE the pre-delete high-water mark (a
+    deleted row's pos is never re-minted). Returns the
+    post-compaction committed manifest. Rows-only check: log
+    maintenance is not SQL-expressible."""
     import glob
     import os
     import shutil
@@ -1695,14 +1893,43 @@ def q_export_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError("committed view wrong after delete")
         if after.join(victims, "doc_id").count() != 0:
             raise AssertionError("deleted ids still visible")
+        # last-writer-wins: a re-add of a deleted id under a LATER
+        # commit is visible IMMEDIATELY (tombstones are seq-scoped,
+        # not id-global), and the compaction below must not change
+        # the committed view
+        readd = (
+            docs.filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id", "lang", "text")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        append_shards_tx(spark, out, readd, 9)
+        if (
+            read_committed(spark, out)
+            .join(readd.select("doc_id"), "doc_id")
+            .count()
+            != 1
+        ):
+            raise AssertionError(
+                "re-add of a deleted id not visible while its "
+                "tombstone lives (last-writer-wins violated)"
+            )
         stats = compact_shards(spark, out)
-        vacuum_uncommitted(out)
+        vacuum_uncommitted(out, grace_sec=0.0)  # quiescent demo layout
+        survived = read_committed(spark, out)
         leaked = (
-            read_committed(spark, out).join(victims, "doc_id").count()
+            survived.join(victims, "doc_id")
+            .join(readd.select("doc_id"), "doc_id", "left_anti")
+            .count()
         )
         if leaked:
             raise AssertionError(
                 f"{leaked} deleted ids resurfaced after compaction"
+            )
+        if survived.join(readd.select("doc_id"), "doc_id").count() != 1:
+            raise AssertionError(
+                "compaction changed the committed view (re-added row "
+                "lost — maintenance must be view-invariant)"
             )
         # the tombstone commits are superseded by the compaction
         live = _live_commit_names(out)

@@ -267,13 +267,13 @@ def q_stream_demo_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_cdc_upsert_stream_demo): each micro-batch's 'del' ops become
     a tombstone commit and its 'add' ops an append commit, both
     fenced under the batch_id (disjoint label namespaces), both
-    halves of a redelivered batch no-ops. Merge-on-read identity
-    semantics asserted inside: a re-add of a live-tombstoned id is
-    masked; after compaction supersedes the tombstone, the id
-    re-ingests visibly; final view = base - dels + adds exactly, and
-    (shard, pos) stays unique. Returns the committed per-shard
-    manifest. Rows-only check: micro-batch execution is not
-    SQL-expressible."""
+    halves of a redelivered batch no-ops. Last-writer-wins upsert
+    semantics asserted inside (tombstones are seq-scoped): a re-add
+    of a tombstoned id under a later commit is visible immediately,
+    a compaction does not change the committed view, the final view
+    = base - dels + adds exactly, and (shard, pos) stays unique.
+    Returns the committed per-shard manifest. Rows-only check:
+    micro-batch execution is not SQL-expressible."""
     from zvdb_spark.streaming.jobs import run_cdc_upsert_stream_demo
 
     return run_cdc_upsert_stream_demo(spark, sf_dir)

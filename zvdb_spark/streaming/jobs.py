@@ -666,7 +666,7 @@ def run_shard_export_stream_demo(
         shutil.copyfile(src_file, orphan)
         if read_committed(spark, out).count() != n_committed:
             raise AssertionError("uncommitted orphan leaked into reads")
-        removed = vacuum_uncommitted(out)
+        removed = vacuum_uncommitted(out, grace_sec=0.0)  # quiescent demo
         if [os.path.basename(r) for r in removed] != [
             "part-orphan-crash.parquet"
         ]:
@@ -706,15 +706,16 @@ def run_cdc_upsert_stream_demo(
     pair needs no cross-commit transaction for correctness of the
     final view).
 
-    Merge-on-read identity semantics, asserted inside: while a
-    tombstone is LIVE, its doc_id stays deleted — a later re-add of
-    the same id is masked by the anti-join (the id is the identity,
-    not the row); once a compaction MATERIALIZES the delete and
-    supersedes the tombstone commit, the id is free again and a
-    re-ingest becomes visible. Also asserted: a replayed micro-batch
-    is a no-op on both halves, the final committed view equals
-    base - deletes + adds exactly, and (shard, pos) stays unique.
-    Returns the committed per-shard manifest."""
+    Last-writer-wins upsert semantics, asserted inside: tombstones
+    are SEQ-SCOPED (they mask only rows from data commits at or
+    below the delete's seq — the Delta/Iceberg delete rule every CDC
+    consumer expects), so a later re-add of a deleted id is visible
+    IMMEDIATELY, and a compaction — which materializes exactly the
+    deletes it saw — provably does not change the committed view,
+    whenever maintenance happens to run. Also asserted: a replayed
+    micro-batch is a no-op on both halves, the final committed view
+    equals base - deletes + adds exactly, and (shard, pos) stays
+    unique. Returns the committed per-shard manifest."""
     import shutil
     import tempfile
 
@@ -807,27 +808,30 @@ def run_cdc_upsert_stream_demo(
         if dup:
             raise AssertionError(f"{dup} duplicated (shard, pos) slots")
 
-        # identity semantics: a re-add of a LIVE-tombstoned id is
-        # masked; after compaction supersedes the tombstone, the same
-        # id re-ingests visibly
+        # last-writer-wins: a re-add of a tombstoned id under a LATER
+        # commit is visible immediately (tombstones are seq-scoped),
+        # and a compaction — which materializes exactly the deletes
+        # it saw — does not change the committed view
         victim = base.filter(F.col("doc_id") % 3 == 0).select(
             "doc_id", "lang", "text"
         ).limit(1).localCheckpoint(eager=True)
         append_shards_tx(spark, out, victim, 900)
         if read_committed(spark, out).join(
             victim.select("doc_id"), "doc_id"
-        ).count():
+        ).count() != 1:
             raise AssertionError(
-                "re-add of a live-tombstoned id leaked through the "
-                "anti-join"
+                "re-add of a tombstoned id is masked — the change "
+                "feed must be last-writer-wins"
             )
+        n_pre = read_committed(spark, out).count()
         compact_shards(spark, out)
-        append_shards_tx(spark, out, victim, 901)
-        if read_committed(spark, out).join(
+        post = read_committed(spark, out)
+        if post.count() != n_pre or post.join(
             victim.select("doc_id"), "doc_id"
         ).count() != 1:
             raise AssertionError(
-                "re-ingest after compaction did not become visible"
+                "compaction changed the committed view — maintenance "
+                "must be view-invariant under live tombstones"
             )
         return committed_manifest(spark, out).localCheckpoint(eager=True)
     finally:
