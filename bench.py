@@ -135,6 +135,7 @@ HEADLINE = [
     "q_hybrid_rrf_batch",
     "q_knn_filtered_ann",
     "q_export_delete",
+    "q_export_merge",
 ]
 
 
@@ -979,6 +980,78 @@ def main() -> None:
         result["graph_1m_qps_ratio_vs_exact"] = result["graph_1m"][
             "qps_ratio_vs_exact"
         ]
+
+        # Filtered probes in the SAME 1M window (r11 verdict #4): the
+        # routing sentence "the filtered graph path is the >=1M tool"
+        # was extrapolated from 100k — measure it where it is claimed.
+        # sel 0.5 and 0.1 only (the 100k table already shows exact
+        # owning sharp predicates); fewer queries than the unfiltered
+        # points because each filtered graph query pays adaptive-ef
+        # rounds.
+        from pyspark.sql import functions as F
+
+        nq_f1 = min(1000, nq1)
+        qdf_f1 = _qdf(cq[:nq_f1])
+        qdf_fp = _qdf(cq[:n_probe])
+        f1_rows = []
+        for mod, sel_key in ((2, "sel50"), (10, "sel10")):
+            allowed1 = cemb1.filter(
+                F.col("vec_id") % mod == 0
+            ).localCheckpoint(eager=True)
+            allowed_ids1 = allowed1.select("vec_id")
+            n_allowed1 = allowed1.count()
+            _noop_write(
+                gidx1.search_filtered(
+                    qdf_fp, allowed_ids1, k=BENCH_K, n_queries=n_probe
+                )
+            )
+            _noop_write(
+                exact_search_blocked(
+                    allowed1, qdf_fp, k=BENCH_K,
+                    n_corpus=n_allowed1, n_probes=n_probe,
+                )
+            )
+            fsecs = _interleaved({
+                "graph": lambda a=allowed_ids1: _noop_write(
+                    gidx1.search_filtered(
+                        qdf_f1, a, k=BENCH_K, n_queries=nq_f1
+                    )
+                ),
+                "exact": lambda a=allowed1, n=n_allowed1: _noop_write(
+                    exact_search_blocked(
+                        a, qdf_f1, k=BENCH_K, n_corpus=n,
+                        n_probes=nq_f1,
+                    )
+                ),
+            })
+            gf_pdf = gidx1.search_filtered(
+                qdf_fp, allowed_ids1, k=BENCH_K, n_queries=n_probe
+            ).toPandas()
+            exf_pdf = exact_search_blocked(
+                allowed1, qdf_fp, k=BENCH_K,
+                n_corpus=n_allowed1, n_probes=n_probe,
+            ).toPandas()
+            ratio = round(fsecs["exact"] / fsecs["graph"], 3)
+            f1_rows.append({
+                "selectivity": round(n_allowed1 / n1, 4),
+                "n_allowed": n_allowed1,
+                "graph_qps": round(nq_f1 / fsecs["graph"], 2),
+                "exact_qps": round(nq_f1 / fsecs["exact"], 2),
+                "graph_over_exact": ratio,
+                "recall": round(_recall_of(gf_pdf, exf_pdf, n_probe), 3),
+            })
+            timings[f"filtered_ann_1m_graph_mod{mod}"] = round(
+                fsecs["graph"], 3
+            )
+            timings[f"filtered_ann_1m_exact_mod{mod}"] = round(
+                fsecs["exact"], 3
+            )
+            result[f"filtered_ann_1m_ratio_{sel_key}"] = ratio
+            result[f"filtered_ann_1m_recall_{sel_key}"] = f1_rows[-1][
+                "recall"
+            ]
+            allowed1.unpersist()
+        result["filtered_ann_1m"] = f1_rows
         gidx1.retire()  # throwaway 10x index: return the disk now
 
     def _bench_save_load():
@@ -1297,6 +1370,22 @@ def main() -> None:
             "pq_encode": float("inf"),
             "ivfpq_build": float("inf"),
         }
+        ivfpq_obs: list[float] = []
+
+        def _ivfpq_pass():
+            t0 = time.perf_counter()
+            fcents = kmeans_fit_sample(
+                cemb, k=n_cells, n_iter=6, sample_n=50_000,
+                n_rows=BENCH_N,
+            )
+            _, fcodes = ivfpq_build(
+                cemb, fcents, m_sub=16, k_codes=256, n_iter=4,
+                sample_n=20_000, n_rows=BENCH_N,
+            )
+            fchk = fcodes.localCheckpoint(eager=True)
+            ivfpq_obs.append(time.perf_counter() - t0)
+            fchk.unpersist()
+
         for _ in range(2):
             if emb is not None:
                 fidx = GraphIndex(m=16, ef=128, seed=SEED)
@@ -1321,20 +1410,17 @@ def main() -> None:
                 enc.unpersist()  # throwaway timing artifact, like
                 # fidx.retire() above — don't leak executor disk
             if cemb is not None:
-                t0 = time.perf_counter()
-                fcents = kmeans_fit_sample(
-                    cemb, k=n_cells, n_iter=6, sample_n=50_000,
-                    n_rows=BENCH_N,
-                )
-                _, fcodes = ivfpq_build(
-                    cemb, fcents, m_sub=16, k_codes=256, n_iter=4,
-                    sample_n=20_000, n_rows=BENCH_N,
-                )
-                fchk = fcodes.localCheckpoint(eager=True)
-                best["ivfpq_build"] = min(
-                    best["ivfpq_build"], time.perf_counter() - t0
-                )
-                fchk.unpersist()
+                _ivfpq_pass()
+        # the IVFPQ build is the family's long-tail member: at ~10x
+        # the siblings' duration, two passes left it swinging 73%
+        # driver-vs-committed in r11 while the short members agreed
+        # to <=10% — one extra pass (best-of-3) plus a PUBLISHED
+        # spread makes the residual uncertainty visible instead of
+        # silent
+        if cemb is not None:
+            _ivfpq_pass()
+        if ivfpq_obs:
+            best["ivfpq_build"] = min(ivfpq_obs)
         window: dict = {"passes": 2}
         if emb is not None:
             searchable = best["packed"] + best["pack"]
@@ -1360,6 +1446,12 @@ def main() -> None:
         if best["ivfpq_build"] < float("inf"):
             timings["family_ivfpq_build"] = round(best["ivfpq_build"], 3)
             window["ivfpq_build_sec"] = round(best["ivfpq_build"], 3)
+            window["ivfpq_build_passes"] = len(ivfpq_obs)
+            window["ivfpq_build_spread_pct"] = round(
+                100.0 * (max(ivfpq_obs) - min(ivfpq_obs))
+                / min(ivfpq_obs),
+                1,
+            )
             result["ivfpq_build_pts_per_s"] = round(
                 BENCH_N / best["ivfpq_build"], 2
             )
@@ -1571,11 +1663,11 @@ def main() -> None:
             t0 = time.perf_counter()
             stats_c = compact_shards(spark, out)
             compact_sec = time.perf_counter() - t0
-            vacuum_uncommitted(out)
+            vacuum_uncommitted(out, grace_sec=0.0)  # quiescent bench layout
             t0 = time.perf_counter()
             stats_r = reshard_double(spark, out)
             reshard_sec = time.perf_counter() - t0
-            vacuum_uncommitted(out)
+            vacuum_uncommitted(out, grace_sec=0.0)  # quiescent bench layout
             last_seq = log_history(out)[-1]["seq"]
             t0 = time.perf_counter()
             n_snap = read_snapshot(spark, out, last_seq).count()
@@ -1683,6 +1775,110 @@ def main() -> None:
         }
         result["opq_recall_delta_vs_pq"] = round(rec_opq - rec_pq, 3)
 
+        # CORRELATED corpus variant (r11 verdict #6): the clustered
+        # bench corpus is near-isotropic within a cell, so the +0.005
+        # delta above says nothing about the regime OPQ exists for.
+        # Public anisotropic-Gaussian construction (Ge et al. 2013's
+        # motivating case): z ~ N(0, I), per-dim scales j^-0.75, then
+        # one fixed random rotation Q so the variance is SPREAD ACROSS
+        # PQ's fixed subspace split — exactly what the learned
+        # rotation should recover. Same 16-byte budget, same rerank,
+        # searches interleaved in one window.
+        from zvdb_spark.operators.knn import exact_search_blocked
+
+        n_corr = min(BENCH_N // 2, 50_000)
+        dim = BENCH_DIM
+        rng_c = np.random.default_rng(SEED + 31)
+        rot_q = np.linalg.qr(rng_c.standard_normal((dim, dim)))[0]
+        scales = np.arange(1, dim + 1) ** -0.75
+
+        def _gen_corr(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                ids = pdf["id"].to_numpy()
+                vecs = []
+                for i in ids:
+                    r = np.random.default_rng(SEED + 31 + int(i))
+                    vecs.append((r.standard_normal(dim) * scales) @ rot_q)
+                yield pd.DataFrame({"vec_id": ids, "emb": vecs})
+
+        cemb_corr = (
+            spark.range(n_corr)
+            .repartition(CPUS)
+            .mapInPandas(_gen_corr, "vec_id long, emb array<double>")
+            .localCheckpoint(eager=True)
+        )
+        nq_corr = min(2000, ann_nq)
+        qcorr = (
+            rng_c.standard_normal((nq_corr, dim)) * scales
+        ) @ rot_q
+        books_c = pq_train(
+            cemb_corr, m_sub=16, k_codes=256, n_iter=4, sample_n=20_000
+        )
+        rot_c, obooks_c = opq_train(
+            cemb_corr, m_sub=16, k_codes=256, n_iter=4, opq_iter=6,
+            sample_n=20_000,
+        )
+        codes_c = pq_encode(cemb_corr, books_c).localCheckpoint(
+            eager=True
+        )
+        ocodes_c = opq_encode(
+            cemb_corr, rot_c, obooks_c
+        ).localCheckpoint(eager=True)
+        ex_corr_pdf = exact_search_blocked(
+            cemb_corr, _qdf(qcorr[:n_probe]), k=BENCH_K,
+            n_corpus=n_corr, n_probes=n_probe,
+        ).toPandas()
+        secs_c = _interleaved({
+            "pq": lambda: _noop_write(
+                pq_search_rerank(
+                    codes_c, cemb_corr, books_c, qcorr,
+                    k=BENCH_K, rerank_r=rr,
+                )
+            ),
+            "opq": lambda: _noop_write(
+                opq_search_rerank(
+                    ocodes_c, cemb_corr, rot_c, obooks_c, qcorr,
+                    k=BENCH_K, rerank_r=rr,
+                )
+            ),
+        })
+        rec_pq_c = _recall_of(
+            pq_search_rerank(
+                codes_c, cemb_corr, books_c, qcorr[:n_probe],
+                k=BENCH_K, rerank_r=rr,
+            ).toPandas(),
+            ex_corr_pdf,
+            n_probe,
+        )
+        rec_opq_c = _recall_of(
+            opq_search_rerank(
+                ocodes_c, cemb_corr, rot_c, obooks_c, qcorr[:n_probe],
+                k=BENCH_K, rerank_r=rr,
+            ).toPandas(),
+            ex_corr_pdf,
+            n_probe,
+        )
+        timings["opq_corr_pq_search"] = round(secs_c["pq"], 3)
+        timings["opq_corr_opq_search"] = round(secs_c["opq"], 3)
+        result["opq_vs_pq_correlated"] = {
+            "corpus": f"anisotropic gaussian n={n_corr}, "
+                      "scales j^-0.75, random rotation",
+            "m_sub": 16,
+            "bytes_per_vector": 16,
+            "rerank_r": rr,
+            "pq_qps": round(nq_corr / secs_c["pq"], 2),
+            "opq_qps": round(nq_corr / secs_c["opq"], 2),
+            "pq_recall": round(rec_pq_c, 3),
+            "opq_recall": round(rec_opq_c, 3),
+        }
+        result["opq_recall_delta_vs_pq_correlated"] = round(
+            rec_opq_c - rec_pq_c, 3
+        )
+        for df_ in (cemb_corr, codes_c, ocodes_c):
+            df_.unpersist()
+
     def _bench_filtered_ann():
         # Predicate-aware graph search (GraphIndex.search_filtered:
         # post-filter with adaptive ef growth) vs the exact PRE-filter
@@ -1757,6 +1953,15 @@ def main() -> None:
             timings[f"filtered_ann_exact_mod{mod}"] = round(
                 secs["exact"], 3
             )
+            # promote the routing ratios to tail scalars so they are
+            # mechanizable claims (r11 verdict #3: the hand-quoted
+            # 0.64/0.19/0.06 prose was exactly the genre claims.py
+            # exists to kill)
+            sel_key = {2: "sel50", 10: "sel10", 100: "sel1"}[mod]
+            result[f"filtered_ann_ratio_{sel_key}"] = rows[-1][
+                "graph_over_exact"
+            ]
+            result[f"filtered_ann_recall_{sel_key}"] = rows[-1]["recall"]
         result["filtered_ann"] = rows
 
     # -- part 3: reference bench grid (dims x k) ---------------------

@@ -1925,3 +1925,176 @@ def test_two_process_racing_appends_and_compaction(
     back = read_committed(spark, out)
     assert back.count() == n_base + 2 * n_batches * rows_per
     assert back.select("doc_id").distinct().count() == back.count()
+
+
+# --------------------- round 12: atomic MERGE (upsert) commits
+
+
+def test_merge_upsert_atomic_commit_and_query(spark, sf_dir):
+    """The declared q_export_merge demo asserts the full contract
+    inside (one commit, replay fence on both halves, updated ids
+    exactly once with new text, compaction view-invariance +
+    tombstone materialization); here we pin the returned manifest
+    shape."""
+    from zvdb_spark.queries.export import N_SHARDS, q_export_merge
+
+    assert q_export_merge(spark, sf_dir).count() == N_SHARDS
+
+
+def test_merge_twins_fence_once(spark, sf_dir, tmp_path):
+    """Two writers redelivering the SAME merge batch_id: exactly one
+    commit lands, the other reports the replay, and the upsert
+    applies once."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import merge_docs_tx, read_committed
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = (
+        base.filter(F.col("doc_id") % 4 == 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.concat(F.lit("merged: "), F.col("text")).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    results: list[bool] = []
+    errors: list[BaseException] = []
+
+    def run():
+        try:
+            results.append(merge_docs_tx(spark, out, batch, 11))
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            errors.append(e)
+
+    ts = [threading.Thread(target=run) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    assert sorted(results) == [False, True]
+    back = read_committed(spark, out)
+    assert back.count() == base.count()  # pure update, no inserts
+    assert back.join(batch.select("doc_id"), "doc_id").count() == (
+        batch.count()
+    )
+    assert (
+        back.filter(F.col("text").startswith("merged: ")).count()
+        == batch.count()
+    )
+
+
+def test_merge_racing_append_both_land(spark, sf_dir, tmp_path):
+    """merge x append is a real conflict (both mint pos): the seq
+    loser re-ranks and retries, so BOTH land and the final view is
+    deterministic (the batches touch disjoint ids)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import (
+        append_shards_tx,
+        merge_docs_tx,
+        read_committed,
+    )
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    upserts = (
+        base.filter(F.col("doc_id") % 6 == 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.concat(F.lit("v2: "), F.col("text")).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    adds = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .limit(60)
+        .select("doc_id", "lang", "text")
+        .localCheckpoint(eager=True)
+    )
+    errors: list[BaseException] = []
+
+    def merger():
+        try:
+            assert merge_docs_tx(spark, out, upserts, 21)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    def appender():
+        try:
+            assert append_shards_tx(spark, out, adds, 22)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    t1 = threading.Thread(target=merger)
+    t2 = threading.Thread(target=appender)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    back = read_committed(spark, out)
+    assert back.count() == base.count() + adds.count()
+    assert back.select("doc_id").distinct().count() == back.count()
+    assert (
+        back.filter(F.col("text").startswith("v2: ")).count()
+        == upserts.count()
+    )
+
+
+def test_merge_conflicts_inflight_rewrites_and_time_travels(
+    spark, sf_dir, tmp_path
+):
+    """A compact/reshard whose snapshot predates a merge must abort
+    (the merge carries tombstones the rewrite has to see); and time
+    travel around a merge shows old text before, new text at and
+    after the merge's seq."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import (
+        CommitConflict,
+        _publish_commit,
+        _read_commits,
+        log_history,
+        merge_docs_tx,
+        read_snapshot,
+    )
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    stale = _read_commits(out) or []
+    victim = (
+        base.select(
+            "doc_id",
+            "lang",
+            F.concat(F.lit("v2: "), F.col("text")).alias("text"),
+        )
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
+    assert merge_docs_tx(spark, out, victim, 31)
+    for kind in ("compact", "reshard"):
+        with pytest.raises(CommitConflict):
+            _publish_commit(
+                out,
+                kind,
+                [],
+                snapshot=stale,
+                replaces=[n for n, _ in stale],
+            )
+    seqs = [h["seq"] for h in log_history(out)]
+    assert seqs == [0, 1]
+    vid = victim.select("doc_id")
+    pre = read_snapshot(spark, out, 0).join(vid, "doc_id")
+    assert pre.count() == 1
+    assert pre.filter(F.col("text").startswith("v2: ")).count() == 0
+    post = read_snapshot(spark, out, 1).join(vid, "doc_id")
+    assert post.count() == 1
+    assert post.filter(F.col("text").startswith("v2: ")).count() == 1

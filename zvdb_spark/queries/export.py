@@ -398,7 +398,8 @@ class CommitConflict(RuntimeError):
 def _commit_kind(label: str) -> str:
     """Conflict-matrix class of a commit label: appends add rows
     (labels ``b<batch>``/``plain-*``/legacy digit names), deletes add
-    id tombstones (``d<batch>``), compact rewrites the live rows in
+    id tombstones (``d<batch>``), merges add rows AND tombstones in
+    one commit (``m<batch>``), compact rewrites the live rows in
     place, reshard re-draws the layout."""
     if label == "base":
         return "base"
@@ -408,6 +409,8 @@ def _commit_kind(label: str) -> str:
         return "reshard"
     if label.startswith("d") and label[1:].isdigit():
         return "delete"
+    if label.startswith("m") and label[1:].isdigit():
+        return "merge"
     return "append"
 
 
@@ -426,16 +429,26 @@ def _commit_kind(label: str) -> str:
 # row under its own (higher) seq, so a delete that lands between the
 # rewrite's snapshot and its publication would end up scoped BELOW
 # the rewritten rows and silently stop masking — the rewrite must
-# abort and recompute with the tombstone in view. Every other pair is
+# abort and recompute with the tombstone in view. A MERGE is an
+# append AND a delete in one commit, and classifies accordingly: as a
+# loser it behaves like an append (it mints pos, so it conflicts
+# appends/merges/reshards and commutes past deletes and compactions -
+# its tombstones, scoped to its own final seq, stay correct wherever
+# it lands); as a winner it forces the same retries an append plus a
+# delete would (appends/merges re-rank; compact/reshard recompute to
+# see its tombstones). Every other pair is
 # a real conflict: append↔append can mint colliding pos,
 # compact↔compact would leave both rewrites live (duplicate rows),
 # and a reshard invalidates everyone's routing.
 _CONFLICTS = {
-    "append": {"append", "reshard", "base"},
+    "append": {"append", "merge", "reshard", "base"},
     "delete": {"base"},
-    "compact": {"compact", "reshard", "delete", "base"},
-    "reshard": {"append", "compact", "reshard", "delete", "base"},
-    "base": {"append", "delete", "compact", "reshard", "base"},
+    "merge": {"append", "merge", "reshard", "base"},
+    "compact": {"compact", "reshard", "delete", "merge", "base"},
+    "reshard": {"append", "compact", "reshard", "delete", "merge",
+                "base"},
+    "base": {"append", "delete", "merge", "compact", "reshard",
+             "base"},
 }
 
 
@@ -536,7 +549,7 @@ def _publish_commit(
                     "label",
                     os.path.splitext(os.path.basename(path))[0],
                 )
-                if other == label and kind in ("append", "delete"):
+                if other == label and kind in ("append", "delete", "merge"):
                     # a twin replay of this very batch already
                     # committed (maintenance labels are generic —
                     # same-label maintenance twins fall through to
@@ -696,13 +709,17 @@ def _seq_split(
     commits: list[tuple[str, dict]], names: set[str]
 ) -> tuple[dict[str, int], dict[str, int], dict[int, int]]:
     """Per-seq file maps across ``names``: (data rel-path → its
-    commit's seq, tombstone rel-path → its delete commit's seq,
-    pos_hwm). The seq attribution is what scopes a tombstone: it
-    masks only rows whose data commit has seq <= the delete's seq
-    (see _masked_view). Delete commits contribute tombstone id files,
-    everything else data files; pos_hwm is the per-shard position
-    high-water mark the maintenance commits carry forward (see
-    compact_shards)."""
+    commit's seq, tombstone rel-path → its commit's seq, pos_hwm).
+    The seq attribution is what scopes a tombstone: it masks only
+    rows from data commits STRICTLY below its own seq (see
+    _masked_view) — for distinct commits seqs are unique, so that is
+    the familiar at-or-below delete rule, while a MERGE commit
+    (tombstones + new rows published at ONE seq) never masks its own
+    rows. Files are classified by path: everything under
+    ``_tombstones/`` is an id list (plain delete commits hold only
+    those; merge commits hold both kinds), anything else is data.
+    pos_hwm is the per-shard position high-water mark the
+    maintenance commits carry forward (see compact_shards)."""
     data: dict[str, int] = {}
     tomb: dict[str, int] = {}
     hwm: dict[int, int] = {}
@@ -710,9 +727,8 @@ def _seq_split(
         if name not in names:
             continue
         seq = int(man.get("seq", 0))
-        kind = _commit_kind(man.get("label", name))
-        tgt = tomb if kind == "delete" else data
         for f in man["files"]:
+            tgt = tomb if f.startswith("_tombstones/") else data
             tgt[f] = max(tgt.get(f, seq), seq)
         for s, p in man.get("pos_hwm", {}).items():
             hwm[int(s)] = max(hwm.get(int(s), 0), int(p))
@@ -764,10 +780,13 @@ def _masked_view(
     tomb: dict[str, int],
     tomb_df: DataFrame | None = None,
 ) -> DataFrame:
-    """The data files' rows minus SEQ-SCOPED tombstones: a delete
-    commit at seq S masks a row iff the row's data commit has
-    seq <= S — last-writer-wins, the Delta/Iceberg delete semantics
-    (public). Consequences the id-global anti-join of round 11 got
+    """The data files' rows minus SEQ-SCOPED tombstones: a tombstone
+    at seq S masks a row iff the row's data commit has seq
+    STRICTLY < S — for distinct commits (seqs unique) that is
+    last-writer-wins at-or-below masking, the Delta/Iceberg delete
+    semantics (public); for a MERGE commit, whose tombstones and new
+    rows share ONE seq, the strictness is what exempts the commit's
+    own rows. Consequences the id-global anti-join of round 11 got
     wrong: a re-add of a deleted id under a LATER commit is visible
     immediately, and maintenance (which materializes every tombstone
     it saw and re-mints survivors under its own seq) provably never
@@ -777,7 +796,7 @@ def _masked_view(
     broadcast join on the scan's ``_metadata.file_path`` (per-FILE
     metadata — no per-row state is written anywhere); tombstones
     reduce to one broadcast (doc_id, max del_seq) row per id; the
-    anti-join condition is id equality AND del_seq >= data_seq. The
+    anti-join condition is id equality AND del_seq > data_seq. The
     no-tombstone fast path is the plain committed scan, unchanged."""
     df = _read_files_df(spark, out_dir, sorted(data))
     if not tomb and tomb_df is None:
@@ -803,7 +822,7 @@ def _masked_view(
     return left.join(
         F.broadcast(tdf),
         (F.col("l.doc_id") == F.col("t.doc_id"))
-        & (F.col("t.del_seq") >= F.col("l.data_seq")),
+        & (F.col("t.del_seq") > F.col("l.data_seq")),
         "left_anti",
     ).select(*cols)
 
@@ -1108,6 +1127,85 @@ def delete_docs_tx(
     name = _publish_commit(out_dir, label, files, snapshot=commits)
     # a losing twin's tombstone dir is an ordinary vacuumable orphan
     return name is not None
+
+
+def merge_docs_tx(
+    spark: SparkSession,
+    out_dir: str,
+    docs: DataFrame,
+    batch_id: int,
+    n_shards: int | None = None,
+) -> bool:
+    """Atomic logged UPSERT — the lakehouse MERGE reduced to this
+    layout's id-keyed semantics: every incoming (doc_id, lang, text)
+    row replaces any standing row with the same doc_id, and rows
+    with fresh ids insert; batches with duplicate ids are
+    deduplicated to one row per id. ONE commit carries both halves —
+    the tombstone id file (all incoming ids; a tombstone for an
+    absent id is a no-op) and the freshly ranked data files — so no
+    reader can ever observe the delete without the re-insert: the
+    two-commit window the CDC demo's del+add pair leaves open is
+    closed, and a redelivered batch_id re-fences BOTH halves with
+    one label (``m<batch>``). The masking rule makes one-commit
+    upsert sound: a tombstone masks data STRICTLY below its seq, so
+    the merge's own rows (same seq) are exempt while every older
+    version of the upserted ids is hidden (see _masked_view).
+    Conflict behavior matches an append (pos is minted, so racing
+    appends/merges re-rank and retry; compactions and deletes
+    commute — the tombstones stay correctly scoped wherever the
+    commit finally lands, because they are published AT the data's
+    own seq). Upserted-away rows' (shard, pos) slots stay vacant
+    like deleted rows'; the next compaction materializes the
+    tombstones. Returns False for a replayed batch_id or a losing
+    twin."""
+    import glob
+    import os
+    import uuid
+
+    _require_log(out_dir, "merge_docs_tx")
+    label = f"m{int(batch_id):020d}"
+    commits0 = _read_commits(out_dir) or []
+    if any(m.get("label") == label for _, m in commits0):
+        return False
+    batch = (
+        docs.select("doc_id", "lang", "text")
+        .dropDuplicates(["doc_id"])
+        .localCheckpoint(eager=True)
+    )
+    # the tombstone id file is seq-independent — stage it once,
+    # outside the rank/publish retry loop
+    rel_dir = f"_tombstones/{label}-{uuid.uuid4().hex[:8]}"
+    tgt = os.path.join(out_dir, rel_dir)
+    (
+        batch.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .write.mode("overwrite")
+        .parquet(tgt)
+    )
+    tomb_files = sorted(
+        os.path.relpath(f, out_dir)
+        for f in glob.glob(os.path.join(tgt, "*.parquet"))
+    )
+    last: CommitConflict | None = None
+    for _ in range(5):
+        n = _check_layout_n(out_dir, n_shards, "merge_docs_tx")
+        commits = _read_commits(out_dir) or []
+        data, _, hwm = _live_split_from(commits)
+        ranked = _ranked_batch(
+            _read_files_df(spark, out_dir, data), batch, n, pos_hwm=hwm
+        )
+        new_files = _stage_write(ranked, out_dir)
+        try:
+            name = _publish_commit(
+                out_dir,
+                label,
+                sorted(new_files + tomb_files),
+                snapshot=commits,
+            )
+        except CommitConflict as e:
+            last = e
+            continue
+        return name is not None
+    raise last  # type: ignore[misc]
 
 
 def _snapshot_files_no_check(
@@ -1962,6 +2060,99 @@ def q_export_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(
                 f"{bad} shards re-minted a pos at or below the "
                 "pre-delete high-water mark"
+            )
+        return committed_manifest(spark, out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "q_export_merge",
+    oracle=None,  # rows-only: log maintenance is not SQL-expressible;
+    # correctness pinned by tests/test_export.py's merge suite
+    tags=("export", "delete", "merge", "pipeline"),
+)
+def q_export_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic logged UPSERT over the shard layout (merge_docs_tx —
+    the lakehouse MERGE): one batch carrying UPDATES (existing ids,
+    rewritten text) and INSERTS (fresh ids) lands as ONE commit with
+    both the tombstone ids and the ranked new rows, so no reader can
+    see the delete half without the insert half. Asserted inside:
+    exactly one commit is added; a replayed batch_id is a no-op for
+    both halves; every updated id appears exactly once, carrying the
+    NEW text; count = base + inserts; compaction + vacuum are
+    view-invariant and materialize the tombstones (no live commit
+    holds tombstone files afterwards). Returns the post-compaction
+    committed manifest."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="zvdb_merge_", dir=_scratch(spark))
+    try:
+        docs = load(spark, sf_dir, "documents")
+        base = docs.filter(F.col("doc_id") % 2 == 0)
+        write_shards(base, out)
+        init_commit_log(out)
+        n_base = base.count()
+        updates = base.filter(F.col("doc_id") % 6 == 0).select(
+            "doc_id",
+            "lang",
+            F.concat(F.lit("v2: "), F.col("text")).alias("text"),
+        )
+        inserts = docs.filter(F.col("doc_id") % 2 == 1).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            "lang",
+            "text",
+        )
+        batch = updates.unionByName(inserts).localCheckpoint(eager=True)
+        n_upd, n_ins = updates.count(), inserts.count()
+        n_commits0 = len(log_history(out))
+        if merge_docs_tx(spark, out, batch, 1) is not True:
+            raise AssertionError("first merge reported a replay")
+        if merge_docs_tx(spark, out, batch, 1) is not False:
+            raise AssertionError("replayed merge was not fenced")
+        if len(log_history(out)) != n_commits0 + 1:
+            raise AssertionError(
+                "merge must land as exactly ONE commit (atomic upsert)"
+            )
+        back = read_committed(spark, out)
+        if back.count() != n_base + n_ins:
+            raise AssertionError("committed view wrong after merge")
+        got = back.join(
+            updates.select("doc_id"), "doc_id"
+        ).localCheckpoint(eager=True)
+        if got.count() != n_upd:
+            raise AssertionError(
+                "updated ids must appear exactly once (old versions "
+                "masked, new visible)"
+            )
+        if got.filter(~F.col("text").startswith("v2: ")).count():
+            raise AssertionError("an updated id still shows old text")
+        stats = compact_shards(spark, out)
+        if stats["files_after"] < 1:
+            raise AssertionError("compaction produced no files")
+        vacuum_uncommitted(out, grace_sec=0.0)  # quiescent demo
+        after = read_committed(spark, out)
+        if after.count() != n_base + n_ins:
+            raise AssertionError("compaction changed the merged view")
+        got2 = after.join(updates.select("doc_id"), "doc_id")
+        if (
+            got2.count() != n_upd
+            or got2.filter(~F.col("text").startswith("v2: ")).count()
+        ):
+            raise AssertionError(
+                "compaction lost or reverted an upserted row"
+            )
+        live = _live_commit_names(out)
+        commits = dict(_read_commits(out) or [])
+        if any(
+            f.startswith("_tombstones/")
+            for n in live
+            for f in commits[n]["files"]
+        ):
+            raise AssertionError(
+                "live commits still hold tombstone files after "
+                "compaction materialized the merge"
             )
         return committed_manifest(spark, out).localCheckpoint(eager=True)
     finally:

@@ -158,6 +158,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_knn_filtered_ann",
     "q_export_delete",
     "q_stream_demo_cdc_upsert",
+    "q_export_merge",
 )
 
 
