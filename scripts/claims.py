@@ -45,6 +45,17 @@ CLAIM_KEYS = [
     "census_overhead_pct",
     "sq8_vs_exact_qps_ratio",
     "opq_recall_delta_vs_pq",
+    "opq_recall_delta_vs_pq_correlated",
+    "filtered_ann_ratio_sel50",
+    "filtered_ann_ratio_sel10",
+    "filtered_ann_ratio_sel1",
+    "filtered_ann_recall_sel50",
+    "filtered_ann_recall_sel10",
+    "filtered_ann_recall_sel1",
+    "filtered_ann_1m_ratio_sel50",
+    "filtered_ann_1m_ratio_sel10",
+    "filtered_ann_1m_recall_sel50",
+    "filtered_ann_1m_recall_sel10",
 ]
 
 # Windows quoted by the committed round-10 verdict whose raw BENCH
@@ -79,6 +90,27 @@ def _extract(sample: dict) -> dict:
         cap, r = pt.get("per_task_cap"), pt.get("qps_ratio_vs_exact")
         if cap is not None and r is not None and cap >= rerank_r:
             out["ivfpq_1m_lossless_qps_ratio_vs_exact"] = float(r)
+    # filtered-ANN routing tables: rows lists in r11 samples, scalar
+    # tail keys from r12 on — derive the scalars from the rows so the
+    # committed history participates in the ranges either way
+    selmap = {0.5: "sel50", 0.1: "sel10", 0.01: "sel1"}
+    for section, prefix in (
+        ("filtered_ann", "filtered_ann"),
+        ("filtered_ann_1m", "filtered_ann_1m"),
+    ):
+        for row in sample.get(section, []):
+            sk = selmap.get(row.get("selectivity"))
+            if sk is None:
+                continue
+            if row.get("graph_over_exact") is not None:
+                out.setdefault(
+                    f"{prefix}_ratio_{sk}",
+                    float(row["graph_over_exact"]),
+                )
+            if row.get("recall") is not None:
+                out.setdefault(
+                    f"{prefix}_recall_{sk}", float(row["recall"])
+                )
     return out
 
 
@@ -197,6 +229,17 @@ def render(key: str, fmt: str, r: dict) -> str:
     s = r.get(key)
     if s is None:
         raise SystemExit(f"claim key {key} has no recorded window")
+    if fmt.startswith("committed") and s["committed"] is None:
+        # a committed_* marker quotes the LIVE worktree sample; a
+        # refreshed bench_out.json where this key's section errored
+        # (or predates the key) must fail with the key's name, not an
+        # opaque NoneType format error deep in _fmt_num
+        raise SystemExit(
+            f"claim key {key} is absent from the live bench_out.json "
+            f"(recorded windows exist: n={s['n']}) — re-run the bench "
+            "section that emits it before rendering a committed_* "
+            "marker"
+        )
     if fmt == "range_x":
         return f"{_fmt_num(s['min'])}-{_fmt_num(s['max'])}x"
     if fmt == "committed_x":
@@ -207,6 +250,8 @@ def render(key: str, fmt: str, r: dict) -> str:
         return _fmt_num(s["committed"])
     if fmt == "committed_3f":
         return f"{s['committed']:+.3f}"
+    if fmt == "committed_3":
+        return f"{s['committed']:.3f}"
     if fmt == "range_3f":
         return f"{s['min']:+.3f}..{s['max']:+.3f}"
     if fmt == "min_x":
