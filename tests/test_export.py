@@ -2098,3 +2098,110 @@ def test_merge_conflicts_inflight_rewrites_and_time_travels(
     post = read_snapshot(spark, out, 1).join(vid, "doc_id")
     assert post.count() == 1
     assert post.filter(F.col("text").startswith("v2: ")).count() == 1
+
+
+def test_masked_view_fast_path_plan_unchanged(spark, sf_dir, tmp_path):
+    """Plan-shape pin for the seq-scoped masking plumbing: a layout
+    with NO live tombstones must read through the plain file scan —
+    zero joins (the file->seq attribution and the anti-join exist
+    only when a tombstone is live); with a live tombstone the plan
+    gains exactly the broadcast pair (file->seq inner join + LeftAnti)
+    and still no shuffle of the corpus."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import delete_docs_tx, read_committed
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    plan0 = read_committed(spark, out)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan0, plan0
+    victims = docs.limit(5).select("doc_id")
+    assert delete_docs_tx(spark, out, victims, 1)
+    plan1 = read_committed(spark, out)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan1, plan1
+    # both joins build on the broadcast (tiny) side — the corpus
+    # stream is never shuffled for the masking; the only Exchange is
+    # the tombstone frame's own id-count-sized max-aggregation
+    assert "BuildLeft" not in plan1, plan1
+    assert plan1.count("BroadcastHashJoin") == 2, plan1
+
+
+def test_checkpoint_correct_under_racing_writers(spark, sf_dir, tmp_path):
+    """Two writers publishing concurrently across several checkpoint
+    boundaries: the rolled checkpoints must be a pure read
+    optimization — _read_commits through the latest checkpoint equals
+    the full no-checkpoint parse exactly (same names, same manifests),
+    and the seq chain stays dense."""
+    import threading
+
+    from zvdb_spark.queries.export import (
+        _CHECKPOINT_EVERY,
+        _ckpt_dir,
+        _publish_commit,
+        _read_commits,
+        CommitConflict,
+    )
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    n_each = 2 * _CHECKPOINT_EVERY + 3
+    errors: list[BaseException] = []
+
+    def writer(wid):
+        try:
+            for i in range(n_each):
+                while True:
+                    commits = _read_commits(out) or []
+                    try:
+                        assert _publish_commit(
+                            out, f"b9{wid}{i:017d}", [], snapshot=commits
+                        ) is not None
+                        break
+                    except CommitConflict:
+                        continue
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            errors.append(e)
+
+    ts = [threading.Thread(target=writer, args=(w,)) for w in (1, 2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    import glob
+    import os
+
+    assert glob.glob(os.path.join(_ckpt_dir(out), "*.json"))
+    with_ckpt = _read_commits(out)
+    full = _read_commits(out, use_checkpoint=False)
+    assert with_ckpt == full
+    seqs = sorted(m.get("seq", 0) for _, m in full)
+    assert seqs == list(range(2 * n_each + 1))
+
+
+def test_legacy_commit_survives_checkpoint_roll(spark, sf_dir, tmp_path):
+    """A legacy batch-id-named commit (no label/seq) is carried by
+    checkpoints like any other manifest and never double-read: after
+    rolling past a checkpoint boundary the merged view holds the
+    legacy commit exactly once."""
+    import json
+    import os
+
+    from zvdb_spark.queries.export import (
+        _CHECKPOINT_EVERY,
+        _commits_dir,
+        _publish_commit,
+        _read_commits,
+    )
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    legacy_name = f"{7:020d}"
+    with open(
+        os.path.join(_commits_dir(out), f"{legacy_name}.json"), "w"
+    ) as f:
+        json.dump({"format": 1, "files": []}, f)
+    for i in range(_CHECKPOINT_EVERY + 4):
+        commits = _read_commits(out) or []
+        _publish_commit(out, f"b8{i:018d}", [], snapshot=commits)
+    merged = _read_commits(out)
+    names = [n for n, _ in merged]
+    assert names.count(legacy_name) == 1
+    assert merged == _read_commits(out, use_checkpoint=False)
