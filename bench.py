@@ -138,6 +138,81 @@ HEADLINE = [
     "q_export_merge",
 ]
 
+# Every OTHER declared query, timed single-pass (r12 verdict item 3:
+# ~18 names had no timing anywhere, so the 2x-of-baseline gate was
+# only enforceable on what happened to be measured). HEADLINE keeps
+# its interleaved best-of-2 discipline; these run once each — the
+# point is that no declared query ships unmeasured, pinned by
+# tests/test_bench_coverage.py: HEADLINE + EXTENDED + SECTION_OWNER
+# must equal the full registry.
+EXTENDED = [
+    "q_window_lag",
+    "q_stream_sliding",
+    "q_knn_eltypes",
+    "q_udf_distance",
+    "q_dedup_vectors",
+    "q_vector_array_funcs",
+    "q_agg_distinct",
+    "q_agg_cube",
+    "q_pivot",
+    "q_subquery_scalar",
+    "q_agg_percentile",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_semi_anti",
+    "q_join_range",
+    "q_scan_project",
+    "q_topk_sort",
+    "q_sink_parquet",
+    "q_str_funcs",
+    "q_date_funcs",
+    "q_text_stats",
+    "q_text_fingerprint",
+    "q_dedup_groups",
+    "q_multimodal_stats",
+    "q_multimodal_resize",
+    "q_multimodal_frames",
+    "q_agg_approx_distinct",
+    "q_agg_approx_percentile",
+    "q_join_brand_margin",
+    "q_ann_cosine",
+    "q_dedup_incremental",
+    "q_sample_stratified",
+    "q_pack_sequences",
+    "q_decontaminate",
+    "q_source_formats",
+    "q_pii_redact",
+    "q_dedup_canonical",
+    "q_stream_demo_session",
+    "q_stream_demo_tumbling",
+    "q_stream_demo_foreachbatch",
+    "q_stream_demo_index_ingest",
+    "q_stream_demo_stateful_dedup",
+    "q_stream_demo_pq_ingest",
+    "q_stream_demo_stream_join",
+    "q_stream_demo_shard_export",
+    "q_stream_demo_cdc_upsert",
+    "q_export_schema_evolution",
+]
+
+# Declared queries whose operator workload is timed by a DEDICATED
+# bench section (same code path, controlled scale/parameters) rather
+# than re-run in a query loop — the map the coverage pytest checks
+# against the section names actually registered below.
+SECTION_OWNER = {
+    "q_hnsw_ann": "vector_search_ann_clustered",
+    "q_ann_pq": "pq",
+    "q_ann_ivfpq": "ivfpq",
+    "q_ann_ivfpq_persisted": "ivfpq_persisted",
+    "q_ann_opq": "opq_vs_pq",
+    "q_ann_sq8": "sq8",
+    "q_kmeans_quantizer": "ivfpq",
+    "q_dedup_embedding_lsh": "lsh_census_overhead",
+    "q_export_compact": "layout_maintenance",
+    "q_export_reshard": "layout_maintenance",
+    "q_export_time_travel": "layout_maintenance",
+}
+
 
 def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -263,6 +338,27 @@ def main() -> None:
 
     _section("queries_pass2", _queries_pass2)
 
+    # -- part 1b: extended coverage — every declared query not in
+    # HEADLINE (and not owned by a dedicated section) gets a timing.
+    # Single pass: these are coverage timings, not the judged
+    # best-of-2 set, and a second pass over ~47 queries would buy
+    # noise reduction nobody consumes at the cost of minutes.
+    def _extended_loop():
+        for name in EXTENDED:
+            if name not in qs:
+                errors[f"{name}#ext"] = "not registered"
+                continue
+            try:
+                t0 = time.perf_counter()
+                _noop_write(qs[name].fn(spark, SF_DIR))
+                timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — keep the pass
+                errors[f"{name}#ext"] = (
+                    f"{type(exc).__name__}: {exc}"[:200]
+                )
+
+    _section("extended_coverage", _extended_loop)
+
     # -- part 2: reference-comparable vector bench -------------------
     def _best_of(n: int, fn) -> float:
         best = float("inf")
@@ -383,13 +479,36 @@ def main() -> None:
         gidx = state["gidx"]
         queries = state["queries"]
         qdf_u = _qdf(queries[:ann_nq])
+        qdf_full = state["qdf_full"]
         _noop_write(gidx.search(qdf_u, k=BENCH_K, n_queries=ann_nq))  # warm
-        ann_sec = _best_of(
-            3,
-            lambda: _noop_write(gidx.search(qdf_u, k=BENCH_K, n_queries=ann_nq)),
+        # r12 verdict item 4: this number swung -32% between rounds
+        # with every sibling improving — a solo best-of-3 sampled in
+        # its own load moment. Interleave the graph beam with the
+        # exact GEMM over the SAME corpus (three passes, per-point
+        # min) and publish the within-window ratio beside the qps, so
+        # a window swing moves both points together and the ratio
+        # exposes a real beam regression.
+        both = _interleaved(
+            {
+                "ann": lambda: _noop_write(
+                    gidx.search(qdf_u, k=BENCH_K, n_queries=ann_nq)
+                ),
+                "exact": lambda: _noop_write(
+                    gidx.exact_search(
+                        qdf_full, k=BENCH_K, n_queries=BENCH_NQ
+                    )
+                ),
+            },
+            passes=3,
         )
+        ann_sec = both["ann"]
         timings["vector_search_ann_uniform"] = round(ann_sec, 3)
         result["ann_search_qps_uniform"] = round(ann_nq / ann_sec, 2)
+        # (ann_nq == BENCH_NQ by construction, so the sec ratio IS the
+        # per-query ratio)
+        result["ann_uniform_vs_exact_ratio"] = round(
+            both["exact"] / ann_sec, 3
+        )
         ann_pdf = gidx.search(
             _qdf(queries[:n_probe]), k=BENCH_K, n_queries=n_probe
         ).toPandas()
@@ -1054,6 +1173,71 @@ def main() -> None:
         result["filtered_ann_1m"] = f1_rows
         gidx1.retire()  # throwaway 10x index: return the disk now
 
+    def _bench_blocked_1m():
+        # r12 verdict item 7: exact_search_blocked's _auto_grid target
+        # (knn.py: 2048 rows/cell, 256-shard cap) was sized on sf0.1
+        # shapes — sweep the corpus-shard count at 10x so the 100x
+        # block-size choice is measured, not extrapolated. One uniform
+        # corpus, one query batch, the shard sweep timed in one
+        # interleaved shared window (per-point best-of-2).
+        from zvdb_spark.operators.knn import exact_search_blocked
+
+        n1 = 10 * BENCH_N
+        nqb = min(2000, BENCH_NQ)
+        emb1 = gen_vectors(spark, n1, BENCH_DIM, SEED + 11).localCheckpoint(
+            eager=True
+        )
+        rng = np.random.default_rng(SEED + 12)
+        qdf = _qdf(rng.random((nqb, BENCH_DIM)))
+        # auto resolves to min(256, ceil(n1/2048)) — the sweep brackets
+        # it with coarser grids (bigger cells, fewer waves, less Arrow
+        # overhead) so the winner tells us whether the cap binds
+        auto_p = min(256, -(-n1 // 2048))
+        shard_sweep = sorted({64, 128, auto_p})
+
+        def _run(p):
+            _noop_write(
+                exact_search_blocked(
+                    emb1, qdf, k=BENCH_K, n_shards=p,
+                    n_corpus=n1, n_probes=nqb,
+                )
+            )
+
+        _run(shard_sweep[0])  # warm: worker pool + corpus page-in
+        secs = _interleaved(
+            {f"p{p}": (lambda p=p: _run(p)) for p in shard_sweep}
+        )
+        rows = [
+            {
+                "n_shards": p,
+                "n_blocks": max(1, -(-nqb // 2048)),
+                "rows_per_cell": -(-n1 // p),
+                "sec": round(secs[f"p{p}"], 3),
+                "qps": round(nqb / secs[f"p{p}"], 2),
+            }
+            for p in shard_sweep
+        ]
+        best = max(rows, key=lambda r: r["qps"])
+        result["blocked_1m"] = {
+            "n": n1,
+            "nq": nqb,
+            "dim": BENCH_DIM,
+            "auto_grid_n_shards": auto_p,
+            "shared_load_window": "2 interleaved passes, best-of-2",
+            "rows": rows,
+            "best_n_shards": best["n_shards"],
+        }
+        result["blocked_1m_best_qps"] = best["qps"]
+        # 1.0 == the auto grid IS the winner; >1 says how much the
+        # 2048-row cell target leaves on the table at 10x
+        result["blocked_1m_auto_over_best"] = round(
+            secs[f"p{auto_p}"] / min(secs.values()), 3
+        )
+        timings["blocked_1m_sweep"] = round(
+            sum(r["sec"] for r in rows), 3
+        )
+        emb1.unpersist()
+
     def _bench_save_load():
         # save/load + the per-owner pin machinery at BENCH scale (it
         # ran only under pytest churn through round 7, and the pin
@@ -1607,17 +1791,38 @@ def main() -> None:
                 bounded_band_pairs(bands, "doc_id", ["band_idx", "key"])
             )
 
-        secs = _interleaved({"raw": _raw, "bounded": _bounded}, passes=2)
-        timings["lsh_census_raw"] = round(secs["raw"], 3)
-        timings["lsh_census_bounded"] = round(secs["bounded"], 3)
+        # r12 verdict item 4: the published pct swung 27 -> 50 -> 34%
+        # across windows because it was a ratio of two ~1.5 s MINS
+        # taken from different passes (different load moments). Now:
+        # four interleaved passes, the pct computed WITHIN each pass
+        # (raw and bounded share that pass's load window), and the
+        # published scalar is the MEDIAN with the min/max range
+        # beside it — a noisy window moves one pass's pct, not the
+        # headline.
+        pairs = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            _raw()
+            raw_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _bounded()
+            b_s = time.perf_counter() - t0
+            pairs.append((raw_s, b_s))
+        pcts = sorted(100.0 * (b - r) / r for r, b in pairs)
+        med = (pcts[len(pcts) // 2 - 1] + pcts[len(pcts) // 2]) / 2
+        raw_best = min(r for r, _ in pairs)
+        b_best = min(b for _, b in pairs)
+        timings["lsh_census_raw"] = round(raw_best, 3)
+        timings["lsh_census_bounded"] = round(b_best, 3)
         result["lsh_census"] = {
             "n_band_rows": n_docs * n_bands,
             "max_bucket": int(max_bucket),  # << cap: salted path empty
-            "raw_join_sec": round(secs["raw"], 3),
-            "bounded_sec": round(secs["bounded"], 3),
-            "census_overhead_pct": round(
-                100.0 * (secs["bounded"] - secs["raw"]) / secs["raw"], 1
-            ),
+            "raw_join_sec": round(raw_best, 3),
+            "bounded_sec": round(b_best, 3),
+            "census_overhead_pct": round(med, 1),
+            "census_overhead_pct_min": round(pcts[0], 1),
+            "census_overhead_pct_max": round(pcts[-1], 1),
+            "passes": len(pairs),
         }
 
     def _bench_layout_maintenance():
@@ -2036,6 +2241,7 @@ def main() -> None:
         _iv1m = os.environ.get("SPARK_GRAFT_BENCH_IVFPQ_1M", "")
         if _iv1m == "1" or (_iv1m != "0" and BENCH_N >= 100_000):
             _section("ivfpq_1m", _bench_ivfpq_1m)
+            _section("blocked_1m", _bench_blocked_1m)
         _section("vector_index_append", _bench_incremental_append)
         # save/load churn verification runs LAST on purpose: the
         # append/rebuild sections above are the churn under test
@@ -2048,6 +2254,9 @@ def main() -> None:
         _section("grid", _bench_grid)
 
     load_probe["final"] = _load_probe_ms()
+    # record the declared-query -> section ownership so a reader of
+    # this JSON can resolve every registry name to its timing
+    result["query_section_owner"] = dict(SECTION_OWNER)
     total = round(sum(timings.values()), 3)
     # Key order is load-bearing: the driver records the TAIL of stdout,
     # and BENCH_r04 lost insert_pts_per_s / search_qps when the queries

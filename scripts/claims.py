@@ -93,13 +93,24 @@ def _extract(sample: dict) -> dict:
     # filtered-ANN routing tables: rows lists in r11 samples, scalar
     # tail keys from r12 on — derive the scalars from the rows so the
     # committed history participates in the ranges either way
+    # tolerance match, not float equality: the row's selectivity is
+    # round(n_allowed/n, 4), exact today only because the corpus sizes
+    # divide the mod values — a corpus that doesn't would silently
+    # drop the row from the claims history under an == lookup
     selmap = {0.5: "sel50", 0.1: "sel10", 0.01: "sel1"}
+
+    def _sel_key(sel):
+        if sel is None:
+            return None
+        nearest = min(selmap, key=lambda s: abs(s - float(sel)))
+        return selmap[nearest] if abs(nearest - float(sel)) <= 1e-3 else None
+
     for section, prefix in (
         ("filtered_ann", "filtered_ann"),
         ("filtered_ann_1m", "filtered_ann_1m"),
     ):
         for row in sample.get(section, []):
-            sk = selmap.get(row.get("selectivity"))
+            sk = _sel_key(row.get("selectivity"))
             if sk is None:
                 continue
             if row.get("graph_over_exact") is not None:

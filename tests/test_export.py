@@ -541,7 +541,12 @@ def _compacted_setup(spark, sf_dir, tmp_path):
     from zvdb_spark.queries.export import append_shards_tx
 
     docs, out = _tx_setup(spark, sf_dir, tmp_path)
-    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    # core columns only: the suite's later echo batches are core-only,
+    # and the widen-only fence (round 13) rejects a batch that drops a
+    # column an earlier batch carried
+    odd = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "text"
+    )
     assert append_shards_tx(spark, out, odd.filter(F.col("doc_id") % 4 == 1), 1)
     assert append_shards_tx(spark, out, odd.filter(F.col("doc_id") % 4 == 3), 2)
     return docs, out
@@ -2118,11 +2123,13 @@ def test_masked_view_fast_path_plan_unchanged(spark, sf_dir, tmp_path):
     assert delete_docs_tx(spark, out, victims, 1)
     plan1 = read_committed(spark, out)._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan1, plan1
-    # both joins build on the broadcast (tiny) side — the corpus
+    # all three joins build on a broadcast (tiny) side — the corpus
     # stream is never shuffled for the masking; the only Exchange is
-    # the tombstone frame's own id-count-sized max-aggregation
+    # the tombstone frame's own id-count-sized max-aggregation.
+    # Three since round 13: data file->seq map, tombstone file->seq
+    # map (the single-scan tombstone read), and the anti-join itself.
     assert "BuildLeft" not in plan1, plan1
-    assert plan1.count("BroadcastHashJoin") == 2, plan1
+    assert plan1.count("BroadcastHashJoin") == 3, plan1
 
 
 def test_checkpoint_correct_under_racing_writers(spark, sf_dir, tmp_path):
@@ -2205,3 +2212,327 @@ def test_legacy_commit_survives_checkpoint_roll(spark, sf_dir, tmp_path):
     names = [n for n, _ in merged]
     assert names.count(legacy_name) == 1
     assert merged == _read_commits(out, use_checkpoint=False)
+
+
+# --------------------- round 13: bounded tombstone-mask plan
+
+
+def test_tombstone_mask_plan_bounded_under_many_deletes(
+    spark, sf_dir, tmp_path
+):
+    """50 delete commits must NOT grow the masked-read plan: the
+    round-12 shape unioned one DataFrame per delete seq (linear plan
+    growth over a CDC feed's life); the bounded shape reads every
+    tombstone file in ONE scan with a file->seq broadcast map, so the
+    plan holds exactly two parquet scans (data + tombstones) no
+    matter how many deletes landed — and the committed view still
+    masks every deleted id."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import delete_docs_tx, read_committed
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    victims = [
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % 2 == 0)
+        .limit(50)
+        .collect()
+    ]
+    assert len(victims) == 50
+    for i, vid in enumerate(victims):
+        assert delete_docs_tx(
+            spark, out, spark.createDataFrame([(vid,)], "doc_id long"), i
+        )
+    view = read_committed(spark, out)
+    plan = view._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 2, f"{n_scans} parquet scans (want 2):\n{plan}"
+    # the committed answer is intact: every victim masked, no one else
+    n_base = docs.filter(F.col("doc_id") % 2 == 0).count()
+    assert view.count() == n_base - 50
+    assert (
+        view.filter(F.col("doc_id").isin(victims)).count() == 0
+    )
+
+
+def test_tombstone_broadcast_gated_by_size(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The tombstone anti-join broadcasts only while the tombstone
+    files stay under _TOMBSTONE_BROADCAST_MAX_BYTES — above the cap
+    (forced here by setting it to 0) the hint is dropped and AQE
+    picks the join, so an unboundedly large delete set can never OOM
+    the driver on a forced broadcast. The masked ANSWER is identical
+    in both plan shapes."""
+    from pyspark.sql import functions as F
+
+    import zvdb_spark.queries.export as export
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    victims = docs.filter(F.col("doc_id") % 2 == 0).limit(7).select(
+        "doc_id"
+    )
+    assert export.delete_docs_tx(spark, out, victims, 1)
+    # kill Spark's own size-based broadcasting so the only thing that
+    # can broadcast a side is an explicit hint — isolating exactly
+    # what the gate controls (a tiny UNHINTED side would otherwise be
+    # broadcast by the optimizer's estimate anyway, masking the gate)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = export.read_committed(spark, out)
+        hinted_plan = (
+            hinted._jdf.queryExecution().executedPlan().toString()
+        )
+        # all three hinted sides broadcast: data file->seq map,
+        # tombstone file->seq map, and the anti-join's tombstone side
+        assert hinted_plan.count("BroadcastHashJoin") == 3, hinted_plan
+        hinted_rows = {
+            r.doc_id for r in hinted.select("doc_id").collect()
+        }
+
+        monkeypatch.setattr(export, "_TOMBSTONE_BROADCAST_MAX_BYTES", 0)
+        gated = export.read_committed(spark, out)
+        gated_plan = (
+            gated._jdf.queryExecution().executedPlan().toString()
+        )
+        # the two file-count-bounded map joins keep their hints; the
+        # tombstone ANTI-join must have dropped its forced broadcast
+        assert "LeftAnti" in gated_plan, gated_plan
+        assert gated_plan.count("BroadcastHashJoin") == 2, gated_plan
+        assert {
+            r.doc_id for r in gated.select("doc_id").collect()
+        } == hinted_rows, "gate changed the committed answer"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+# --------------------- round 13: checkpoint retention
+
+
+def test_vacuum_bounds_checkpoint_files(spark, sf_dir, tmp_path):
+    """After ~100 commits the checkpoint dir holds one snapshot per
+    _CHECKPOINT_EVERY commits (each a FULL log copy — O(n^2/16) bytes
+    cumulative); vacuum keeps the newest ckpt_keep and deletes the
+    rest, and the checkpointed read still equals the full parse."""
+    import glob
+    import os
+
+    from zvdb_spark.queries.export import (
+        _ckpt_dir,
+        _publish_commit,
+        _read_commits,
+        vacuum_uncommitted,
+    )
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    for i in range(100):
+        commits = _read_commits(out) or []
+        assert _publish_commit(out, f"b7{i:018d}", [], snapshot=commits)
+    before = glob.glob(os.path.join(_ckpt_dir(out), "*.json"))
+    assert len(before) >= 5  # the unbounded-growth premise
+    vacuum_uncommitted(out, grace_sec=0.0, ckpt_keep=2)
+    after = sorted(glob.glob(os.path.join(_ckpt_dir(out), "*.json")))
+    assert len(after) == 2
+    assert after == sorted(before)[-2:]  # newest survive
+    assert _read_commits(out) == _read_commits(
+        out, use_checkpoint=False
+    )
+
+
+def test_reader_falls_back_when_checkpoint_vacuumed_midflight(
+    spark, sf_dir, tmp_path
+):
+    """The glob-then-open race: a reader that listed a checkpoint a
+    concurrent vacuum then deleted must fall back to the next older
+    checkpoint (any checkpoint is a valid base) — or, with all of
+    them gone, to the full parse. Simulated with a dangling symlink
+    (open() raises FileNotFoundError exactly as the race does)."""
+    import glob
+    import os
+
+    from zvdb_spark.queries.export import (
+        _CHECKPOINT_EVERY,
+        _ckpt_dir,
+        _publish_commit,
+        _read_commits,
+    )
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    for i in range(2 * _CHECKPOINT_EVERY + 1):
+        commits = _read_commits(out) or []
+        assert _publish_commit(out, f"b6{i:018d}", [], snapshot=commits)
+    full = _read_commits(out, use_checkpoint=False)
+    kd = _ckpt_dir(out)
+    assert glob.glob(os.path.join(kd, "*.json"))
+    # newest "checkpoint" vanishes between glob and open
+    os.symlink("/nonexistent", os.path.join(kd, "99999999999999999999.json"))
+    assert _read_commits(out) == full
+    # every checkpoint gone mid-flight: degrade to the full parse
+    for ck in glob.glob(os.path.join(kd, "*.json")):
+        os.unlink(ck)
+        os.symlink("/nonexistent", ck)
+    assert _read_commits(out) == full
+
+
+# --------------------- round 13: widen-only schema evolution
+
+
+def _with_quality(docs, flt):
+    from pyspark.sql import functions as F
+
+    return (
+        docs.filter(flt)
+        .select("doc_id", "lang", "text")
+        .withColumn(
+            "quality", (F.col("doc_id") % 7).cast("double") / 10.0
+        )
+    )
+
+
+def test_schema_evolution_widen_read_compact(spark, sf_dir, tmp_path):
+    """The add-a-column story: a batch carrying a new nullable column
+    widens the layout (old rows read back null), compaction
+    MATERIALIZES the union schema (after it all files agree and the
+    scan drops back to a plain read), and the column's values survive
+    both."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import (
+        append_shards_tx,
+        compact_shards,
+        read_committed,
+        read_snapshot,
+        vacuum_uncommitted,
+    )
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    batch = _with_quality(docs, F.col("doc_id") % 2 == 1).limit(10)
+    n_new = batch.count()
+    assert append_shards_tx(spark, out, batch, 1) is True
+    view = read_committed(spark, out)
+    assert "quality" in view.columns
+    n_base = docs.filter(F.col("doc_id") % 2 == 0).count()
+    assert view.filter(F.col("quality").isNull()).count() == n_base
+    got = {
+        r.doc_id: r.quality
+        for r in view.filter(F.col("quality").isNotNull()).collect()
+    }
+    assert len(got) == n_new
+    assert all(v == (k % 7) / 10.0 for k, v in got.items())
+    # pre-widen time travel shows the pre-widen schema
+    assert "quality" not in read_snapshot(spark, out, 0).columns
+    # compaction carries the union schema forward
+    compact_shards(spark, out)
+    vacuum_uncommitted(out, grace_sec=0.0)
+    view2 = read_committed(spark, out)
+    assert "quality" in view2.columns
+    assert view2.filter(F.col("quality").isNull()).count() == n_base
+    assert {
+        r.doc_id: r.quality
+        for r in view2.filter(F.col("quality").isNotNull()).collect()
+    } == got
+    # post-compaction all live files agree on schema: plain scan again
+    plan = view2._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+
+def test_schema_evolution_rejects_drop_retype_reserved(
+    spark, sf_dir, tmp_path
+):
+    """The widen-only fences, each loud: a batch DROPPING a standing
+    column is rejected (a silent drop forks the schema), a batch
+    RETYPING one is rejected, and a batch carrying a reserved layout
+    name (the rank mints shard/pos/h1/h2) is rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import append_shards_tx
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    widen = _with_quality(docs, F.col("doc_id") % 2 == 1).limit(5)
+    assert append_shards_tx(spark, out, widen, 1) is True
+    core_only = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "lang", "text")
+        .limit(3)
+    )
+    with pytest.raises(ValueError, match="drops standing column"):
+        append_shards_tx(spark, out, core_only, 2)
+    retyped = core_only.withColumn("quality", F.lit("high"))
+    with pytest.raises(ValueError, match="retypes standing column"):
+        append_shards_tx(spark, out, retyped, 3)
+    reserved = widen.withColumn("pos", F.lit(1))
+    with pytest.raises(ValueError, match="reserved layout column"):
+        append_shards_tx(spark, out, reserved, 4)
+
+
+def test_schema_evolution_survives_merge_and_reshard(
+    spark, sf_dir, tmp_path
+):
+    """The widened column through the other two writers: merge
+    upserts carry it (and the upserted value wins), and a reshard
+    re-draws the layout without losing it."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import (
+        append_shards_tx,
+        merge_docs_tx,
+        read_committed,
+        reshard_double,
+        vacuum_uncommitted,
+    )
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    widen = _with_quality(docs, F.col("doc_id") % 2 == 1).limit(5)
+    assert append_shards_tx(spark, out, widen, 1) is True
+    victim = widen.limit(1)
+    upsert = victim.withColumn("quality", F.lit(0.99)).withColumn(
+        "text", F.concat(F.lit("v2: "), F.col("text"))
+    )
+    assert merge_docs_tx(spark, out, upsert, 2) is True
+    vid = victim.select("doc_id")
+    row = read_committed(spark, out).join(vid, "doc_id").collect()
+    assert len(row) == 1 and row[0].quality == 0.99
+    assert row[0].text.startswith("v2: ")
+    reshard_double(spark, out)
+    vacuum_uncommitted(out, grace_sec=0.0)
+    view = read_committed(spark, out)
+    assert "quality" in view.columns
+    row = view.join(vid, "doc_id").collect()
+    assert len(row) == 1 and row[0].quality == 0.99
+
+
+def test_merge_conflict_reclaims_staged_files(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r12: a merge losing every publish attempt used to leave
+    up to 5 staged file sets plus its tombstone dir for a
+    grace-delayed vacuum. The loser now unlinks its own staged data
+    files per retry and removes the tombstone dir on final failure —
+    they are positively attributed and provably unreferenced."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    import zvdb_spark.queries.export as export
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    committed_before = set(export.committed_files(out))
+    on_disk_before = set(export._data_files(out))
+    assert on_disk_before == committed_before
+
+    def _always_conflict(*a, **k):
+        raise export.CommitConflict("forced")
+
+    monkeypatch.setattr(export, "_publish_commit", _always_conflict)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "text"
+    ).limit(4)
+    with pytest.raises(export.CommitConflict):
+        export.merge_docs_tx(spark, out, batch, 9)
+    # no orphaned data files, no orphaned tombstone dirs
+    assert set(export._data_files(out)) == on_disk_before
+    assert glob.glob(os.path.join(out, "_tombstones", "*")) == []

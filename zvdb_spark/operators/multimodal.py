@@ -66,13 +66,26 @@ def decode_media(payload: bytes, media_type: str) -> dict:
     }
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(
+    media: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Arrow moves each batch JVM->Python as one buffer; the iterator
     form streams batches so a partition never materializes fully in
     Python memory — the shape that holds at 100 TB.
+
+    ``carry`` names metadata columns copied through to the output
+    (types taken from the input schema), so a decode->aggregate
+    pipeline groups on metadata in ONE scan instead of re-scanning
+    the media table and joining the features back on media_id (the
+    two-scans-plus-join shape the r12 review flagged in
+    q_multimodal_stats).
     """
+    in_schema = media.schema
+    out_schema = T.StructType(
+        list(FEATURE_SCHEMA.fields) + [in_schema[c] for c in carry]
+    )
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -83,9 +96,11 @@ def extract_features(media: DataFrame) -> DataFrame:
             out = pd.DataFrame(feats)
             out.insert(0, "media_id", pdf["media_id"].values)
             out.insert(1, "media_type", pdf["media_type"].values)
+            for c in carry:
+                out[c] = pdf[c].values
             yield out
 
-    return media.mapInPandas(_batches, FEATURE_SCHEMA)
+    return media.mapInPandas(_batches, out_schema)
 
 
 RESIZE_SCHEMA = T.StructType(
@@ -165,6 +180,69 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_size: int = 16) -> 
             )
 
     return media.mapInPandas(_batches, FRAME_SCHEMA)
+
+
+# --------------------- optional REAL image codec (import-guarded)
+#
+# The deterministic fake above stays the oracle-checked default (the
+# container has no media libraries); when PIL is installed the REAL
+# decode path below activates — same Arrow/mapInPandas plumbing, a
+# true PNG/JPEG decode inside. tests/test_multimodal.py pins the
+# round-trip when PIL is importable and skips otherwise.
+
+try:  # PIL is an optional dependency; everything else works without
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # the in-container path
+    _PILImage = None
+    HAS_PIL = False
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("n_channels", T.IntegerType()),
+    ]
+)
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """REAL image decode (PIL). Raises NotImplementedError when PIL
+    is absent — callers choose this path explicitly; decode_media's
+    deterministic fake remains the environment-independent default."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "PIL not installed — use decode_media's deterministic "
+            "fake (the Spark-side pipeline is identical)"
+        )
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        return {
+            "width": int(im.width),
+            "height": int(im.height),
+            "mode": str(im.mode),
+            "n_channels": len(im.getbands()),
+        }
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """mapInPandas image feature extraction with the REAL codec:
+    identical batching/schema discipline to extract_features, PIL
+    decode inside. Only call when HAS_PIL (the guard raises per batch
+    otherwise — loudly, not silently fake)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode_image_real(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(_batches, IMAGE_FEATURE_SCHEMA)
 
 
 def documents_as_media(documents: DataFrame) -> DataFrame:

@@ -78,13 +78,18 @@ FROM r GROUP BY shard
 """
 
 
-def _hashed(docs: DataFrame, n_shards: int) -> DataFrame:
+def _hashed(
+    docs: DataFrame, n_shards: int, extras: tuple[str, ...] = ()
+) -> DataFrame:
     """(doc_id, lang, text) + h1/h2/shard columns — the shared first
-    stage of the full export and the incremental append."""
+    stage of the full export and the incremental append. ``extras``
+    are pass-through batch columns beyond the core (widen-only schema
+    evolution; see _check_widen_only)."""
     return docs.select(
         "doc_id",
         "lang",
         "text",
+        *extras,
         F.expr(_h_spark("cast(doc_id as string)")).alias("h1"),
         F.expr(
             _h_spark(f"concat(cast(doc_id as string), '#{ORDER_SALT}')")
@@ -222,8 +227,17 @@ def append_shards(
 
     if not os.path.isdir(_commits_dir(out_dir)):
         n = _check_layout_n(out_dir, n_shards, "append_shards")
+        # log-less layout: no recorded schemas to fence against —
+        # batch extras pass through (the plain-directory read samples
+        # one footer, so evolution on a log-less layout is best-effort;
+        # the LOGGED path is where the widen contract is enforced)
+        extras = tuple(
+            c
+            for c in new_docs.columns
+            if c not in ("doc_id", "lang", "text")
+        )
         ranked = _ranked_batch(
-            spark.read.parquet(out_dir), new_docs, n
+            spark.read.parquet(out_dir), new_docs, n, extras=extras
         )
         ranked.write.mode("append").partitionBy("shard").parquet(out_dir)
         return ranked
@@ -263,6 +277,9 @@ def _append_committed(
     for _ in range(max_attempts):
         n = _check_layout_n(out_dir, n_shards, caller)
         commits = _read_commits(out_dir) or []
+        extras = _check_widen_only(
+            new_docs, commits, set(_live_names_from(commits)), caller
+        )
         # rank against the DATA view (soft-deleted rows included) plus
         # the maintenance high-water mark: a deleted row's pos must
         # never be re-minted, so the max is over everything that EVER
@@ -273,14 +290,17 @@ def _append_committed(
             new_docs,
             n,
             pos_hwm=hwm,
+            extras=extras,
         )
         new_files = _stage_write(ranked, out_dir)
         try:
             name = _publish_commit(
-                out_dir, label, new_files, snapshot=commits
+                out_dir, label, new_files, snapshot=commits,
+                schema=ranked.dtypes,
             )
         except CommitConflict as e:
             last = e
+            _unlink_staged(out_dir, new_files)
             continue
         return ranked, name
     raise last  # type: ignore[misc]
@@ -315,6 +335,7 @@ def _ranked_batch(
     new_docs: DataFrame,
     n_shards: int,
     pos_hwm: dict[int, int] | None = None,
+    extras: tuple[str, ...] = (),
 ) -> DataFrame:
     """The shared append rank: pos = the standing frame's per-shard
     max + the batch's hash rank within the shard. ``pos_hwm`` is the
@@ -340,7 +361,7 @@ def _ranked_batch(
             .groupBy("shard")
             .agg(F.max("max_pos").alias("max_pos"))
         )
-    batch = _hashed(new_docs, n_shards)
+    batch = _hashed(new_docs, n_shards, extras)
     wr = W.partitionBy("shard").orderBy("h2", "doc_id")
     return (
         batch.withColumn("rk", F.row_number().over(wr))
@@ -348,7 +369,7 @@ def _ranked_batch(
         .withColumn(
             "pos", F.col("rk") + F.coalesce(F.col("max_pos"), F.lit(0))
         )
-        .select("shard", "pos", "doc_id", "lang", "text", "h1")
+        .select("shard", "pos", "doc_id", "lang", "text", "h1", *extras)
     )
 
 
@@ -420,7 +441,9 @@ def _commit_kind(label: str) -> str:
 # commit it did not see), so an append that loses only to a compact
 # simply advances to the next seq. Deletes commute with EVERYTHING
 # from the DELETE's side: a tombstone is id-addressed and seq-scoped
-# (it masks rows from data commits with seq <= its own), so advancing
+# (it masks rows from data commits with seq STRICTLY below its own —
+# same-seq rows, a merge's own, are exempt; see _masked_view), so
+# advancing
 # past any winner just serializes the delete AFTER it — masking a
 # concurrent append's or rewrite's rows is a valid linearization —
 # and two deletes union. The reverse direction is NOT symmetric since
@@ -479,6 +502,7 @@ def _publish_commit(
     replaces: list[str] | None = None,
     n_shards: int | None = None,
     pos_hwm: dict[int, int] | None = None,
+    schema: list[tuple[str, str]] | None = None,
 ) -> str | None:
     """Atomically publish a commit at the next free seq — the
     multi-writer CAS of this log layer, the put-if-absent protocol of
@@ -515,6 +539,12 @@ def _publish_commit(
         man["n_shards"] = int(n_shards)
     if pos_hwm:
         man["pos_hwm"] = {str(s): int(p) for s, p in pos_hwm.items()}
+    if schema is not None:
+        # the (col, dtype) list this commit's data files carry — what
+        # read-side schema resolution and the widen-only append fence
+        # run on (see _standing_schema); commits predating the field
+        # read as the core layout schema
+        man["schema"] = [[c, t] for c, t in schema]
     kind = _commit_kind(label)
     # monotone sequence number — the time-travel axis. Legacy commits
     # without the field read as seq 0 (the base).
@@ -607,7 +637,11 @@ def init_commit_log(out_dir: str) -> None:
 # checkpoint has not seen (membership by file name — no opens for
 # covered commits). Commit jsons are never deleted, so checkpoints are
 # purely a read optimization: every consumer (replay fences, time
-# travel, vacuum retention) sees the same complete history.
+# travel, vacuum retention) sees the same complete history. The
+# checkpoints THEMSELVES are bounded by vacuum_uncommitted's
+# ckpt_keep (each is a full log snapshot — unbounded they would grow
+# quadratically over a streaming layout's life; Delta keeps the last
+# N and vacuums the rest, the pattern followed here).
 _CHECKPOINT_EVERY = 16
 
 
@@ -640,7 +674,12 @@ def _maybe_checkpoint(out_dir: str, seq: int) -> None:
         with open(tmp, "w") as f:
             json.dump({"format": 1, "commits": commits}, f)
         os.replace(tmp, os.path.join(kd, f"{seq:020d}.json"))
-    except OSError:  # checkpointing is maintenance, never a failure
+    except Exception:  # noqa: BLE001 — checkpointing is best-effort
+        # maintenance riding on an already-published commit: ANY
+        # failure (OSError, but also a corrupt commit json's
+        # JSONDecodeError or a format-fence ValueError from the full
+        # re-read) must not turn a commit that LANDED into a
+        # caller-visible error
         pass
 
 
@@ -664,16 +703,25 @@ def _read_commits(
     seen: set[str] = set()
     if use_checkpoint:
         cks = sorted(glob.glob(os.path.join(_ckpt_dir(out_dir), "*.json")))
-        if cks:
-            with open(cks[-1]) as f:
-                ck = json.load(f)
+        for ck_path in reversed(cks):
+            try:
+                with open(ck_path) as f:
+                    ck = json.load(f)
+            except FileNotFoundError:
+                # vacuumed between the glob and the open (checkpoint
+                # retention reclaims old checkpoints) — any OLDER
+                # checkpoint is an equally valid base (the tail
+                # fill-in below is membership-based), and losing all
+                # of them just degrades to the full-log parse
+                continue
             if ck.get("format") != 1:
                 raise ValueError(
-                    f"checkpoint {cks[-1]} has format "
+                    f"checkpoint {ck_path} has format "
                     f"{ck.get('format')!r}; this build reads 1"
                 )
             out = [(n, m) for n, m in ck["commits"]]
             seen = {n for n, _ in out}
+            break
     for c in sorted(glob.glob(os.path.join(cd, "*.json"))):
         name = os.path.splitext(os.path.basename(c))[0]
         if name in seen:
@@ -750,27 +798,186 @@ def _live_split_from(
     return _split_files(commits, set(_live_names_from(commits)))
 
 
+# --------------------- commit-carried schema (widen-only evolution)
+#
+# A month into a real pipeline the batch grows a column (a new
+# quality score) — the layout must absorb that without rewriting
+# standing files. The lakehouse pattern (Delta's mergeSchema writes,
+# public): every data-bearing commit records the (col, dtype) list
+# its files carry; appends may ADD columns (old files return null for
+# them under a mergeSchema read) but never drop or retype one — a
+# dropped column would silently fork the schema, and a retype breaks
+# the union read. Reads request parquet schema merging only when the
+# recorded schemas actually differ (footer-read cost only when
+# evolution happened).
+
+_CORE_SCHEMA: tuple[tuple[str, str], ...] = (
+    ("shard", "int"),
+    ("pos", "int"),
+    ("doc_id", "bigint"),
+    ("lang", "string"),
+    ("text", "string"),
+    ("h1", "bigint"),
+)
+_CORE_COLS = tuple(c for c, _ in _CORE_SCHEMA)
+# columns the rank mints (or uses internally) — a batch must not
+# carry them, and the widen fence never demands them from a batch
+_MINTED_COLS = frozenset({"shard", "pos", "h1", "h2", "rk"})
+
+
+def _data_bearing(man: dict) -> bool:
+    return any(not f.startswith("_tombstones/") for f in man["files"])
+
+
+def _commit_schema(man: dict) -> list[tuple[str, str]]:
+    """The (col, dtype) list a commit's data files were written with;
+    commits predating the schema field (and the base commit, whose
+    files write_shards produced) carry the core layout schema."""
+    sch = man.get("schema")
+    if not sch:
+        return list(_CORE_SCHEMA)
+    return [(c, t) for c, t in sch]
+
+
+def _standing_schema(
+    commits: list[tuple[str, dict]], names: set[str]
+) -> dict[str, str]:
+    """col -> dtype union over the live data-bearing commits in
+    ``names`` — core columns first, extras in first-seen order. A
+    dtype disagreement between live commits means the layout was
+    corrupted past the write fence; it raises rather than letting a
+    union read pick a winner."""
+    out: dict[str, str] = dict(_CORE_SCHEMA)
+    for name, man in commits:
+        if name not in names or not _data_bearing(man):
+            continue
+        for c, t in _commit_schema(man):
+            if c in _CORE_COLS:
+                continue  # core dtypes are layout-defined, not unioned
+            if c in out:
+                if out[c] != t:
+                    raise ValueError(
+                        f"column {c!r} committed as both {out[c]} and "
+                        f"{t} in one layout — widen-only evolution "
+                        "adds columns, never retypes them"
+                    )
+            else:
+                out[c] = t
+    return out
+
+
+def _schemas_differ(
+    commits: list[tuple[str, dict]], names: set[str]
+) -> bool:
+    """True when the live data commits disagree on their column sets
+    — the trigger for a mergeSchema read (see _read_files_df)."""
+    seen = {
+        frozenset(c for c, _ in _commit_schema(man))
+        for name, man in commits
+        if name in names and _data_bearing(man)
+    }
+    return len(seen) > 1
+
+
+def _check_widen_only(
+    new_docs: DataFrame,
+    commits: list[tuple[str, dict]],
+    live: set[str],
+    caller: str,
+) -> tuple[str, ...]:
+    """Enforce the widen-only contract on an incoming batch and
+    return its extra (non-core) columns in layout order — standing
+    extras first, genuinely new columns appended. Raises when the
+    batch drops a standing column (the schema fork), retypes one, or
+    carries a reserved layout name."""
+    have = dict(new_docs.dtypes)
+    bad = sorted(_MINTED_COLS & set(have))
+    if bad:
+        raise ValueError(
+            f"{caller}: batch carries reserved layout column(s) "
+            f"{bad} — the rank mints them"
+        )
+    std = _standing_schema(commits, live)
+    missing = [
+        c for c in std if c not in _MINTED_COLS and c not in have
+    ]
+    if missing:
+        raise ValueError(
+            f"{caller}: batch drops standing column(s) {missing} — "
+            "the shard layout widens only; carry every standing "
+            "column (null-filled when unknown)"
+        )
+    for c, t in std.items():
+        if c in _MINTED_COLS or c in ("doc_id", "lang", "text"):
+            continue
+        if have[c] != t:
+            raise ValueError(
+                f"{caller}: batch retypes standing column {c!r} "
+                f"({t} -> {have[c]}) — widen-only evolution adds "
+                "columns, never retypes them"
+            )
+    extras = [c for c in std if c not in _CORE_COLS]
+    extras += [
+        c
+        for c in new_docs.columns
+        if c not in std and c not in ("doc_id", "lang", "text")
+    ]
+    return tuple(extras)
+
+
 def _tombstone_ids_seq(
     spark: SparkSession, out_dir: str, tomb: dict[str, int]
 ) -> DataFrame:
     """One (doc_id, del_seq) row per tombstoned id, del_seq = the
     HIGHEST delete seq that names the id (two deletes of the same id
-    union to the later scope). Tombstone files are tiny id lists —
-    the frame is broadcast by every consumer."""
+    union to the later scope). ONE scan over every live tombstone
+    file: the per-file seq attaches through the same file-count-
+    bounded file->seq broadcast map the data side uses (_masked_view)
+    — the plan is O(1) in the number of delete commits. (The round-12
+    shape unioned one DataFrame per delete seq, so a CDC feed's plan
+    grew linearly with deletes since compaction.)"""
     import os
 
-    by_seq: dict[int, list[str]] = {}
-    for f, s in tomb.items():
-        by_seq.setdefault(s, []).append(f)
-    parts = [
-        spark.read.parquet(*[os.path.join(out_dir, f) for f in fs])
-        .select("doc_id", F.lit(s).cast("long").alias("del_seq"))
-        for s, fs in sorted(by_seq.items())
-    ]
-    tdf = parts[0]
-    for p in parts[1:]:
-        tdf = tdf.unionByName(p)
-    return tdf.groupBy("doc_id").agg(F.max("del_seq").alias("del_seq"))
+    fmap = spark.createDataFrame(
+        sorted(tomb.items()), "trel: string, del_seq: long"
+    )
+    rel = F.regexp_extract(
+        F.col("_metadata.file_path"), r"(_tombstones/[^/]+/[^/]+)$", 1
+    )
+    return (
+        spark.read.parquet(
+            *[os.path.join(out_dir, f) for f in sorted(tomb)]
+        )
+        .withColumn("_trel", rel)
+        .join(F.broadcast(fmap), F.col("_trel") == F.col("trel"))
+        .groupBy("doc_id")
+        .agg(F.max("del_seq").alias("del_seq"))
+    )
+
+
+# Broadcast cap for the tombstone anti-join side. Tombstone files are
+# tiny id lists, so the hint is right in the common case — but a CDC
+# feed deleting many ids between compactions can make the tombstoned
+# set arbitrarily large, and an unconditional broadcast would OOM the
+# driver. Above the cap the hint is dropped and AQE picks the join
+# strategy from runtime sizes (the masked-read ANSWER is identical
+# either way; only the plan shape changes).
+_TOMBSTONE_BROADCAST_MAX_BYTES = 64 << 20
+
+
+def _tombstone_bytes(out_dir: str, tomb: dict[str, int]) -> int:
+    """Total on-disk bytes of the live tombstone files — the driver-
+    side proxy that gates the broadcast hint (file sizes are already
+    local metadata; no Spark job)."""
+    import os
+
+    total = 0
+    for f in tomb:
+        try:
+            total += os.path.getsize(os.path.join(out_dir, f))
+        except OSError:  # racing vacuum/compaction: size unknowable —
+            return _TOMBSTONE_BROADCAST_MAX_BYTES + 1  # be conservative
+    return total
 
 
 def _masked_view(
@@ -779,6 +986,7 @@ def _masked_view(
     data: dict[str, int],
     tomb: dict[str, int],
     tomb_df: DataFrame | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """The data files' rows minus SEQ-SCOPED tombstones: a tombstone
     at seq S masks a row iff the row's data commit has seq
@@ -795,10 +1003,13 @@ def _masked_view(
     Plumbing: each row's data seq comes from a file-count-bounded
     broadcast join on the scan's ``_metadata.file_path`` (per-FILE
     metadata — no per-row state is written anywhere); tombstones
-    reduce to one broadcast (doc_id, max del_seq) row per id; the
-    anti-join condition is id equality AND del_seq > data_seq. The
-    no-tombstone fast path is the plain committed scan, unchanged."""
-    df = _read_files_df(spark, out_dir, sorted(data))
+    reduce to one (doc_id, max del_seq) row per id, broadcast only
+    while the tombstone files stay under
+    _TOMBSTONE_BROADCAST_MAX_BYTES (above it AQE picks the join —
+    see the constant's comment); the anti-join condition is id
+    equality AND del_seq > data_seq. The no-tombstone fast path is
+    the plain committed scan, unchanged."""
+    df = _read_files_df(spark, out_dir, sorted(data), merge_schema)
     if not tomb and tomb_df is None:
         return df
     cols = df.columns
@@ -818,9 +1029,12 @@ def _masked_view(
         tomb_df
         if tomb_df is not None
         else _tombstone_ids_seq(spark, out_dir, tomb)
-    ).alias("t")
+    )
+    if _tombstone_bytes(out_dir, tomb) <= _TOMBSTONE_BROADCAST_MAX_BYTES:
+        tdf = F.broadcast(tdf)
+    tdf = tdf.alias("t")
     return left.join(
-        F.broadcast(tdf),
+        tdf,
         (F.col("l.doc_id") == F.col("t.doc_id"))
         & (F.col("t.del_seq") > F.col("l.data_seq")),
         "left_anti",
@@ -843,17 +1057,27 @@ def committed_files(out_dir: str) -> list[str] | None:
 
 
 def _read_files_df(
-    spark: SparkSession, out_dir: str, files: list[str]
+    spark: SparkSession,
+    out_dir: str,
+    files: list[str],
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Scan exactly ``files`` (relative to ``out_dir``), keeping the
-    shard partition column via basePath."""
+    shard partition column via basePath. ``merge_schema`` unions the
+    files' parquet schemas (files predating an added column return
+    null for it) — requested only when the commits' RECORDED schemas
+    actually differ, because without the option the scan schema comes
+    from one sampled footer (non-deterministic under evolution) and
+    with it every footer is read (a real cost at 100 TB file
+    counts)."""
     import os
 
     if not files:
         raise ValueError(f"commit log at {out_dir} references no files")
-    return spark.read.option("basePath", out_dir).parquet(
-        *[os.path.join(out_dir, f) for f in files]
-    )
+    rd = spark.read.option("basePath", out_dir)
+    if merge_schema:
+        rd = rd.option("mergeSchema", "true")
+    return rd.parquet(*[os.path.join(out_dir, f) for f in files])
 
 
 def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -867,8 +1091,12 @@ def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
     commits = _read_commits(out_dir)
     if commits is None:
         return spark.read.parquet(out_dir)
-    data, tomb, _ = _seq_split(commits, set(_live_names_from(commits)))
-    return _masked_view(spark, out_dir, data, tomb)
+    live = set(_live_names_from(commits))
+    data, tomb, _ = _seq_split(commits, live)
+    return _masked_view(
+        spark, out_dir, data, tomb,
+        merge_schema=_schemas_differ(commits, live),
+    )
 
 
 def _stage_write(ranked: DataFrame, out_dir: str) -> list[str]:
@@ -919,6 +1147,26 @@ def _stage_write(ranked: DataFrame, out_dir: str) -> list[str]:
         return sorted(moved)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def _unlink_staged(out_dir: str, rels: list[str]) -> None:
+    """Best-effort removal of files THIS writer staged for a commit
+    attempt that lost a non-commuting race: they are positively
+    attributed (returned by _stage_write to this caller alone) and
+    provably unreferenced (the publish failed), so reclaiming them
+    immediately — instead of leaving up to max_attempts orphan file
+    sets for a grace-window-delayed vacuum — is always safe. The
+    Hadoop ``.crc`` sidecars go with them."""
+    import os
+
+    for rel in rels:
+        p = os.path.join(out_dir, rel)
+        d, base = os.path.split(p)
+        for path in (p, os.path.join(d, f".{base}.crc")):
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
 
 
 def log_history(out_dir: str) -> list[dict]:
@@ -1000,10 +1248,12 @@ def read_snapshot(
     window (seq-scoped masking, same rule as read_committed)."""
     snapshot_files(out_dir, as_of_seq)  # window + vacuum guard
     commits = _read_commits(out_dir) or []
-    data, tomb, _ = _seq_split(
-        commits, _window_live_names(commits, as_of_seq)
+    live = _window_live_names(commits, as_of_seq)
+    data, tomb, _ = _seq_split(commits, live)
+    return _masked_view(
+        spark, out_dir, data, tomb,
+        merge_schema=_schemas_differ(commits, live),
     )
-    return _masked_view(spark, out_dir, data, tomb)
 
 
 def _window_live_names(
@@ -1167,8 +1417,11 @@ def merge_docs_tx(
     commits0 = _read_commits(out_dir) or []
     if any(m.get("label") == label for _, m in commits0):
         return False
+    extras0 = _check_widen_only(
+        docs, commits0, set(_live_names_from(commits0)), "merge_docs_tx"
+    )
     batch = (
-        docs.select("doc_id", "lang", "text")
+        docs.select("doc_id", "lang", "text", *extras0)
         .dropDuplicates(["doc_id"])
         .localCheckpoint(eager=True)
     )
@@ -1189,9 +1442,17 @@ def merge_docs_tx(
     for _ in range(5):
         n = _check_layout_n(out_dir, n_shards, "merge_docs_tx")
         commits = _read_commits(out_dir) or []
+        # re-fence each attempt: a racing append may have widened the
+        # layout since the batch was staged — then this batch now
+        # drops a standing column and must fail loudly, not fork
+        extras = _check_widen_only(
+            batch, commits, set(_live_names_from(commits)),
+            "merge_docs_tx",
+        )
         data, _, hwm = _live_split_from(commits)
         ranked = _ranked_batch(
-            _read_files_df(spark, out_dir, data), batch, n, pos_hwm=hwm
+            _read_files_df(spark, out_dir, data), batch, n,
+            pos_hwm=hwm, extras=extras,
         )
         new_files = _stage_write(ranked, out_dir)
         try:
@@ -1200,11 +1461,19 @@ def merge_docs_tx(
                 label,
                 sorted(new_files + tomb_files),
                 snapshot=commits,
+                schema=ranked.dtypes,
             )
         except CommitConflict as e:
             last = e
+            _unlink_staged(out_dir, new_files)
             continue
         return name is not None
+    # every attempt lost a non-commuting race: the staged tombstone
+    # dir is this writer's alone and no commit references it — remove
+    # it now rather than leaving it to a grace-delayed vacuum
+    import shutil
+
+    shutil.rmtree(tgt, ignore_errors=True)
     raise last  # type: ignore[misc]
 
 
@@ -1231,7 +1500,10 @@ def _snapshot_files_no_check(
 
 
 def vacuum_uncommitted(
-    out_dir: str, retain_last: int = 0, grace_sec: float = 3600.0
+    out_dir: str,
+    retain_last: int = 0,
+    grace_sec: float = 3600.0,
+    ckpt_keep: int = 2,
 ) -> list[str]:
     """Delete data files the committed view no longer references —
     crash orphans (a data write whose commit never landed) and files
@@ -1246,6 +1518,17 @@ def vacuum_uncommitted(
     commit granularity). The default 0 retains only the live view:
     history becomes unreadable, exactly as documented in
     snapshot_files.
+
+    ``ckpt_keep`` bounds the checkpoint directory: all but the newest
+    N checkpoint files under ``_commits/_ckpts/`` are deleted. Safe by
+    construction — any checkpoint is a valid read base (the tail
+    fill-in is membership-based, export._read_commits) and a reader
+    that globbed a checkpoint this vacuum just removed falls back to
+    the next older one (or the full parse). Without the bound each
+    checkpoint is a FULL log snapshot rolled every
+    _CHECKPOINT_EVERY commits, so cumulative checkpoint bytes grow
+    quadratically over a streaming layout's life. 0 keeps every
+    checkpoint (the pre-retention behavior).
 
     ``grace_sec`` protects RECENT unreferenced files: a concurrent
     writer that has renamed its staged files into ``shard=*/`` (or
@@ -1321,6 +1604,14 @@ def vacuum_uncommitted(
             continue
         if stale:
             shutil.rmtree(d, ignore_errors=True)
+    # checkpoint retention (see docstring): newest ckpt_keep stay
+    if ckpt_keep > 0:
+        cks = sorted(_glob.glob(os.path.join(_ckpt_dir(out_dir), "*.json")))
+        for ck in cks[:-ckpt_keep]:
+            try:
+                os.remove(ck)
+            except OSError:
+                pass
     return orphans
 
 
@@ -1427,7 +1718,13 @@ def compact_shards(
         data, tomb, hwm = _seq_split(commits, set(live_before))
         if not data:
             raise ValueError(f"nothing committed to compact at {out_dir}")
-        cols = ["shard", "pos", "doc_id", "lang", "text", "h1"]
+        # compaction rewrites the UNION schema (standing extras
+        # included, old rows null-filled) and records it — after one
+        # compaction the layout's files agree again and reads drop
+        # back to the plain (no-mergeSchema) scan
+        sch = _standing_schema(commits, set(live_before))
+        cols = list(sch)
+        merge = _schemas_differ(commits, set(live_before))
         # the position high-water mark is taken over the DATA view
         # (soft-deleted rows included) BEFORE the tombstones are
         # materialized away, and carried in the commit so appends
@@ -1448,7 +1745,9 @@ def compact_shards(
         # committed view is invariant under compaction timing); any
         # delete landing after this snapshot conflicts (see
         # _CONFLICTS) and forces a recompute
-        src = _masked_view(spark, out_dir, data, tomb).select(*cols)
+        src = _masked_view(
+            spark, out_dir, data, tomb, merge_schema=merge
+        ).select(*cols)
         new_files = _stage_write(
             src.repartition(n_shards, "shard")
             .sortWithinPartitions("shard", "pos"),
@@ -1463,9 +1762,11 @@ def compact_shards(
                 replaces=live_before,
                 n_shards=n_shards,
                 pos_hwm=new_hwm,
+                schema=[(c, sch[c]) for c in cols],
             )
         except CommitConflict as e:
             last = e
+            _unlink_staged(out_dir, new_files)
             continue
         return {
             "files_before": len(files_before),
@@ -1479,7 +1780,9 @@ def compact_shards(
 def _resharded(src: DataFrame, new_n: int) -> DataFrame:
     """shard' = H mod 2N with order carried over by old pos. Old pos
     is unique within the old shard, hence within each new shard (one
-    parent each) — the rank is deterministic."""
+    parent each) — the rank is deterministic. Every non-layout column
+    (core data + widened extras) carries over unchanged."""
+    carried = [c for c in src.columns if c not in ("shard", "pos")]
     wr = W.partitionBy("shard2").orderBy("pos")
     return (
         src.withColumn(
@@ -1489,10 +1792,7 @@ def _resharded(src: DataFrame, new_n: int) -> DataFrame:
         .select(
             F.col("shard2").alias("shard"),
             F.col("pos2").alias("pos"),
-            "doc_id",
-            "lang",
-            "text",
-            "h1",
+            *carried,
         )
     )
 
@@ -1538,7 +1838,10 @@ def reshard_double(
         data, tomb, _ = _seq_split(commits, set(live_before))
         if not data:
             raise ValueError(f"nothing committed to reshard at {out_dir}")
-        cols = ["shard", "pos", "doc_id", "lang", "text", "h1"]
+        # like compaction: rewrite (and record) the union schema
+        sch = _standing_schema(commits, set(live_before))
+        cols = list(sch)
+        merge = _schemas_differ(commits, set(live_before))
         # reshard materializes the seq-scoped deletes (pos is
         # re-minted 1..n per new shard anyway — the permutation is
         # redefined, so no high-water mark survives); the tombstone
@@ -1554,7 +1857,8 @@ def reshard_double(
 
         def _view(data_subset: dict[str, int]) -> DataFrame:
             return _masked_view(
-                spark, out_dir, data_subset, tomb, tomb_df=tomb_ids
+                spark, out_dir, data_subset, tomb, tomb_df=tomb_ids,
+                merge_schema=merge,
             ).select(*cols)
 
         new_files: list[str] = []
@@ -1582,9 +1886,11 @@ def reshard_double(
                 snapshot=commits,
                 replaces=live_before,
                 n_shards=new_n,
+                schema=[(c, sch[c]) for c in cols],
             )
         except CommitConflict as e:
             last = e
+            _unlink_staged(out_dir, new_files)
             continue
         _write_layout_manifest(out_dir, new_n)
         return {
@@ -1748,11 +2054,12 @@ def q_export_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load(spark, sf_dir, "documents")
         write_shards(docs.filter(F.col("doc_id") % 3 == 0), out)
         init_commit_log(out)
+        core = docs.select("doc_id", "lang", "text")
         append_shards_tx(
-            spark, out, docs.filter(F.col("doc_id") % 3 == 1), 1
+            spark, out, core.filter(F.col("doc_id") % 3 == 1), 1
         )
         append_shards_tx(
-            spark, out, docs.filter(F.col("doc_id") % 3 == 2), 2
+            spark, out, core.filter(F.col("doc_id") % 3 == 2), 2
         )
         before = committed_manifest(spark, out).localCheckpoint(eager=True)
         stats = compact_shards(spark, out)
@@ -1813,8 +2120,9 @@ def q_export_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         init_commit_log(out)
         base = export_manifest(spark, out).localCheckpoint(eager=True)
         n_base = base.agg(F.sum("n_docs")).first()[0]
-        b1 = docs.filter(F.col("doc_id") % 3 == 1)
-        b2 = docs.filter(F.col("doc_id") % 3 == 2)
+        core = docs.select("doc_id", "lang", "text")
+        b1 = core.filter(F.col("doc_id") % 3 == 1)
+        b2 = core.filter(F.col("doc_id") % 3 == 2)
         append_shards_tx(spark, out, b1, 1)
         append_shards_tx(spark, out, b2, 2)
         compact_shards(spark, out)
@@ -1965,7 +2273,12 @@ def q_export_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_shards(docs.filter(F.col("doc_id") % 2 == 0), out)
         init_commit_log(out)
         append_shards_tx(
-            spark, out, docs.filter(F.col("doc_id") % 2 == 1), 1
+            spark,
+            out,
+            docs.filter(F.col("doc_id") % 2 == 1).select(
+                "doc_id", "lang", "text"
+            ),
+            1,
         )
         before = read_committed(spark, out)
         n_before = before.count()
@@ -2155,5 +2468,99 @@ def q_export_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "compaction materialized the merge"
             )
         return committed_manifest(spark, out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+@register(
+    "q_export_schema_evolution",
+    oracle=None,  # rows-only: log maintenance is not SQL-expressible;
+    # correctness pinned by tests/test_export.py's schema-evolution
+    # suite (widen/read/compact, drop/retype/reserved rejection,
+    # merge + reshard carry-through)
+    tags=("export", "schema", "evolution", "pipeline"),
+)
+def q_export_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Widen-only schema evolution on the shard layout — the
+    add-a-column story a real pipeline hits a month in (a new quality
+    score beside every doc): a core-schema base export, then a batch
+    carrying a NEW nullable ``quality`` column lands through
+    append_shards_tx; the commit RECORDS its (col, dtype) schema, the
+    committed read unions the file schemas (old rows read back null —
+    triggered only while recorded schemas actually differ), a
+    compaction MATERIALIZES the union schema (after it every live
+    file agrees and reads drop back to the plain scan), and a batch
+    that DROPS the column is rejected loudly (a silent drop forks the
+    schema). Asserted inside: pre-widen old rows are null, widened
+    values survive the compaction bit-exactly, and the drop fence
+    fires. Returns per-lang (n_docs, n_scored, quality_sum) over the
+    post-compaction committed view. Reference: the zvdb reference has
+    no persistence at all (src/zvdb.zig:1); this is the
+    lakehouse-parity layer, Delta/Iceberg schema-evolution pattern
+    (public)."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="zvdb_schevo_", dir=_scratch(spark))
+    try:
+        docs = load(spark, sf_dir, "documents")
+        base = docs.filter(F.col("doc_id") % 2 == 0)
+        write_shards(base, out)
+        init_commit_log(out)
+        n_base = base.count()
+        widened = (
+            docs.filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "lang", "text")
+            .withColumn(
+                "quality",
+                (F.col("doc_id") % 7).cast("double") / 10.0,
+            )
+        )
+        n_new = widened.count()
+        if append_shards_tx(spark, out, widened, 1) is not True:
+            raise AssertionError("widening append reported a replay")
+        view = read_committed(spark, out)
+        if "quality" not in view.columns:
+            raise AssertionError("widened column missing from read")
+        if view.filter(F.col("quality").isNull()).count() != n_base:
+            raise AssertionError(
+                "pre-widen rows must read the new column as null"
+            )
+        if view.filter(F.col("quality").isNotNull()).count() != n_new:
+            raise AssertionError("widened rows lost their values")
+        # the drop fence: a core-only batch now forks the schema
+        try:
+            append_shards_tx(
+                spark, out,
+                docs.filter(F.col("doc_id") % 2 == 1)
+                .select("doc_id", "lang", "text")
+                .limit(1),
+                2,
+            )
+            raise AssertionError(
+                "a batch dropping the widened column must be rejected"
+            )
+        except ValueError:
+            pass
+        compact_shards(spark, out)
+        vacuum_uncommitted(out, grace_sec=0.0)  # quiescent demo
+        after = read_committed(spark, out)
+        if after.filter(F.col("quality").isNull()).count() != n_base:
+            raise AssertionError("compaction changed null-filled rows")
+        if after.filter(
+            F.col("quality")
+            != (F.col("doc_id") % 7).cast("double") / 10.0
+        ).count():
+            raise AssertionError("compaction corrupted widened values")
+        return (
+            after.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.count("quality").alias("n_scored"),
+                F.round(F.sum("quality"), 2).alias("quality_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(out, ignore_errors=True)

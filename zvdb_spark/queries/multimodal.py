@@ -55,15 +55,14 @@ GROUP BY source
 def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media-corpus statistics: per-source byte totals and unique
     payload counts over the extracted features — the
-    decode -> aggregate pipeline shape."""
+    decode -> aggregate pipeline shape. ONE scan: the grouping
+    metadata rides through the feature extractor (``carry``) instead
+    of a second documents scan joined back on media_id (the r12
+    review's plan note)."""
     media = documents_as_media(load(spark, sf_dir, "documents"))
-    feats = extract_features(media)
-    meta = documents_as_media(load(spark, sf_dir, "documents")).select(
-        "media_id", "meta_source"
-    )
+    feats = extract_features(media, carry=("meta_source",))
     return (
-        feats.join(meta, "media_id")
-        .groupBy("meta_source")
+        feats.groupBy("meta_source")
         .agg(
             F.count("*").alias("n_media"),
             F.sum("n_bytes").alias("total_bytes"),

@@ -159,6 +159,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_export_delete",
     "q_stream_demo_cdc_upsert",
     "q_export_merge",
+    "q_export_schema_evolution",
 )
 
 
