@@ -193,6 +193,7 @@ EXTENDED = [
     "q_stream_demo_shard_export",
     "q_stream_demo_cdc_upsert",
     "q_export_schema_evolution",
+    "q_export_pruned_read",
 ]
 
 # Declared queries whose operator workload is timed by a DEDICATED

@@ -2536,3 +2536,184 @@ def test_merge_conflict_reclaims_staged_files(
     # no orphaned data files, no orphaned tombstone dirs
     assert set(export._data_files(out)) == on_disk_before
     assert glob.glob(os.path.join(out, "_tombstones", "*")) == []
+
+
+# --------------------- round 13: file-level data skipping
+
+
+def test_file_stats_recorded_and_footer_exact(spark, sf_dir, tmp_path):
+    """Every data-bearing commit records [min_doc_id, max_doc_id,
+    n_rows] per file, and the recorded values equal a direct read of
+    the file (the stats come from the parquet footer, so they are
+    exact, not sampled)."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import _read_commits, append_shards_tx
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    batch = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "lang", "text")
+        .limit(20)
+    )
+    assert append_shards_tx(spark, out, batch, 1)
+    for name, man in _read_commits(out) or []:
+        if not any(
+            not f.startswith("_tombstones/") for f in man["files"]
+        ):
+            continue
+        stats = man.get("stats")
+        assert stats, f"data commit {name} carries no stats"
+        for rel, (lo, hi, n) in stats.items():
+            back = spark.read.parquet(f"{out}/{rel}")
+            row = back.agg(
+                {"doc_id": "min"}
+            ).collect()[0][0], back.agg(
+                {"doc_id": "max"}
+            ).collect()[0][0], back.count()
+            assert (lo, hi, n) == (row[0], row[1], row[2]), rel
+
+
+def test_pruned_read_skips_disjoint_files_exactly(
+    spark, sf_dir, tmp_path
+):
+    """Id-correlated batches -> tight per-file ranges -> a range read
+    opens ONLY the matching commits' files; the answer equals the
+    full committed read under the same residual predicate, and a
+    tombstone inside the range still masks. The hash-sharded base
+    cannot prune (its per-file ranges span the corpus) — asserted as
+    the honest negative."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import (
+        append_shards_tx,
+        delete_docs_tx,
+        read_committed,
+        read_committed_pruned,
+    )
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    core = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "text"
+    )
+    assert append_shards_tx(
+        spark, out,
+        core.select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            "lang", "text",
+        ),
+        1,
+    )
+    assert append_shards_tx(
+        spark, out,
+        core.select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"),
+            "lang", "text",
+        ),
+        2,
+    )
+    victims = spark.createDataFrame(
+        [(20_000_001,), (20_000_003,)], "doc_id long"
+    )
+    assert delete_docs_tx(spark, out, victims, 3)
+
+    def data_files(df):
+        return {f for f in df.inputFiles() if "/shard=" in f}
+
+    full = read_committed(spark, out)
+    pruned = read_committed_pruned(spark, out, doc_id_min=20_000_000)
+    assert data_files(pruned) < data_files(full)  # strict subset
+    want = full.filter(F.col("doc_id") >= 20_000_000)
+    assert pruned.count() == want.count()
+    assert (
+        pruned.agg(F.sum("doc_id")).collect()[0][0]
+        == want.agg(F.sum("doc_id")).collect()[0][0]
+    )
+    assert pruned.join(victims, "doc_id").count() == 0
+    # two-sided range hitting only the middle batch
+    mid = read_committed_pruned(
+        spark, out, doc_id_min=10_000_000, doc_id_max=19_999_999
+    )
+    assert data_files(mid) < data_files(full)
+    assert mid.count() == full.filter(
+        F.col("doc_id").between(10_000_000, 19_999_999)
+    ).count()
+    # every file pruned -> empty result, no error
+    nothing = read_committed_pruned(
+        spark, out, doc_id_min=900_000_000
+    )
+    assert nothing.count() == 0
+    # honest negative: base files span the corpus, never pruned
+    probe = read_committed_pruned(spark, out, doc_id_min=1, doc_id_max=2)
+    assert data_files(probe)
+
+
+def test_pruning_survives_compaction_and_never_misprunes(
+    spark, sf_dir, tmp_path
+):
+    """Compaction rewrites the layout into one file per shard — the
+    per-file ranges widen back to corpus-wide, the rewritten commit
+    records the NEW stats, and a range read stays answer-identical
+    (it just prunes less). Commits without stats are never pruned."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import (
+        _commits_dir,
+        append_shards_tx,
+        compact_shards,
+        read_committed,
+        read_committed_pruned,
+        vacuum_uncommitted,
+    )
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    core = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "text"
+    )
+    assert append_shards_tx(
+        spark, out,
+        core.select(
+            (F.col("doc_id") + 30_000_000).alias("doc_id"),
+            "lang", "text",
+        ),
+        1,
+    )
+    want = (
+        read_committed(spark, out)
+        .filter(F.col("doc_id") >= 30_000_000)
+        .agg(F.count("*"), F.sum("doc_id"))
+        .collect()[0]
+    )
+    compact_shards(spark, out)
+    vacuum_uncommitted(out, grace_sec=0.0)
+    got = (
+        read_committed_pruned(spark, out, doc_id_min=30_000_000)
+        .agg(F.count("*"), F.sum("doc_id"))
+        .collect()[0]
+    )
+    assert tuple(got) == tuple(want)
+    # strip stats from the live commit: pruning must disable, answer
+    # must hold (stats are advisory, absence means read everything)
+    cd = _commits_dir(out)
+    for c in sorted(os.listdir(cd)):
+        p = os.path.join(cd, c)
+        if not c.endswith(".json"):
+            continue
+        with open(p) as f:
+            man = json.load(f)
+        man.pop("stats", None)
+        with open(p, "w") as f:
+            json.dump(man, f)
+    import shutil
+
+    shutil.rmtree(os.path.join(cd, "_ckpts"), ignore_errors=True)
+    full = read_committed(spark, out)
+    pruned = read_committed_pruned(spark, out, doc_id_min=30_000_000)
+    assert {f for f in pruned.inputFiles() if "/shard=" in f} == {
+        f for f in full.inputFiles() if "/shard=" in f
+    }
+    got2 = pruned.agg(F.count("*"), F.sum("doc_id")).collect()[0]
+    assert tuple(got2) == tuple(want)

@@ -297,6 +297,7 @@ def _append_committed(
             name = _publish_commit(
                 out_dir, label, new_files, snapshot=commits,
                 schema=ranked.dtypes,
+                stats=_file_stats(out_dir, new_files),
             )
         except CommitConflict as e:
             last = e
@@ -503,6 +504,7 @@ def _publish_commit(
     n_shards: int | None = None,
     pos_hwm: dict[int, int] | None = None,
     schema: list[tuple[str, str]] | None = None,
+    stats: dict[str, list[int]] | None = None,
 ) -> str | None:
     """Atomically publish a commit at the next free seq — the
     multi-writer CAS of this log layer, the put-if-absent protocol of
@@ -545,6 +547,11 @@ def _publish_commit(
         # run on (see _standing_schema); commits predating the field
         # read as the core layout schema
         man["schema"] = [[c, t] for c, t in schema]
+    if stats:
+        # per-file [min_doc_id, max_doc_id, n_rows] for data skipping
+        # (read_committed_pruned); optional and advisory — an absent
+        # entry only disables pruning for that file
+        man["stats"] = {f: list(v) for f, v in stats.items()}
     kind = _commit_kind(label)
     # monotone sequence number — the time-travel axis. Legacy commits
     # without the field read as seq 0 (the base).
@@ -625,7 +632,11 @@ def init_commit_log(out_dir: str) -> None:
     _require_local_path(out_dir, "init_commit_log")
     if os.path.isdir(_commits_dir(out_dir)):
         raise ValueError(f"commit log already exists at {out_dir}")
-    _publish_commit(out_dir, "base", _data_files(out_dir), snapshot=[])
+    files = _data_files(out_dir)
+    _publish_commit(
+        out_dir, "base", files, snapshot=[],
+        stats=_file_stats(out_dir, files),
+    )
 
 
 # Roll a checkpoint every N commits. The checkpoint is the log's
@@ -1149,6 +1160,107 @@ def _stage_write(ranked: DataFrame, out_dir: str) -> list[str]:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def _file_stats(out_dir: str, rels: list[str]) -> dict[str, list[int]]:
+    """Per-file ``[min_doc_id, max_doc_id, n_rows]`` from the parquet
+    FOOTERS of freshly written data files — driver-side pyarrow
+    metadata reads (file-count-bounded, zero Spark jobs, the bytes
+    are page-cache-hot right after the write). Recorded in the commit
+    manifest so committed reads can skip whole files whose id range
+    is disjoint from a query predicate (the lakehouse data-skipping
+    pattern, public: Delta/Iceberg per-file column stats). Files
+    whose footer lacks doc_id statistics are simply omitted — an
+    absent entry means "never prune this file"."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    out: dict[str, list[int]] = {}
+    for rel in rels:
+        try:
+            md = _pq.ParquetFile(os.path.join(out_dir, rel)).metadata
+            idx = md.schema.names.index("doc_id")
+            lo: int | None = None
+            hi: int | None = None
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is None or hi is None:
+                continue
+            out[rel] = [int(lo), int(hi), int(md.num_rows)]
+        except Exception:  # noqa: BLE001 — stats are an optimization;
+            continue  # a file without them is read, never mis-pruned
+    return out
+
+
+def read_committed_pruned(
+    spark: SparkSession,
+    out_dir: str,
+    doc_id_min: int | None = None,
+    doc_id_max: int | None = None,
+) -> DataFrame:
+    """File-skipping committed read: drop every data file whose
+    commit-recorded ``[min, max]`` doc_id range is DISJOINT from the
+    query range before the scan, then run the ordinary seq-scoped
+    masked view over the survivors and apply the predicate verbatim
+    as the residual — pruning can only under-prune, never change the
+    answer (files from commits without stats are always read).
+
+    Where this pays: the shard layout hashes ids across files, so a
+    FULL export's per-file ranges span the corpus and nothing prunes
+    — but incremental ingest (CDC feeds, streaming appends) commits
+    each batch's files separately, and id/time-correlated batches
+    give every file a TIGHT range: a "recent ids" read then opens
+    only the recent commits' files. At 100 TB that is the difference
+    between scanning a day and scanning a decade — and it composes
+    with tombstone masking because pruning only removes rows the
+    residual predicate discards anyway."""
+    commits = _read_commits(out_dir)
+    if commits is None:
+        df = spark.read.parquet(out_dir)
+        if doc_id_min is not None:
+            df = df.filter(F.col("doc_id") >= doc_id_min)
+        if doc_id_max is not None:
+            df = df.filter(F.col("doc_id") <= doc_id_max)
+        return df
+    live = set(_live_names_from(commits))
+    data, tomb, _ = _seq_split(commits, live)
+    stats: dict[str, list[int]] = {}
+    for name, man in commits:
+        if name in live:
+            stats.update(man.get("stats", {}))
+
+    def _keep(rel: str) -> bool:
+        st = stats.get(rel)
+        if st is None:
+            return True  # no stats recorded: never mis-prune
+        lo, hi = st[0], st[1]
+        if doc_id_min is not None and hi < doc_id_min:
+            return False
+        if doc_id_max is not None and lo > doc_id_max:
+            return False
+        return True
+
+    kept = {f: s for f, s in data.items() if _keep(f)}
+    if not kept:
+        # every file pruned: scan one file for the schema; the
+        # residual predicate empties it
+        first = sorted(data)[0]
+        kept = {first: data[first]}
+    df = _masked_view(
+        spark, out_dir, kept, tomb,
+        merge_schema=_schemas_differ(commits, live),
+    )
+    if doc_id_min is not None:
+        df = df.filter(F.col("doc_id") >= doc_id_min)
+    if doc_id_max is not None:
+        df = df.filter(F.col("doc_id") <= doc_id_max)
+    return df
+
+
 def _unlink_staged(out_dir: str, rels: list[str]) -> None:
     """Best-effort removal of files THIS writer staged for a commit
     attempt that lost a non-commuting race: they are positively
@@ -1462,6 +1574,7 @@ def merge_docs_tx(
                 sorted(new_files + tomb_files),
                 snapshot=commits,
                 schema=ranked.dtypes,
+                stats=_file_stats(out_dir, new_files),
             )
         except CommitConflict as e:
             last = e
@@ -1763,6 +1876,7 @@ def compact_shards(
                 n_shards=n_shards,
                 pos_hwm=new_hwm,
                 schema=[(c, sch[c]) for c in cols],
+                stats=_file_stats(out_dir, new_files),
             )
         except CommitConflict as e:
             last = e
@@ -1887,6 +2001,7 @@ def reshard_double(
                 replaces=live_before,
                 n_shards=new_n,
                 schema=[(c, sch[c]) for c in cols],
+                stats=_file_stats(out_dir, new_files),
             )
         except CommitConflict as e:
             last = e
@@ -2560,6 +2675,114 @@ def q_export_schema_evolution(
                 F.count("quality").alias("n_scored"),
                 F.round(F.sum("quality"), 2).alias("quality_sum"),
             )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+@register(
+    "q_export_pruned_read",
+    oracle=None,  # rows-only: file skipping is a plan property; the
+    # answer-parity and fewer-files invariants are asserted inside and
+    # pinned by tests/test_export.py's data-skipping suite
+    tags=("export", "stats", "pruning", "pipeline"),
+)
+def q_export_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping over the logged shard layout
+    (read_committed_pruned — the lakehouse per-file-stats pattern,
+    Delta/Iceberg, public): every commit records its files'
+    [min_doc_id, max_doc_id, n_rows] from the parquet footers
+    (driver-side, zero Spark jobs), and a range read drops whole
+    files whose recorded range is disjoint from the predicate BEFORE
+    the scan, applying the predicate verbatim as the residual so
+    pruning can only under-prune. The win is on id/time-correlated
+    ingest: a hash-sharded FULL export's per-file ranges span the
+    corpus (nothing prunes — demonstrated inside), but incremental
+    batches with advancing ids give every file a tight range, and a
+    "recent ids" read opens only the recent commits' files. Asserted
+    inside: the pruned read scans strictly fewer data files than the
+    full committed read, its answer equals the full read under the
+    same predicate exactly, and a tombstone delete still masks inside
+    the pruned range. Returns the per-shard manifest of the pruned
+    range."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="zvdb_prune_", dir=_scratch(spark))
+    try:
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+        write_shards(docs.filter(F.col("doc_id") % 2 == 0), out)
+        init_commit_log(out)
+        b1 = docs.filter(F.col("doc_id") % 2 == 1).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            "lang",
+            "text",
+        )
+        b2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"),
+            "lang",
+            "text",
+        )
+        if not (
+            append_shards_tx(spark, out, b1, 1)
+            and append_shards_tx(spark, out, b2, 2)
+        ):
+            raise AssertionError("batch appends reported replays")
+        # tombstone a few ids INSIDE the queried range: masking must
+        # compose with pruning
+        victims = b2.select("doc_id").limit(3).localCheckpoint(
+            eager=True
+        )
+        if not delete_docs_tx(spark, out, victims, 3):
+            raise AssertionError("delete reported a replay")
+
+        def _data_inputs(df: DataFrame) -> set:
+            return {
+                f for f in df.inputFiles() if "/shard=" in f
+            }
+
+        full = read_committed(spark, out)
+        pruned = read_committed_pruned(
+            spark, out, doc_id_min=20_000_000
+        )
+        n_full, n_pruned = len(_data_inputs(full)), len(
+            _data_inputs(pruned)
+        )
+        if not n_pruned < n_full:
+            raise AssertionError(
+                f"range read opened {n_pruned}/{n_full} data files — "
+                "file skipping did not prune"
+            )
+        expect = full.filter(F.col("doc_id") >= 20_000_000)
+        got_n, want_n = pruned.count(), expect.count()
+        if got_n != want_n:
+            raise AssertionError(
+                f"pruned read returned {got_n} rows, residual filter "
+                f"says {want_n} — pruning changed the answer"
+            )
+        if pruned.join(victims, "doc_id").count() != 0:
+            raise AssertionError(
+                "tombstoned ids visible under the pruned read"
+            )
+        # the hash-sharded base alone cannot prune (honest negative):
+        # a mid-range read over the base ids keeps every base file
+        base_probe = read_committed_pruned(
+            spark, out, doc_id_min=1, doc_id_max=2
+        )
+        if not _data_inputs(base_probe):
+            raise AssertionError(
+                "full-export files wrongly pruned (their ranges span "
+                "the corpus)"
+            )
+        return (
+            pruned.groupBy("shard")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("doc_id").alias("id_sum"),
+            )
+            .withColumn("shard", F.col("shard").cast("long"))
             .localCheckpoint(eager=True)
         )
     finally:

@@ -160,6 +160,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_stream_demo_cdc_upsert",
     "q_export_merge",
     "q_export_schema_evolution",
+    "q_export_pruned_read",
 )
 
 
