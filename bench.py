@@ -194,6 +194,7 @@ EXTENDED = [
     "q_stream_demo_cdc_upsert",
     "q_export_schema_evolution",
     "q_export_pruned_read",
+    "q_export_point_lookup",
 ]
 
 # Declared queries whose operator workload is timed by a DEDICATED

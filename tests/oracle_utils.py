@@ -13,12 +13,11 @@ from zvdb_spark.sources.tables import TABLES
 
 
 def portable_h(s: str) -> int:
-    """Python twin of the shared portable hash (queries/text.py
-    H_SPARK / H_DUCK): first 15 hex digits of md5 as a bigint. ONE
-    definition for every test-side recompute."""
-    import hashlib
+    """Python twin of the shared portable hash — delegates to the
+    package's single definition (queries/text.py h_py)."""
+    from zvdb_spark.queries.text import h_py
 
-    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    return h_py(s)
 
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:

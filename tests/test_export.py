@@ -2717,3 +2717,76 @@ def test_pruning_survives_compaction_and_never_misprunes(
     }
     got2 = pruned.agg(F.count("*"), F.sum("doc_id")).collect()[0]
     assert tuple(got2) == tuple(want)
+
+
+# --------------------- round 13: point lookup (shard routing)
+
+
+def test_point_lookup_routes_to_target_shards_only(
+    spark, sf_dir, tmp_path
+):
+    """lookup_docs computes shard = H(id) mod N driver-side and opens
+    ONLY the target shards' committed files; the answer equals the
+    residual-filtered full read, deletes mask, upserts show their
+    latest version, and an id hashing to a shard with no files (or
+    absent entirely) returns empty rather than erroring."""
+    from pyspark.sql import functions as F
+
+    from zvdb_spark.queries.export import (
+        N_SHARDS,
+        delete_docs_tx,
+        lookup_docs,
+        merge_docs_tx,
+        read_committed,
+    )
+    from zvdb_spark.queries.text import h_py
+
+    docs, out = _tx_setup(spark, sf_dir, tmp_path)
+    evens = sorted(
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id")
+        .limit(8)
+        .collect()
+    )
+    dead, updated, *plain = evens
+    assert delete_docs_tx(
+        spark, out, spark.createDataFrame([(dead,)], "doc_id long"), 1
+    )
+    upsert = (
+        docs.filter(F.col("doc_id") == updated)
+        .select(
+            "doc_id", "lang",
+            F.concat(F.lit("v2: "), F.col("text")).alias("text"),
+        )
+    )
+    assert merge_docs_tx(spark, out, upsert, 2)
+
+    targets = [dead, updated, *plain[:2]]
+    got = lookup_docs(spark, out, targets)
+    data_files = {f for f in got.inputFiles() if "/shard=" in f}
+    full_files = {
+        f
+        for f in read_committed(spark, out).inputFiles()
+        if "/shard=" in f
+    }
+    assert data_files < full_files
+    # every opened file belongs to a target shard
+    shards = {h_py(str(i)) % N_SHARDS for i in targets}
+    assert {
+        int(f.split("shard=")[1].split("/")[0]) for f in data_files
+    } <= shards
+    rows = {(r.doc_id, r.text) for r in got.collect()}
+    want = {
+        (r.doc_id, r.text)
+        for r in read_committed(spark, out)
+        .filter(F.col("doc_id").isin(targets))
+        .collect()
+    }
+    assert rows == want
+    assert dead not in {d for d, _ in rows}
+    assert [t for d, t in rows if d == updated][0].startswith("v2: ")
+    # absent id: empty result, schema intact, no error
+    missing = lookup_docs(spark, out, [987_654_321])
+    assert missing.count() == 0
+    assert "text" in missing.columns

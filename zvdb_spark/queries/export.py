@@ -2787,3 +2787,129 @@ def q_export_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+def lookup_docs(
+    spark: SparkSession, out_dir: str, doc_ids: list[int]
+) -> DataFrame:
+    """Primary-key point lookup on the hash-sharded layout: shard =
+    H(id) mod N is computable DRIVER-SIDE (queries/text.py h_py, the
+    same portable hash the layout routes by), so a k-id lookup reads
+    only the <=k target shards' committed files. This is the lookup
+    path min/max data skipping cannot provide on a hash-sharded FULL
+    export (every file's id range spans the corpus —
+    read_committed_pruned's documented negative case): with N shards
+    the scan opens ~k/N of the layout's files regardless of total
+    size. The seq-scoped tombstone mask runs over the surviving
+    subset, so a deleted id returns nothing and an upserted id
+    returns exactly its latest version; the id filter is applied
+    verbatim as the residual, so shard routing can only under-read
+    file-wise, never change the answer."""
+    ids = sorted({int(i) for i in doc_ids})
+    if not ids:
+        raise ValueError("lookup_docs needs at least one doc_id")
+    commits = _read_commits(out_dir)
+    if commits is None:
+        return spark.read.parquet(out_dir).filter(
+            F.col("doc_id").isin(ids)
+        )
+    n = read_layout_manifest(out_dir)["n_shards"]
+    from zvdb_spark.queries.text import h_py
+
+    shards = {h_py(str(i)) % n for i in ids}
+    live = set(_live_names_from(commits))
+    data, tomb, _ = _seq_split(commits, live)
+
+    def _shard_of(rel: str) -> int:
+        return int(rel.split("shard=", 1)[1].split("/", 1)[0])
+
+    kept = {f: s for f, s in data.items() if _shard_of(f) in shards}
+    if not kept:  # target shards hold no files: empty, schema-stable
+        first = sorted(data)[0]
+        kept = {first: data[first]}
+    df = _masked_view(
+        spark, out_dir, kept, tomb,
+        merge_schema=_schemas_differ(commits, live),
+    )
+    return df.filter(F.col("doc_id").isin(ids))
+
+
+@register(
+    "q_export_point_lookup",
+    oracle=None,  # rows-only: shard routing is a plan property; the
+    # answer-parity and fewer-files invariants are asserted inside
+    # and pinned by tests/test_export.py
+    tags=("export", "lookup", "pruning", "pipeline"),
+)
+def q_export_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-side shard routing for point lookups (lookup_docs):
+    shard = H(id) mod N is recomputed in Python, so a k-id lookup
+    opens only the target shards' committed files — the primary-key
+    read path for a hash-sharded corpus at 100 TB (a loader fetching
+    specific documents touches ~k/N of the files, never the layout).
+    Demo: base export + tx append, one id DELETED (tombstone), one
+    id UPSERTED (merge). Asserted inside: the lookup opens strictly
+    fewer data files than the full committed read; its rows equal
+    the full read under the same id filter; the deleted id is
+    absent; the upserted id shows exactly its latest text. Returns
+    the looked-up rows' (doc_id, lang, pos present) projection."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="zvdb_lookup_", dir=_scratch(spark))
+    try:
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+        base = docs.filter(F.col("doc_id") % 2 == 0)
+        write_shards(base, out)
+        init_commit_log(out)
+        if not append_shards_tx(
+            spark, out, docs.filter(F.col("doc_id") % 2 == 1), 1
+        ):
+            raise AssertionError("append reported a replay")
+        # fixed ids: documents doc_ids start at 1 at every SF, so the
+        # probe set is deterministic — no driver-side collect needed
+        dead, updated, plain = 1, 2, [3, 4, 5, 6]
+        if not delete_docs_tx(
+            spark, out,
+            spark.createDataFrame([(dead,)], "doc_id long"), 2,
+        ):
+            raise AssertionError("delete reported a replay")
+        upsert = docs.filter(F.col("doc_id") == updated).select(
+            "doc_id", "lang",
+            F.concat(F.lit("v2: "), F.col("text")).alias("text"),
+        )
+        if not merge_docs_tx(spark, out, upsert, 3):
+            raise AssertionError("merge reported a replay")
+
+        targets = [dead, updated, *plain]
+        got = lookup_docs(spark, out, targets)
+
+        def _data_inputs(df: DataFrame) -> set:
+            return {f for f in df.inputFiles() if "/shard=" in f}
+
+        full = read_committed(spark, out)
+        if not _data_inputs(got) < _data_inputs(full):
+            raise AssertionError(
+                "point lookup opened every data file — shard routing "
+                "did not prune"
+            )
+        want = full.filter(F.col("doc_id").isin(targets))
+        gk = got.select("doc_id", "text")
+        wk = want.select("doc_id", "text")
+        if gk.exceptAll(wk).count() or wk.exceptAll(gk).count():
+            raise AssertionError("lookup answer != residual-filtered read")
+        if got.filter(F.col("doc_id") == dead).count() != 0:
+            raise AssertionError("deleted id visible in lookup")
+        up = got.filter(F.col("doc_id") == updated)
+        if (
+            up.count() != 1
+            or up.filter(F.col("text").startswith("v2: ")).count() != 1
+        ):
+            raise AssertionError("upserted id not at latest version")
+        return (
+            got.select("doc_id", "lang", F.col("pos").isNotNull().alias("has_pos"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -161,6 +161,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "q_export_merge",
     "q_export_schema_evolution",
     "q_export_pruned_read",
+    "q_export_point_lookup",
 )
 
 

@@ -25,6 +25,17 @@ from zvdb_spark.sources.tables import load
 
 # Spark-side portable hash of an SQL expression string.
 H_SPARK = "cast(conv(substr(md5({x}),1,15),16,10) as bigint)"
+
+
+def h_py(s: str) -> int:
+    """Driver-side twin of H_SPARK / H_DUCK (first 15 hex digits of
+    md5 as a bigint) — the ONE Python definition of the portable
+    hash. Used where shard membership must be computed WITHOUT a
+    Spark job (the layout's point lookup routes ids to shards
+    driver-side) and by every test-side recompute."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 # DuckDB-side twin.
 H_DUCK = "('0x' || substr(md5({x}),1,15))::BIGINT"
 
