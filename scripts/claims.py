@@ -56,6 +56,12 @@ CLAIM_KEYS = [
     "filtered_ann_1m_ratio_sel10",
     "filtered_ann_1m_recall_sel50",
     "filtered_ann_1m_recall_sel10",
+    # round 13 stability companions: the shared-window uniform-ANN
+    # ratio (a moving ratio = real beam regression; moving qps alone
+    # = host load) and the 1M blocked-GEMM auto-grid check (1.0 =
+    # the default IS the measured winner)
+    "ann_uniform_vs_exact_ratio",
+    "blocked_1m_auto_over_best",
 ]
 
 # Windows quoted by the committed round-10 verdict whose raw BENCH
