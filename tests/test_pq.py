@@ -301,9 +301,11 @@ def test_residual_ivfpq_beats_raw_codes_on_clusters(spark):
 
 def test_ivfpq_build_single_scan_plan(spark, emb):
     """ivfpq_build's 100 TB contract: the codes frame is ONE map pass
-    over the vectors — no Exchange, no join, exactly one MapInPandas
-    (the round-4 form re-executed a distributed residualize ~3x and
-    shuffled two corpus-sized frames on the id join)."""
+    over the vectors — no Exchange, no join, exactly one Python map
+    node (the round-4 form re-executed a distributed residualize ~3x
+    and shuffled two corpus-sized frames on the id join). Round 13
+    moved the pass from MapInPandas to MapInArrow (zero-copy list
+    column -> matrix); the plan contract is unchanged."""
     from zvdb_spark.operators.kmeans import kmeans_fit_sample
     from zvdb_spark.operators.pq import ivfpq_build
     from zvdb_spark.plans import explain_str, plan_audit
@@ -316,7 +318,8 @@ def test_ivfpq_build_single_scan_plan(spark, emb):
     assert a["n_exchanges"] == 0, a["plan"]
     assert a["n_sortmerge_joins"] == 0 and a["n_broadcast_joins"] == 0
     simple = explain_str(codes, "simple")
-    assert simple.count("MapInPandas") == 1, simple
+    n_py_maps = simple.count("MapInArrow") + simple.count("MapInPandas")
+    assert n_py_maps == 1, simple
 
 
 def test_ivfpq_build_codes_match_two_pass(spark, emb):

@@ -251,12 +251,10 @@ def _structure_ratio(smat: np.ndarray, centroids: np.ndarray) -> float:
     concentration leaves the quantizer nothing to separate — measured
     0.26 clustered vs 1.91 uniform at 128-d/20k). Driver-side
     O(S·C·dim); no table data involved."""
-    d = (
-        (smat * smat).sum(1)[:, None]
-        + (centroids * centroids).sum(1)[None, :]
-        - 2.0 * (smat @ centroids.T)
-    )
-    d_within = np.sqrt(np.maximum(d.min(1), 0.0)).mean()
+    from zvdb_spark.operators.kmeans import assign_local
+
+    _, md = assign_local(smat, centroids)
+    d_within = np.sqrt(md).mean()
     cd = (
         (centroids * centroids).sum(1)[:, None]
         + (centroids * centroids).sum(1)[None, :]
@@ -272,17 +270,13 @@ def _kmeans_local(sample: np.ndarray, k: int, n_iter: int) -> np.ndarray:
     operators/kmeans.kmeans_fit: init = first k rows in id order,
     fixed iterations, empty cells keep their centroid). The sample is
     bounded at 40 rows/cell, so this is quantizer metadata work, not
-    table data."""
-    k = min(k, len(sample))
-    centroids = sample[:k].astype(np.float64).copy()
-    for _ in range(n_iter):
-        cn = (centroids * centroids).sum(1)
-        a = (cn[None, :] - 2.0 * (sample @ centroids.T)).argmin(1)
-        for j in range(k):
-            msk = a == j
-            if msk.any():
-                centroids[j] = sample[msk].mean(0)
-    return centroids
+    table data. Delegates to the shared thread-chunked kernel
+    (operators/kmeans.lloyd_local) — the per-cluster-mask loop this
+    used before was ~150 s of single-BLAS-thread driver time at the
+    1M-row build shape (k=2500, 100k sample)."""
+    from zvdb_spark.operators.kmeans import lloyd_local
+
+    return lloyd_local(sample, k, n_iter)
 
 
 def _beam_search_seeded(
@@ -521,11 +515,14 @@ class GraphIndex:
             self.structure_ratio = _structure_ratio(smat, self.centroids)
         # sampled cell sizes — the weights that keep search shards
         # BALANCED BY ROWS in _assign_shards (clustered corpora fill
-        # cells very unevenly; sampling error is fine, skew is not)
-        cn_ = (self.centroids * self.centroids).sum(1)
+        # cells very unevenly; sampling error is fine, skew is not).
+        # Thread-chunked assign: the one-shot (sample x C) GEMM was
+        # ~15 s of single-BLAS-thread driver time at the 1M shape.
+        from zvdb_spark.operators.kmeans import assign_local
+
+        cell_assign, _ = assign_local(smat, self.centroids)
         cell_sample_counts = np.bincount(
-            (cn_[None, :] - 2.0 * (smat @ self.centroids.T)).argmin(1),
-            minlength=len(self.centroids),
+            cell_assign, minlength=len(self.centroids)
         )
         # kept LAZY: build's only consumer is the pack shuffle (one
         # pass); materializing a second full copy of the corpus here
@@ -1425,7 +1422,13 @@ class GraphIndex:
         def _route(vs: pd.Series) -> pd.Series:
             mat = np.stack(vs.to_numpy()).astype(np.float64)
             d = cn[None, :] - 2.0 * (mat @ cmat.T)
-            near = np.argsort(d, axis=1, kind="stable")[:, :nseed]
+            # exact top-nseed by (distance, cell index) — the same
+            # SET a stable full argsort's first nseed gives (ties
+            # re-resolved by index inside _topk_by_dist_id), at
+            # argpartition cost instead of a full C-column sort
+            near = _topk_by_dist_id(
+                d, np.arange(d.shape[1], dtype=np.int64), nseed
+            )
             out = []
             for row in near:
                 by_pid: dict[int, list[int]] = {}
@@ -1470,14 +1473,37 @@ class GraphIndex:
                     qm = np.ascontiguousarray(
                         np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
                     )
-                    max_ns = max(len(s) for s in qpdf["seeds"])
-                    seeds = np.full((len(qids), max_ns), -1, dtype=np.int64)
-                    for i, s in enumerate(qpdf["seeds"]):
-                        sp = np.searchsorted(ids, np.asarray(s, dtype=np.int64))
-                        sp = np.minimum(sp, n - 1)
-                        ok = np.asarray(ids)[sp] == np.asarray(s, dtype=np.int64)
-                        sp = sp[ok]
-                        seeds[i, : len(sp)] = sp
+                    # vectorized seed-id -> row-position resolution:
+                    # one searchsorted over the concatenated seed ids
+                    # instead of one per query row (identical
+                    # placement: survivors keep their per-row order)
+                    seed_lists = [
+                        np.asarray(s, dtype=np.int64)
+                        for s in qpdf["seeds"]
+                    ]
+                    lens = np.fromiter(
+                        (len(s) for s in seed_lists),
+                        dtype=np.int64,
+                        count=len(seed_lists),
+                    )
+                    max_ns = int(lens.max()) if len(lens) else 1
+                    seeds = np.full(
+                        (len(qids), max(max_ns, 1)), -1, dtype=np.int64
+                    )
+                    if lens.sum():
+                        flat = np.concatenate(seed_lists)
+                        ids_arr = np.asarray(ids)
+                        sp = np.minimum(
+                            np.searchsorted(ids_arr, flat), n - 1
+                        )
+                        ok = ids_arr[sp] == flat
+                        rowv = np.repeat(np.arange(len(qids)), lens)
+                        okr, spo = rowv[ok], sp[ok]
+                        if len(okr):
+                            rank = np.arange(len(okr)) - np.searchsorted(
+                                okr, okr, side="left"
+                            )
+                            seeds[okr, rank] = spo
                     yield _beam_search_seeded(
                         ids, mat, adj, seeds, qm, qids, k, ef
                     )

@@ -21,12 +21,144 @@ the shape an IVF deployment uses anyway.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _CENTROID_FORMAT = 1
+
+# Row-chunk size for the threaded assignment step of lloyd_local: the
+# per-chunk distance block (chunk x k float64) stays ~100 MB even at
+# k=4096, so the working set is bounded no matter the sample size.
+_LLOYD_CHUNK = 4096
+
+
+def _lloyd_threads() -> int:
+    """Driver-side thread budget for lloyd_local. BLAS is pinned to one
+    thread process-wide (bench.py / session.py) so executor tasks never
+    oversubscribe; the FIT, though, runs on the driver while executors
+    are idle — chunk-parallel numpy (the GIL is released inside BLAS)
+    recovers the machine for the one stage that is otherwise
+    single-threaded. Scales with $SPARK_GRAFT_CPUS (the driver's core
+    budget), never a hard-coded constant."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    cores = int(env) if env else (os.cpu_count() or 1)
+    return max(1, min(cores, 64))
+
+
+def assign_local(
+    x: np.ndarray, c: np.ndarray, n_threads: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-local nearest-centroid pass, thread-chunked like
+    lloyd_local's assignment step: returns (argmin index, min squared
+    distance) per row WITHOUT materializing the full (n, k) distance
+    matrix (3+ GB at 100k x 4096 — the old one-shot form). The
+    distance includes the row-norm term, so the minima are true
+    squared L2 (clamped at 0)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    cm = np.ascontiguousarray(c, dtype=np.float64)
+    n = len(x)
+    cn = (cm * cm).sum(1)
+    a = np.empty(n, dtype=np.int64)
+    md = np.empty(n, dtype=np.float64)
+    chunks = [(lo, min(lo + _LLOYD_CHUNK, n)) for lo in range(0, n, _LLOYD_CHUNK)]
+
+    def _one(span):
+        lo, hi = span
+        xc = x[lo:hi]
+        d = cn[None, :] - 2.0 * (xc @ cm.T)
+        idx = d.argmin(1)
+        a[lo:hi] = idx
+        md[lo:hi] = (
+            d[np.arange(hi - lo), idx] + (xc * xc).sum(1)
+        )
+
+    n_threads = n_threads or _lloyd_threads()
+    if n_threads > 1 and len(chunks) > 1:
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            list(pool.map(_one, chunks))
+    else:
+        for s in chunks:
+            _one(s)
+    np.maximum(md, 0.0, out=md)
+    return a, md
+
+
+def lloyd_local(
+    sample: np.ndarray, k: int, n_iter: int, n_threads: int | None = None
+) -> np.ndarray:
+    """Seeded Lloyd's over a driver-local (n, dim) float64 sample —
+    THE local k-means kernel shared by kmeans_fit_sample, the graph
+    index quantizer fit, and the PQ/OPQ codebook fits. Semantics are
+    the classic deterministic recipe every caller already used:
+    init = first k rows, fixed iteration count, empty cells keep
+    their previous centroid, assignment by argmin of the
+    norm-expansion distance.
+
+    Two mechanical optimizations over the per-cluster-mask loop this
+    replaces (measured 186 s -> <25 s at n=100k, k=2500, dim=128,
+    4 iters on 32 cores):
+
+    - the assignment GEMM is row-chunked and fanned over a thread
+      pool (numpy releases the GIL inside BLAS; chunks write disjoint
+      slices, so the result is independent of scheduling order);
+    - the update step sorts rows by assignment once (stable) and
+      computes every centroid sum with one ``np.add.reduceat`` pass
+      instead of k boolean-mask scans (O(n log n) total instead of
+      O(n·k)).
+
+    Deterministic run-to-run: fixed chunk boundaries, stable sort,
+    sequential reduceat sums. (Centroids can differ from the old
+    kernel by float-summation-order ULPs — the same caveat
+    kmeans_fit always documented for partition-order sums.)
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    x = np.ascontiguousarray(sample, dtype=np.float64)
+    n = len(x)
+    k = min(int(k), n)
+    if k <= 0 or n == 0:
+        return x[:0].copy()
+    c = x[:k].copy()
+    if n_iter <= 0:
+        return c
+    n_threads = n_threads or _lloyd_threads()
+    chunks = [(lo, min(lo + _LLOYD_CHUNK, n)) for lo in range(0, n, _LLOYD_CHUNK)]
+    a = np.empty(n, dtype=np.int64)
+
+    def _assign(span, cmat, cn):
+        lo, hi = span
+        xc = x[lo:hi]
+        a[lo:hi] = (cn[None, :] - 2.0 * (xc @ cmat.T)).argmin(1)
+
+    pool = ThreadPoolExecutor(max_workers=n_threads) if n_threads > 1 else None
+    try:
+        for _ in range(n_iter):
+            cn = (c * c).sum(1)
+            if pool is not None and len(chunks) > 1:
+                list(pool.map(lambda s: _assign(s, c, cn), chunks))
+            else:
+                for s in chunks:
+                    _assign(s, c, cn)
+            order = np.argsort(a, kind="stable")
+            asort = a[order]
+            # one reduceat segment per OCCUPIED cluster (unique's
+            # first-index array is strictly increasing and in range,
+            # so segment boundaries are exact); empty clusters are
+            # never touched and keep their previous centroid
+            uniq, first_idx = np.unique(asort, return_index=True)
+            counts = np.bincount(asort, minlength=k)
+            sums = np.add.reduceat(x[order], first_idx, axis=0)
+            c[uniq] = sums / counts[uniq, None]
+    finally:
+        if pool is not None:
+            pool.shutdown()
+    return c
 
 
 def save_centroids(centroids: np.ndarray, path: str) -> str:
@@ -174,17 +306,4 @@ def kmeans_fit_sample(
         emb, sample_n, id_col=id_col, cols=(vec_col,), n_rows=n_rows
     )
     x = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
-    kk = min(k, len(x))
-    c = x[:kk].copy()
-    for _ in range(n_iter):
-        d = (
-            (x * x).sum(1)[:, None]
-            + (c * c).sum(1)[None, :]
-            - 2.0 * (x @ c.T)
-        )
-        a = d.argmin(1)
-        for j in range(kk):
-            sel = a == j
-            if sel.any():
-                c[j] = x[sel].mean(0)
-    return c
+    return lloyd_local(x, k, n_iter)
