@@ -74,10 +74,39 @@ def test_auto_grid_uses_supplied_counts_without_scanning():
     from zvdb_spark.operators.knn import _auto_grid
 
     n_shards, n_blocks = _auto_grid(
-        None, None, None, None, n_corpus=5000, n_probes=100
+        None, None, None, None, n_corpus=5000, n_probes=100,
+        parallelism=32,
     )
-    assert n_shards == 3  # ceil(5000/2048)
-    assert n_blocks == 1
+    assert n_blocks == 1  # small probe side: corpus crosses ONCE
+    assert n_shards == 5  # ceil(5000/_MIN_CELL_ROWS)
+
+
+def test_auto_grid_minimizes_replication():
+    """The grid splits the BIG side and replicates the small one:
+    shuffle volume is C x B + Q x P rows, so B grows with sqrt(Q/C).
+    The round-4 fixed-cell sizing replicated the 1M-row corpus 5x at
+    the bench's 1M x 10k shape; the new grid must keep B = 1 there."""
+    from zvdb_spark.operators.knn import _auto_grid
+
+    # 1M corpus, 10k probes, 32 cores: one probe block, corpus
+    # shuffled once, shards = task budget (4x cores)
+    p, b = _auto_grid(None, None, None, None,
+                      n_corpus=1_000_000, n_probes=10_000, parallelism=32)
+    assert b == 1
+    assert p == 128
+    # symmetric shape splits both sides
+    p, b = _auto_grid(None, None, None, None,
+                      n_corpus=100_000, n_probes=100_000, parallelism=32)
+    assert b > 1 and p > 1
+    assert abs(p - b) <= max(p, b)  # both sides split, neither huge
+    # giant corpora hit the grid cap (per-task memory stays bounded
+    # by the chunked in-cell GEMM, not by making more cells)
+    p, b = _auto_grid(None, None, None, None,
+                      n_corpus=50_000_000, n_probes=1_000, parallelism=32)
+    assert b == 1
+    assert p == 256
+    # explicit values are always respected verbatim
+    assert _auto_grid(None, None, 7, 3, n_corpus=10, n_probes=10) == (7, 3)
 
 
 def test_unit_vector_cosine_bridge(spark, sf_dir):

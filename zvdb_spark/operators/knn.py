@@ -177,14 +177,31 @@ def _replicated_cogroup(
         (F.crc32(F.col(corpus_id).cast("string")) % n_shards).cast("int").alias(
             "pid"
         ),
-    ).withColumn("bid", F.explode(F.array(*[F.lit(b) for b in range(n_blocks)])))
+    )
+    # replicate a side ONLY when it is actually split more than one
+    # way: with one probe block the corpus crosses the exchange
+    # exactly once (the round-13 grid change — the old fixed-size
+    # cells replicated the CORPUS B times; at the 1M x 10k bench
+    # shape that was 5 corpus copies through the shuffle)
+    if n_blocks > 1:
+        c = c.withColumn(
+            "bid", F.explode(F.array(*[F.lit(b) for b in range(n_blocks)]))
+        )
+    else:
+        c = c.withColumn("bid", F.lit(0))
     q = probes.select(
         F.col(query_id).cast("long").alias("query_id"),
         F.col(query_vec).alias("qemb"),
         (F.crc32(F.col(query_id).cast("string")) % n_blocks).cast("int").alias(
             "bid"
         ),
-    ).withColumn("pid", F.explode(F.array(*[F.lit(p) for p in range(n_shards)])))
+    )
+    if n_shards > 1:
+        q = q.withColumn(
+            "pid", F.explode(F.array(*[F.lit(p) for p in range(n_shards)]))
+        )
+    else:
+        q = q.withColumn("pid", F.lit(0))
     # explicit pre-partitioning on the cogroup keys: the cogroup's own
     # shuffle would be AQE-coalesced by byte size, collapsing the
     # B x P GEMM grid into a few tasks; a fixed partition count is
@@ -202,31 +219,62 @@ def _replicated_cogroup(
 
 _PAIR_SCHEMA = "query_id long, neighbor_id long, score double"
 
-# Target rows per probe block / corpus shard: cells around
-# 2048 x 2048 keep each GEMM big enough to amortize the Arrow+Python
-# task overhead while bounding task memory; the grid then grows
-# linearly with data size (more cells = more parallelism at scale,
-# fewer cells = less overhead at test scale).
-_TARGET_CELL_ROWS = 2048
+# Grid bounds. Shuffle volume is |corpus| x B + |probes| x P rows, so
+# the grid is chosen to MINIMIZE total replicated rows subject to a
+# scale-adaptive task count (see _auto_grid) — the round-4 fixed
+# 2048-row cells made B grow with the probe count and replicated the
+# corpus B times through the exchange. Per-task memory no longer
+# bounds the cell size: the in-cell GEMM is query-chunked
+# (_CELL_CHUNK_ELEMS caps the distance-matrix working set), so cells
+# only need the row caps below (matrix bytes per task).
 _MAX_GRID = 256
+_MIN_CELL_ROWS = 1024     # don't make tasks smaller than this
+_MAX_SIDE_ROWS = 65536    # per-task matrix bound (64 MB at 128-d f64)
+_CELL_CHUNK_ELEMS = 1 << 24  # distance-matrix elements (128 MB f64)
 
 
 def _auto_grid(corpus: DataFrame, probes: DataFrame,
                n_shards: int | None, n_blocks: int | None,
                n_corpus: int | None = None,
-               n_probes: int | None = None) -> tuple[int, int]:
+               n_probes: int | None = None,
+               parallelism: int | None = None) -> tuple[int, int]:
     """Pick the (shards x blocks) GEMM grid from row counts. Callers
     that know their cardinalities (e.g. from parquet footer metadata,
     sources/tables.py:table_row_count) pass them via
     ``n_corpus``/``n_probes`` — the ``count()`` fallback costs two
     extra Spark jobs per call, which at 100 TB means two extra full
-    scans before any real work."""
-    if n_shards is None:
-        rows = n_corpus if n_corpus is not None else corpus.count()
-        n_shards = min(_MAX_GRID, max(1, -(-rows // _TARGET_CELL_ROWS)))
+    scans before any real work.
+
+    Sizing: shuffle volume is C x B + Q x P rows, so for a task
+    budget T = 4 x parallelism (scale-adaptive: more cores = more
+    cells) the replication-minimizing split under B*P ~= T is
+    B = sqrt(T*Q/C), P = sqrt(T*C/Q) — the side with more rows gets
+    more splits and the smaller side pays the replication. Both are
+    clamped so no task is smaller than _MIN_CELL_ROWS (overhead) or
+    holds more than _MAX_SIDE_ROWS of either matrix (memory; the
+    distance matrix itself is chunk-bounded independently)."""
+    import math
+    import os
+
+    if n_shards is not None and n_blocks is not None:
+        return n_shards, n_blocks
+    if parallelism is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        parallelism = int(env) if env else (os.cpu_count() or 8)
+    rows_c = n_corpus if n_corpus is not None else corpus.count()
+    rows_q = n_probes if n_probes is not None else probes.count()
+    rows_c, rows_q = max(int(rows_c), 1), max(int(rows_q), 1)
+    t = 4 * max(int(parallelism), 1)
+
+    def _clamp(v: int, rows: int) -> int:
+        v = max(1, min(v, _MAX_GRID, -(-rows // _MIN_CELL_ROWS)))
+        return max(v, min(_MAX_GRID, -(-rows // _MAX_SIDE_ROWS)))
+
     if n_blocks is None:
-        rows = n_probes if n_probes is not None else probes.count()
-        n_blocks = min(_MAX_GRID, max(1, -(-rows // _TARGET_CELL_ROWS)))
+        b0 = int(round(math.sqrt(t * rows_q / rows_c))) or 1
+        n_blocks = _clamp(b0, rows_q)
+    if n_shards is None:
+        n_shards = _clamp(-(-t // n_blocks), rows_c)
     return n_shards, n_blocks
 
 
@@ -254,7 +302,8 @@ def exact_search_blocked(
     import pandas as pd
 
     n_shards, n_blocks = _auto_grid(
-        corpus, probes, n_shards, n_blocks, n_corpus, n_probes
+        corpus, probes, n_shards, n_blocks, n_corpus, n_probes,
+        parallelism=corpus.sparkSession.sparkContext.defaultParallelism,
     )
     asc = metric == "l2_sq"
 
@@ -271,15 +320,25 @@ def exact_search_blocked(
         mat = np.ascontiguousarray(
             np.stack(cpdf["emb"].to_numpy()).astype(np.float64)
         )
-        d = _pair_scores(qarr, mat, metric)
         kk = min(k, mat.shape[0])
-        rank_d = d if asc else -d
-        part = _topk_by_dist_id(rank_d, ids, kk)
+        # query-chunked scoring bounds the distance matrix to
+        # _CELL_CHUNK_ELEMS no matter how big the cell is (cells got
+        # ~30x bigger in the round-13 grid; per-row results are
+        # independent, so chunking changes nothing but peak memory)
+        qchunk = max(256, _CELL_CHUNK_ELEMS // max(mat.shape[0], 1))
+        out_q, out_n, out_s = [], [], []
+        for lo in range(0, len(qarr), qchunk):
+            d = _pair_scores(qarr[lo : lo + qchunk], mat, metric)
+            rank_d = d if asc else -d
+            part = _topk_by_dist_id(rank_d, ids, kk)
+            out_q.append(np.repeat(qids[lo : lo + qchunk], kk))
+            out_n.append(ids[part.ravel()])
+            out_s.append(np.take_along_axis(d, part, axis=1).ravel())
         return pd.DataFrame(
             {
-                "query_id": np.repeat(qids, kk),
-                "neighbor_id": ids[part.ravel()],
-                "score": np.take_along_axis(d, part, axis=1).ravel(),
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "score": np.concatenate(out_s),
             }
         )
 
@@ -321,7 +380,8 @@ def threshold_join_blocked(
     import pandas as pd
 
     n_shards, n_blocks = _auto_grid(
-        corpus, probes, n_shards, n_blocks, n_corpus, n_probes
+        corpus, probes, n_shards, n_blocks, n_corpus, n_probes,
+        parallelism=corpus.sparkSession.sparkContext.defaultParallelism,
     )
 
     def _cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
@@ -337,13 +397,24 @@ def threshold_join_blocked(
         mat = np.ascontiguousarray(
             np.stack(cpdf["emb"].to_numpy()).astype(np.float64)
         )
-        score = _pair_scores(qarr, mat, metric)
-        mask = score < tau if metric == "l2_sq" else score >= tau
-        if upper_only:
-            mask &= ids[None, :] > qids[:, None]
-        r, c = np.nonzero(mask)
+        qchunk = max(256, _CELL_CHUNK_ELEMS // max(mat.shape[0], 1))
+        out_q, out_n, out_s = [], [], []
+        for lo in range(0, len(qarr), qchunk):
+            qi = qids[lo : lo + qchunk]
+            score = _pair_scores(qarr[lo : lo + qchunk], mat, metric)
+            mask = score < tau if metric == "l2_sq" else score >= tau
+            if upper_only:
+                mask &= ids[None, :] > qi[:, None]
+            r, c = np.nonzero(mask)
+            out_q.append(qi[r])
+            out_n.append(ids[c])
+            out_s.append(score[r, c])
         return pd.DataFrame(
-            {"query_id": qids[r], "neighbor_id": ids[c], "score": score[r, c]}
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "score": np.concatenate(out_s),
+            }
         )
 
     return _replicated_cogroup(
