@@ -89,11 +89,12 @@ def test_auto_grid_minimizes_replication():
     from zvdb_spark.operators.knn import _auto_grid
 
     # 1M corpus, 10k probes, 32 cores: one probe block, corpus
-    # shuffled once, shards = task budget (4x cores)
+    # shuffled once, shards sized to ~4096-row cells (the measured
+    # straggler-robust task granularity)
     p, b = _auto_grid(None, None, None, None,
                       n_corpus=1_000_000, n_probes=10_000, parallelism=32)
     assert b == 1
-    assert p == 128
+    assert p == 245  # ceil(1M / _TARGET_CELL_ROWS)
     # symmetric shape splits both sides
     p, b = _auto_grid(None, None, None, None,
                       n_corpus=100_000, n_probes=100_000, parallelism=32)

@@ -219,17 +219,22 @@ def _replicated_cogroup(
 
 _PAIR_SCHEMA = "query_id long, neighbor_id long, score double"
 
-# Grid bounds. Shuffle volume is |corpus| x B + |probes| x P rows, so
-# the grid is chosen to MINIMIZE total replicated rows subject to a
-# scale-adaptive task count (see _auto_grid) — the round-4 fixed
-# 2048-row cells made B grow with the probe count and replicated the
-# corpus B times through the exchange. Per-task memory no longer
-# bounds the cell size: the in-cell GEMM is query-chunked
-# (_CELL_CHUNK_ELEMS caps the distance-matrix working set), so cells
-# only need the row caps below (matrix bytes per task).
+# Grid bounds. Shuffle volume is |corpus| x B + |probes| x P rows:
+# the probe-block count B is chosen to MINIMIZE total replicated rows
+# (the round-4 fixed 2048-row cells made B grow with the probe count
+# and replicated the corpus B times through the exchange — 5 corpus
+# copies at the 1M x 10k bench shape), while the corpus-shard count P
+# keeps cells near _TARGET_CELL_ROWS. Fine corpus granularity is a
+# MEASURED choice, not a memory one (the in-cell GEMM is query-
+# chunked, _CELL_CHUNK_ELEMS): an interleaved 1M x 2k sweep on this
+# host put 3906- and 5208-row cells at 6-11 s wall but 7812- and
+# 10416-row cells at 36-61 s — bigger tasks lose to stragglers under
+# fluctuating CPU, and at 100 TB the same granularity bounds the
+# blast radius of one slow executor.
 _MAX_GRID = 256
-_MIN_CELL_ROWS = 1024     # don't make tasks smaller than this
-_MAX_SIDE_ROWS = 65536    # per-task matrix bound (64 MB at 128-d f64)
+_MIN_CELL_ROWS = 1024      # don't make tasks smaller than this
+_TARGET_CELL_ROWS = 4096   # measured straggler-robust cell size
+_MAX_SIDE_ROWS = 65536     # per-task matrix bound (64 MB at 128-d f64)
 _CELL_CHUNK_ELEMS = 1 << 24  # distance-matrix elements (128 MB f64)
 
 
@@ -245,14 +250,17 @@ def _auto_grid(corpus: DataFrame, probes: DataFrame,
     extra Spark jobs per call, which at 100 TB means two extra full
     scans before any real work.
 
-    Sizing: shuffle volume is C x B + Q x P rows, so for a task
-    budget T = 4 x parallelism (scale-adaptive: more cores = more
-    cells) the replication-minimizing split under B*P ~= T is
-    B = sqrt(T*Q/C), P = sqrt(T*C/Q) — the side with more rows gets
-    more splits and the smaller side pays the replication. Both are
-    clamped so no task is smaller than _MIN_CELL_ROWS (overhead) or
-    holds more than _MAX_SIDE_ROWS of either matrix (memory; the
-    distance matrix itself is chunk-bounded independently)."""
+    Sizing: shuffle volume is C x B + Q x P rows. The block count is
+    the replication-minimizing split under a task budget
+    T = 4 x parallelism (B ~ sqrt(T*Q/C)): B stays 1 whenever the
+    probe side is much smaller than the corpus, so the corpus crosses
+    the exchange exactly once. The shard count then targets
+    _TARGET_CELL_ROWS-row cells (measured straggler-robust task
+    granularity — see the constants' comment), floored at T/B so a
+    small corpus still fills the cluster. Both are clamped so no task
+    is smaller than _MIN_CELL_ROWS (overhead) or holds more than
+    _MAX_SIDE_ROWS of either matrix (memory; the distance matrix
+    itself is chunk-bounded independently)."""
     import math
     import os
 
@@ -274,7 +282,8 @@ def _auto_grid(corpus: DataFrame, probes: DataFrame,
         b0 = int(round(math.sqrt(t * rows_q / rows_c))) or 1
         n_blocks = _clamp(b0, rows_q)
     if n_shards is None:
-        n_shards = _clamp(-(-t // n_blocks), rows_c)
+        p0 = max(-(-rows_c // _TARGET_CELL_ROWS), -(-t // n_blocks))
+        n_shards = _clamp(p0, rows_c)
     return n_shards, n_blocks
 
 
