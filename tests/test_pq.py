@@ -375,7 +375,7 @@ def test_hash_sample_huge_sparse_ids(spark):
     again = hash_sample(
         df.repartition(13), 100, id_col="vec_id", cols=("v",), n_rows=2000
     )
-    assert [r.vec_id for r in rows] == [r.vec_id for r in again]
+    assert rows["vec_id"].tolist() == again["vec_id"].tolist()
 
 
 def test_hash_sample_widening_fallback_stays_bounded(spark):
@@ -393,7 +393,7 @@ def test_hash_sample_widening_fallback_stays_bounded(spark):
     assert len(rows) == 500
     # same sample as the honest-n_rows call (threshold only filters)
     exact = hash_sample(df, 500, id_col="vec_id", cols=("v",), n_rows=2000)
-    assert [r.vec_id for r in rows] == [r.vec_id for r in exact]
+    assert rows["vec_id"].tolist() == exact["vec_id"].tolist()
 
 
 def test_ivf_layout_partition_pruning(spark, emb, tmp_path):

@@ -63,19 +63,28 @@ def assign_local(
     x = np.ascontiguousarray(x, dtype=np.float64)
     cm = np.ascontiguousarray(c, dtype=np.float64)
     n = len(x)
-    cn = (cm * cm).sum(1)
+    cn_half = (cm * cm).sum(1) * 0.5
     a = np.empty(n, dtype=np.int64)
     md = np.empty(n, dtype=np.float64)
     chunks = [(lo, min(lo + _LLOYD_CHUNK, n)) for lo in range(0, n, _LLOYD_CHUNK)]
 
     def _one(span):
+        # argmin(cn - 2g) == argmax(g - cn/2), PROVABLY bit-identical
+        # (incl. first-of-ties): x2 and /2 are exact in binary FP and
+        # fl(a-b) = -fl(b-a), so both orderings compare the same
+        # fl(2g - cn) values. The in-place form removes two full
+        # (chunk x k) temporaries per chunk — the assignment step is
+        # memory-traffic-bound, not FLOP-bound, at k >= 2500.
         lo, hi = span
         xc = x[lo:hi]
-        d = cn[None, :] - 2.0 * (xc @ cm.T)
-        idx = d.argmin(1)
+        g = xc @ cm.T
+        g -= cn_half[None, :]
+        idx = g.argmax(1)
         a[lo:hi] = idx
+        # -2 * fl(g - cn/2) == fl(cn - 2g) exactly (scaling by -2 is
+        # exact), so md matches the old d[range, idx] + ||x||^2 bitwise
         md[lo:hi] = (
-            d[np.arange(hi - lo), idx] + (xc * xc).sum(1)
+            -2.0 * g[np.arange(hi - lo), idx] + (xc * xc).sum(1)
         )
 
     n_threads = n_threads or _lloyd_threads()
@@ -131,20 +140,25 @@ def lloyd_local(
     chunks = [(lo, min(lo + _LLOYD_CHUNK, n)) for lo in range(0, n, _LLOYD_CHUNK)]
     a = np.empty(n, dtype=np.int64)
 
-    def _assign(span, cmat, cn):
+    def _assign(span, cmat, cn_half):
+        # argmax(g - cn/2) == argmin(cn - 2g) bit-exactly (see
+        # assign_local); in-place, so the memory-bound assignment
+        # writes one (chunk x k) block instead of three
         lo, hi = span
         xc = x[lo:hi]
-        a[lo:hi] = (cn[None, :] - 2.0 * (xc @ cmat.T)).argmin(1)
+        g = xc @ cmat.T
+        g -= cn_half[None, :]
+        a[lo:hi] = g.argmax(1)
 
     pool = ThreadPoolExecutor(max_workers=n_threads) if n_threads > 1 else None
     try:
         for _ in range(n_iter):
-            cn = (c * c).sum(1)
+            cn_half = (c * c).sum(1) * 0.5
             if pool is not None and len(chunks) > 1:
-                list(pool.map(lambda s: _assign(s, c, cn), chunks))
+                list(pool.map(lambda s: _assign(s, c, cn_half), chunks))
             else:
                 for s in chunks:
-                    _assign(s, c, cn)
+                    _assign(s, c, cn_half)
             order = np.argsort(a, kind="stable")
             asort = a[order]
             # one reduceat segment per OCCUPIED cluster (unique's
@@ -300,10 +314,9 @@ def kmeans_fit_sample(
     seeded; pass ``n_rows`` when known so the collect stays bounded).
     Returns (k, dim) float64.
     """
-    from zvdb_spark.operators.pq import hash_sample
+    from zvdb_spark.operators.pq import hash_sample, sample_matrix
 
     sample = hash_sample(
         emb, sample_n, id_col=id_col, cols=(vec_col,), n_rows=n_rows
     )
-    x = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
-    return lloyd_local(x, k, n_iter)
+    return lloyd_local(sample_matrix(sample, vec_col), k, n_iter)
