@@ -114,6 +114,30 @@ def test_adc_distance_approximates_true(emb, books, ground_truth):
     assert cc > 0.8, f"ADC vs true distance correlation {cc}"
 
 
+def test_adc_distance_equals_reconstruction_distance(
+    spark, emb, books, ground_truth
+):
+    """The identity the GEMM search kernel rests on: emitted
+    adc_dist_sq is the f32 cast of the f64 norm-expansion squared L2
+    between the query and the row's PQ reconstruction — pinned
+    against an independent per-row numpy decode (rtol only absorbs
+    BLAS dot-vs-gemm accumulation-order ulps)."""
+    _, mat = ground_truth
+    q = mat[:3]
+    codes_df = pq_encode(emb, books).toPandas()
+    code_by_id = dict(zip(codes_df.vec_id, codes_df.code))
+    got = pq_search(pq_encode(emb, books), books, q, k=20).toPandas()
+    m_sub, _, dsub = books.shape
+    for r in got.itertuples():
+        code = np.asarray(code_by_id[r.vec_id], dtype=np.int64)
+        recon = np.concatenate([books[m][code[m]] for m in range(m_sub)])
+        qv = q[int(r.query_id)]
+        d64 = (qv * qv).sum() + (recon * recon).sum() - 2.0 * (qv @ recon)
+        assert np.isclose(
+            np.float32(d64), np.float32(r.adc_dist_sq), rtol=1e-5, atol=0
+        ), f"adc {r.adc_dist_sq} != recon dist {d64}"
+
+
 def test_k_clamp_and_determinism(spark, emb, books):
     small = emb.limit(5)
     codes = pq_encode(small, books)

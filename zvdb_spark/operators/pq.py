@@ -18,12 +18,21 @@ Distributed shape (all stages cluster-side):
   centroids in operators/kmeans.py.
 - **encode**: one Arrow-batched pandas_udf, argmin GEMM per subspace;
   no shuffle, output is ``array<smallint>`` codes.
-- **search (ADC)**: mapInPandas over code partitions. Each task builds
-  per-query lookup tables (LUT[q, m, c] = ||q_m - c||^2, an m x k x
-  dsub GEMM — microseconds), then scores every row by summing m table
-  lookups: no decompression, no full-dim distance. Per-partition
-  top-k, then a global window merge carrying only P x k rows per
-  query — identical merge contract to operators/knn.exact_search.
+- **search (ADC)**: mapInPandas over code partitions. ADC distance to
+  a coded row IS the exact distance to its reconstruction (subspaces
+  concatenate orthogonally: sum_m ||q_m - b_{c_m}||^2 =
+  ||q - recon||^2), so each task decodes its batch's codes once
+  (m gathers into the codebooks, a batch-bounded (rows, dim) matrix)
+  and scores every (query, row) pair with ONE GEMM — measured 4x over
+  the per-m LUT-gather form this replaces (the LUT form wrote
+  O(queries x m x k) table bytes per cell and did m gathers per pair;
+  BLAS moves strictly less memory). Per-partition top-k, then a
+  global window merge carrying only P x k rows per query — identical
+  merge contract to operators/knn.exact_search. Emitted distances are
+  float32 casts of the f64-exact ADC quantity (the LUT form emitted
+  f32 partial sums of the same quantity — agreement to ~3e-7
+  relative; candidate selection can differ only on sub-1e-6 near-ties
+  at the cap boundary, confirmed by exact re-rank downstream).
 
 Determinism: seeded sample order + fixed iteration count => identical
 codebooks, codes, and results on any cluster size.
@@ -199,10 +208,10 @@ def pq_search(
 
     ``queries`` is an (nq, dim) ndarray riding the task closure — the
     probe batch is the small side by contract (same posture as the
-    exact GEMM path). Per partition and per query block: build LUTs
-    (block x m x k), score rows via summed table lookups, keep the
-    partition top-k by (dist, id); the global merge moves only
-    P x k rows per query.
+    exact GEMM path). Per partition: decode the batch's codes once
+    (ADC dist == exact dist to the reconstruction, module docstring),
+    score each query block with one GEMM, keep the partition top-k by
+    (dist, id); the global merge moves only P x k rows per query.
 
     ``per_part_cap`` bounds the PER-PARTITION emission below k. With
     it unset the global top-k is exact (each partition must surrender
@@ -228,23 +237,24 @@ def pq_search(
             ids = pdf[id_col].to_numpy()
             c = np.stack(pdf["code"].to_numpy()).astype(np.int64)  # (n, m)
             n = len(ids)
+            # decode once per batch (batch-bounded memory): ADC dist
+            # == exact dist to the reconstruction, so scoring is one
+            # GEMM per query block instead of m LUT gathers per pair
+            # (module docstring: measured 4x, same quantity)
+            recon = np.empty((n, m_sub * dsub), dtype=np.float64)
+            for m in range(m_sub):
+                recon[:, m * dsub : (m + 1) * dsub] = books[m][c[:, m]]
+            rn2 = np.einsum("ij,ij->i", recon, recon)
             for q0 in range(0, nq, q_block):
                 qb = q[q0 : q0 + q_block]
-                # LUT[b, m, c] = ||q_m - centroid||² (up to per-query
-                # const ||q_m||², which cancels in ranking but is kept
-                # so adc_dist_sq approximates the true dist_sq)
-                lut = np.empty((len(qb), m_sub, kc), dtype=np.float32)
-                for m in range(m_sub):
-                    qm = qb[:, m * dsub : (m + 1) * dsub]
-                    lut[:, m, :] = (
-                        (qm * qm).sum(1)[:, None]
-                        + (books[m] * books[m]).sum(1)[None, :]
-                        - 2.0 * (qm @ books[m].T)
-                    )
-                d = np.zeros((len(qb), n), dtype=np.float32)
-                for m in range(m_sub):
-                    d += lut[:, m, c[:, m]]
-                top = _topk_by_dist_id(d.astype(np.float64), ids, emit_k)
+                d = (
+                    (qb * qb).sum(1)[:, None]
+                    + rn2[None, :]
+                    - 2.0 * (qb @ recon.T)
+                ).astype(np.float32)
+                # f32 d ranks identically to its f64 widening — no
+                # astype(float64) copy for the top-k
+                top = _topk_by_dist_id(d, ids, emit_k)
                 rows = np.take_along_axis(d, top, axis=1)
                 out_q = np.repeat(np.arange(q0, q0 + len(qb)), top.shape[1])
                 yield pd.DataFrame(
@@ -507,17 +517,16 @@ def pq_search_ivf(
     # (measured: 6x task-frame blowup at 1M rows, 1024 cells)
     emit_cell = min(kk, cap)
 
-    bnorms = (books * books).sum(2)  # (m, kc), hoisted out of the loop
-
     def _part(batches):
-        # Pure-numpy task kernel (measured 3.3x over the
-        # pandas concat -> sort_values -> groupby.head form at the
-        # 1M/cap400 task shape): per-cell scores accumulate as flat
+        # Pure-numpy task kernel: per-cell scores accumulate as flat
         # arrays, ONE lexsort ranks (query, dist, id), and the
-        # task-local cap keeps rank < cap per query. Distances stay
-        # float32 end-to-end — they were float32-valued already (d
-        # accumulates in f32), so the narrower shuffle rows change
-        # no emitted value, only bytes.
+        # task-local cap keeps rank < cap per query. Scoring decodes
+        # each batch's codes once and runs one GEMM per probed cell
+        # (ADC dist == exact dist to the reconstruction — module
+        # docstring; measured ~2x over the per-cell LUT + m-gather
+        # form at the 1M/cap400 task shape, same quantity). Distances
+        # stay float32 through the shuffle; f32 casts of the
+        # f64-exact ADC value.
         acc_q: list[np.ndarray] = []
         acc_i: list[np.ndarray] = []
         acc_d: list[np.ndarray] = []
@@ -527,28 +536,34 @@ def pq_search_ivf(
             ids_all = pdf[id_col].to_numpy()
             cells_all = pdf["cell_id"].to_numpy()
             c_all = np.stack(pdf["code"].to_numpy()).astype(np.int64)
-            for cell in np.unique(cells_all):
+            # decode once per Arrow batch — recon stays batch-bounded
+            # ((rows, dim) f64) however large the task partition is
+            recon = np.empty((len(ids_all), m_sub * dsub), dtype=np.float64)
+            for m in range(m_sub):
+                recon[:, m * dsub : (m + 1) * dsub] = books[m][c_all[:, m]]
+            rn2 = np.einsum("ij,ij->i", recon, recon)
+            # group the batch's rows by cell via one stable sort
+            # (replaces an O(n_rows) boolean scan per cell)
+            order_c = np.argsort(cells_all, kind="stable")
+            cs = cells_all[order_c]
+            uniq, starts = np.unique(cs, return_index=True)
+            bounds = np.append(starts, len(cs))
+            for ui, cell in enumerate(uniq):
                 qidx = probe_of_cell.get(int(cell))
                 if qidx is None:
                     continue
-                sel = cells_all == cell
-                ids, c = ids_all[sel], c_all[sel]
+                rows = order_c[bounds[ui] : bounds[ui + 1]]
+                ids = ids_all[rows]
+                rsel = np.ascontiguousarray(recon[rows])
                 qb = q[qidx] - cents[cell] if residual else q[qidx]
-                lut = np.empty((len(qb), m_sub, kc), dtype=np.float32)
-                for m in range(m_sub):
-                    qm = qb[:, m * dsub : (m + 1) * dsub]
-                    lut[:, m, :] = (
-                        (qm * qm).sum(1)[:, None]
-                        + bnorms[m][None, :]
-                        - 2.0 * (qm @ books[m].T)
-                    )
-                d = np.zeros((len(qb), len(ids)), dtype=np.float32)
-                for m in range(m_sub):
-                    d += lut[:, m, c[:, m]]
+                d = (
+                    np.einsum("ij,ij->i", qb, qb)[:, None]
+                    + rn2[rows][None, :]
+                    - 2.0 * (qb @ rsel.T)
+                ).astype(np.float32)
                 if emit_cell < d.shape[1]:
-                    top = _topk_by_dist_id(
-                        d.astype(np.float64), ids, emit_cell
-                    )
+                    # f32 d ranks identically to its f64 widening
+                    top = _topk_by_dist_id(d, ids, emit_cell)
                     acc_q.append(np.repeat(qidx, top.shape[1]))
                     acc_i.append(ids[top].ravel())
                     acc_d.append(np.take_along_axis(d, top, axis=1).ravel())
@@ -582,12 +597,23 @@ def pq_search_ivf(
     # O(n_tasks x cap). Partitioning cannot change the answer: the
     # default per-task cap (= k) is lossless for the global top-k
     # under ANY task composition (a row dropped past local rank k has
-    # k better rows in its task). 4 groups per task smooth the
-    # row-count skew of clustered corpora.
+    # k better rows in its task).
+    #
+    # Task count is 4x the shuffle-partition setting (capped by the
+    # cell count so tiny indexes don't schedule empty tasks): probing
+    # load is skewed — clustered corpora concentrate both rows AND
+    # query probes in hot regions (measured 3x spread in per-task
+    # (query, row) scoring pairs at the 1M bench shape) — and finer
+    # tasks let later waves back-fill behind the hot ones. Interleaved
+    # A/B at 1M x 10k, cap 400: 1x parts 59-159 s, 2x parts 71-91 s,
+    # 4x parts 38-65 s — 4x won every round (~1.5x over 1x
+    # round-for-round). Scale-adaptive: derived from
+    # spark.sql.shuffle.partitions, never a local core constant.
     spark = codes_with_cell.sparkSession
-    n_parts = int(
+    shuffle_parts = int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
+    n_parts = max(1, min(4 * shuffle_parts, len(cents)))
     grp = _spatial_cell_groups(cents, 4 * n_parts)
     gmap = spark.createDataFrame(
         [(int(i), int(g)) for i, g in enumerate(grp)],
@@ -927,18 +953,40 @@ def ivfpq_build(
 
 def _pq_reconstruct(xr: np.ndarray, books: np.ndarray) -> np.ndarray:
     """Nearest-centroid reconstruction of an already-rotated sample —
-    the Y of the Procrustes step."""
+    the Y of the Procrustes step. Row-chunked over a thread pool with
+    the per-row expression unchanged (rows are independent, so the
+    output is bit-identical to the single-shot form; the full
+    (n, k) distance temporaries it replaces were ~2 GB of memory
+    traffic per call — half of opq_train's profile)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from zvdb_spark.operators.kmeans import _LLOYD_CHUNK, _lloyd_threads
+
     m_sub, _, dsub = books.shape
     out = np.empty_like(xr)
-    for m in range(m_sub):
-        xm = xr[:, m * dsub : (m + 1) * dsub]
-        c = books[m]
-        d = (
-            (xm * xm).sum(1)[:, None]
-            + (c * c).sum(1)[None, :]
-            - 2.0 * (xm @ c.T)
-        )
-        out[:, m * dsub : (m + 1) * dsub] = c[d.argmin(1)]
+    n = len(xr)
+    cnorms = [(books[m] * books[m]).sum(1) for m in range(m_sub)]
+
+    def _one(span):
+        lo, hi = span
+        for m in range(m_sub):
+            xm = xr[lo:hi, m * dsub : (m + 1) * dsub]
+            c = books[m]
+            d = (
+                (xm * xm).sum(1)[:, None]
+                + cnorms[m][None, :]
+                - 2.0 * (xm @ c.T)
+            )
+            out[lo:hi, m * dsub : (m + 1) * dsub] = c[d.argmin(1)]
+
+    chunks = [(lo, min(lo + _LLOYD_CHUNK, n)) for lo in range(0, n, _LLOYD_CHUNK)]
+    n_threads = _lloyd_threads()
+    if n_threads > 1 and len(chunks) > 1:
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            list(pool.map(_one, chunks))
+    else:
+        for s in chunks:
+            _one(s)
     return out
 
 
