@@ -76,14 +76,24 @@ GRID_N = int(os.environ.get("SPARK_GRAFT_BENCH_GRID_N", "20000"))
 GRID_NQ = int(os.environ.get("SPARK_GRAFT_BENCH_GRID_NQ", "2000"))
 GRID_DIMS = [int(d) for d in os.environ.get(
     "SPARK_GRAFT_BENCH_GRID_DIMS", "128,512,768,1024").split(",")]
+# k endpoints only as of r14 (wall budget): the published claim is
+# the k-scaling bracket; the interior points are one env var away
 GRID_KS = [int(k) for k in os.environ.get(
-    "SPARK_GRAFT_BENCH_GRID_KS", "10,25,50,100").split(",")]
+    "SPARK_GRAFT_BENCH_GRID_KS", "10,100").split(",")]
 # recall-vs-ef sweep (clustered ANN) + search-parallelism ladder
-# (mirrors benchmarks/multi_threaded_benchmarks.zig:8 threads {2,4,8})
+# (mirrors benchmarks/multi_threaded_benchmarks.zig:8 threads {2,4,8}).
+# The ladder default is TWO rungs (8, 32) as of round 14: the 5-rung
+# ladders cost ~360 s of wall (search 299 s + insert 62 s measured
+# solo) while the published claim — qps rises with parallelism — needs
+# only its endpoints, and the r13 driver bench was KILLED at the time
+# limit twice (BENCH_r13 rc 124). The full ladder stays one env var
+# away; the rung definitions and methodology (best-of-3 search /
+# best-of-2 insert per rung) are unchanged, so the shared rungs stay
+# comparable across rounds.
 EF_SWEEP = [int(e) for e in os.environ.get(
     "SPARK_GRAFT_BENCH_EF_SWEEP", "32,64,128,256").split(",")]
 PAR_SWEEP = [int(p) for p in os.environ.get(
-    "SPARK_GRAFT_BENCH_PAR_SWEEP", "2,4,8,16,32").split(",")]
+    "SPARK_GRAFT_BENCH_PAR_SWEEP", "8,32").split(",")]
 
 HEADLINE = [
     "q_knn_exact",
@@ -948,7 +958,20 @@ def main() -> None:
         )
 
         n1 = 10 * BENCH_N
-        nq1 = BENCH_NQ
+        # Round 14 (VERDICT #1 — both r13 driver runs were KILLED at
+        # the wall limit): the timed 1M search points run at a 2k
+        # query batch instead of the full 10k, and ONE interleaved
+        # pass instead of two. The corpus, index parameters, recall
+        # probes and every published RATIO (computed within the one
+        # shared window) are unchanged; per-point seconds shrink ~5x
+        # BY CONSTRUCTION and are not comparable to the r12/r13
+        # samples (kept in bench_r13_before.json / git history —
+        # this run's own wall was the measurement being fixed: the
+        # pre-cut exact point alone cost 166-245 s in degraded
+        # windows, and 2.56 TFLOP of timed GEMM per pass cannot fit
+        # a kill limit this host can't guarantee). The batch size is
+        # annotated in the published block ("nq").
+        nq1 = min(2000, BENCH_NQ)
         nc1 = max(20, n1 // 500)
 
         def _gen1(batches):
@@ -1022,9 +1045,10 @@ def main() -> None:
         # and 7 showed the points drifting against each other when
         # timed minutes apart on this loaded host (lossless cap
         # "lost" to an exact baseline sampled in a different load
-        # window twice). So: TWO INTERLEAVED PASSES — every point
-        # timed back-to-back with the exact baseline, best-of-2 per
-        # point — and the ratios computed within that shared window.
+        # window twice). So: ONE INTERLEAVED PASS (r14 wall budget —
+        # was two) — every point timed back-to-back with the exact
+        # baseline, and the ratios computed within that shared
+        # window.
         # The per-task cap remains the recall/qps KNOB at deep probes
         # and both ends are published (the repo's sweep discipline):
         # cap = R (the lossless pq_search_ivf default) maximizes
@@ -1041,7 +1065,7 @@ def main() -> None:
                 gidx1.search(qdf1, k=BENCH_K, n_queries=nq1)
             ),
         }
-        secs = _interleaved(points)
+        secs = _interleaved(points, passes=1)
         ex_sec = secs["exact"]
         timings["ivfpq_1m_exact_baseline"] = round(ex_sec, 3)
         timings["ivfpq_1m_search_cap64"] = round(secs["cap64"], 3)
@@ -1052,16 +1076,26 @@ def main() -> None:
             cemb1, _qdf(cq[:n_probe]), k=BENCH_K, n_corpus=n1,
             n_probes=n_probe,
         ).toPandas()
+        # sub-k cap recall depends on task composition (pq.py's
+        # per_task_cap docstring), so every cap-sweep point carries
+        # the task count it was measured at — the r13 cap64 recall
+        # moved 0.842 -> 0.807 purely from the 4x granularity change,
+        # and an unannotated point is unreproducible
+        n_tasks_ivf = max(1, min(4 * int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        ), c1))
         result["ivfpq_1m"] = {
             "n": n1,
             "cells": c1,
             "nprobe": npr1,
             "rerank_r": rr1,
             "exact_qps": round(nq1 / ex_sec, 2),
-            "shared_load_window": "2 interleaved passes, best-of-2",
+            "nq": nq1,
+            "shared_load_window": "1 interleaved pass (r14), single-shot",
             "cap_sweep": [
                 {
                     "per_task_cap": cap,
+                    "n_tasks": n_tasks_ivf,
                     "qps": round(nq1 / secs[f"cap{cap}"], 2),
                     "qps_ratio_vs_exact": round(
                         ex_sec / secs[f"cap{cap}"], 3
@@ -1095,7 +1129,8 @@ def main() -> None:
             "qps": round(nq1 / secs["graph"], 2),
             "exact_qps": round(nq1 / ex_sec, 2),
             "qps_ratio_vs_exact": round(ex_sec / secs["graph"], 3),
-            "shared_load_window": "2 interleaved passes, best-of-2",
+            "nq": nq1,
+            "shared_load_window": "1 interleaved pass (r14), single-shot",
             "recall_at_k": round(_recall_of(g_pdf, ex_pdf1, n_probe), 3),
         }
         result["graph_1m_qps_ratio_vs_exact"] = result["graph_1m"][
@@ -1111,7 +1146,9 @@ def main() -> None:
         # rounds.
         from pyspark.sql import functions as F
 
-        nq_f1 = min(1000, nq1)
+        # 500-query batches as of r14 (wall budget; qps/ratios stay
+        # within-window comparable, seconds shrink by construction)
+        nq_f1 = min(500, nq1)
         qdf_f1 = _qdf(cq[:nq_f1])
         qdf_fp = _qdf(cq[:n_probe])
         f1_rows = []
@@ -1191,11 +1228,21 @@ def main() -> None:
         )
         rng = np.random.default_rng(SEED + 12)
         qdf = _qdf(rng.random((nqb, BENCH_DIM)))
-        # auto resolves to min(256, ceil(n1/2048)) — the sweep brackets
-        # it with coarser grids (bigger cells, fewer waves, less Arrow
-        # overhead) so the winner tells us whether the cap binds
-        auto_p = min(256, -(-n1 // 2048))
-        shard_sweep = sorted({64, 128, auto_p})
+        # the ENGINE's auto shard count (knn._auto_grid with counts
+        # supplied — no scan; the hard-coded min(256, ceil(n1/2048))
+        # this replaces had drifted from the r13 4096-row cell target
+        # and sized the "auto" point at 256 when the engine picks
+        # 245), bracketed with ONE coarser grid. Two points x one
+        # interleaved pass as of r14 (wall budget — was 3 x 2): the
+        # published claim is only "the auto grid is at/near the
+        # winner", which its bracket still witnesses.
+        from zvdb_spark.operators.knn import _auto_grid
+
+        auto_p, _ = _auto_grid(
+            None, None, None, 1, n_corpus=n1, n_probes=nqb,
+            parallelism=CPUS,
+        )
+        shard_sweep = sorted({128, auto_p})
 
         def _run(p):
             _noop_write(
@@ -1207,7 +1254,8 @@ def main() -> None:
 
         _run(shard_sweep[0])  # warm: worker pool + corpus page-in
         secs = _interleaved(
-            {f"p{p}": (lambda p=p: _run(p)) for p in shard_sweep}
+            {f"p{p}": (lambda p=p: _run(p)) for p in shard_sweep},
+            passes=1,
         )
         rows = [
             {
@@ -1225,7 +1273,7 @@ def main() -> None:
             "nq": nqb,
             "dim": BENCH_DIM,
             "auto_grid_n_shards": auto_p,
-            "shared_load_window": "2 interleaved passes, best-of-2",
+            "shared_load_window": "1 interleaved pass (r14), single-shot",
             "rows": rows,
             "best_n_shards": best["n_shards"],
         }
@@ -1482,14 +1530,13 @@ def main() -> None:
         full = cemb.unionByName(demb).localCheckpoint(eager=True)
         ridx = GraphIndex(m=16, ef=128, seed=SEED)
         append_sec = rebuild_sec = float("inf")
-        for p in range(2):
-            if p == 0:
-                c = cgidx  # the live index, as on a production append
-            else:
-                c = GraphIndex(m=16, ef=128, seed=SEED).build(
-                    cemb, n_rows=BENCH_N
-                )
-                c.state()
+        # ONE pass as of r14 (wall budget — was two, ~45 s of repeat
+        # builds): append and rebuild still run back-to-back inside
+        # the single shared load window, so the published
+        # rebuild_over_append ratio keeps its one-window discipline;
+        # the per-side numbers are single-shot (disclosed).
+        for p in range(1):
+            c = cgidx  # the live index, as on a production append
             t0 = time.perf_counter()
             c.append(demb)
             c.state()  # searchable-when-done boundary
@@ -2298,7 +2345,37 @@ def main() -> None:
     scalars["metric"] = "bench_total"
     scalars["value"] = total
     scalars["unit"] = "sec"
+    # The FULL result document (every section timing, sweep, grid,
+    # error and probe) prints first — self-contained, and the line
+    # bench_out.json is refreshed from. The driver's stdout capture
+    # keeps only a bounded TAIL (~2000 chars) which this ~10 KB line
+    # overflows — BENCH_r10..r13 all recorded parsed=null — so a
+    # COMPACT final line (~1.4 KB) follows with exactly what the
+    # driver's comparison consumes: per-headline-query best-of
+    # seconds, the reference-comparable scalars, and bench_total.
+    # Both lines describe the SAME run — the compact line is a
+    # projection of the full one, never a different measurement.
     print(json.dumps({**front, **bulky, **scalars}))
+    compact = {"sf": front["sf"],
+               "queries": {n: timings[n] for n in HEADLINE if n in timings}}
+    for key in (
+        "insert_pts_per_s", "search_qps", "ann_search_qps",
+        "search_qps_loaded", "ann_recall_at_k",
+        "baseline_insert_pts_per_s", "baseline_search_qps",
+    ):
+        if key in scalars:
+            compact[key] = scalars[key]
+    compact["n_errors"] = len(errors)
+    compact["metric"] = "bench_total"
+    compact["value"] = total
+    compact["unit"] = "sec"
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # never outgrow the driver's tail capture
+        compact["queries"] = {
+            n: round(s, 1) for n, s in compact["queries"].items()
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     sys.stdout.flush()
     spark.stop()
 

@@ -140,3 +140,43 @@ def test_farthest_point_seeds_cover_merged_clusters(tmp_path):
     assert seed_modes == {False, True}, (
         f"seeds {seeds} cover only one of two separated modes"
     )
+
+
+def test_group_seeds_by_pid_matches_dict_loop():
+    """_route's vectorized seed grouping (round 14) must reproduce the
+    per-row dict loop it replaced byte-for-byte: pid-ascending groups,
+    nearest-cell-first seed order within a pid, per-cell slot order,
+    empty rows and all-padding cells contributing nothing."""
+    from zvdb_spark.operators.graph_ann import _group_seeds_by_pid
+
+    def dict_loop(near, cell_shard, cell_seeds):
+        out = []
+        for row in near:
+            by_pid: dict[int, list[int]] = {}
+            for c in row:
+                sds = [int(s) for s in cell_seeds[c] if s >= 0]
+                if sds:
+                    by_pid.setdefault(int(cell_shard[c]), []).extend(sds)
+            out.append(
+                [{"pid": p, "seeds": s} for p, s in sorted(by_pid.items())]
+            )
+        return out
+
+    rng = np.random.default_rng(0)
+    for trial in range(200):
+        n_cells = int(rng.integers(1, 40))
+        spc = int(rng.integers(1, 6))
+        n_shard = int(rng.integers(1, 8))
+        nq = int(rng.integers(0, 50))
+        ns = int(rng.integers(1, min(n_cells, 12) + 1))
+        cell_shard = rng.integers(0, n_shard, n_cells).astype(np.int32)
+        cell_seeds = rng.integers(-1, 100, (n_cells, spc)).astype(np.int64)
+        cell_seeds[rng.random(n_cells) < 0.2] = -1  # all-padding cells
+        near = (
+            np.stack([rng.choice(n_cells, ns, replace=False)
+                      for _ in range(nq)]).astype(np.int64)
+            if nq else np.empty((0, ns), dtype=np.int64)
+        )
+        assert _group_seeds_by_pid(near, cell_shard, cell_seeds) == (
+            dict_loop(near, cell_shard, cell_seeds)
+        ), f"trial {trial}"

@@ -279,6 +279,47 @@ def _kmeans_local(sample: np.ndarray, k: int, n_iter: int) -> np.ndarray:
     return lloyd_local(sample, k, n_iter)
 
 
+def _group_seeds_by_pid(
+    near: np.ndarray, cell_shard: np.ndarray, cell_seeds: np.ndarray
+) -> list[list[dict]]:
+    """Group each query row's routed cells' seeds by shard id —
+    vectorized (round 14): one stable ``lexsort`` by (row, pid)
+    replaces the per-row Python dict loop. Stability preserves
+    nearest-cell-first order and per-cell slot order within each
+    (row, pid) group, and cells whose seed slots are all padding (-1)
+    contribute nothing, so the output is byte-identical to the dict
+    form it replaces (pinned by
+    test_group_seeds_by_pid_matches_dict_loop; interleaved A/B ~1.3x
+    at the 10k-query x 2500-cell routing shape). ``near`` is
+    (nq, nseed) cell ids nearest-first; ``cell_seeds`` is (C, spc)
+    vec_ids with -1 padding; returns per row a pid-ascending list of
+    {"pid", "seeds"} structs (the _route UDF's element type)."""
+    nq_r, ns = near.shape
+    spc = cell_seeds.shape[1]
+    sel = cell_seeds[near]                          # (nq, ns, spc)
+    msk = (sel >= 0).ravel()
+    rows_f = np.repeat(np.arange(nq_r, dtype=np.int64), ns * spc)[msk]
+    pids_f = np.repeat(cell_shard[near].ravel().astype(np.int64), spc)[msk]
+    seeds_f = sel.ravel()[msk]
+    order_g = np.lexsort((pids_f, rows_f))
+    rows_f, pids_f = rows_f[order_g], pids_f[order_g]
+    seeds_f = seeds_f[order_g]
+    if len(rows_f):
+        brk = np.flatnonzero(
+            (rows_f[1:] != rows_f[:-1]) | (pids_f[1:] != pids_f[:-1])
+        )
+        starts = np.concatenate(([0], brk + 1))
+        ends = np.concatenate((brk + 1, [len(rows_f)]))
+    else:
+        starts = ends = np.empty(0, dtype=np.int64)
+    seeds_l = seeds_f.tolist()
+    rows_l, pids_l = rows_f.tolist(), pids_f.tolist()
+    out: list[list[dict]] = [[] for _ in range(nq_r)]
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        out[rows_l[s]].append({"pid": pids_l[s], "seeds": seeds_l[s:e]})
+    return out
+
+
 def _beam_search_seeded(
     ids: np.ndarray,
     mat: np.ndarray,
@@ -1441,17 +1482,9 @@ class GraphIndex:
             near = np.take_along_axis(near, o1, axis=1)
             o2 = np.argsort(nd, axis=1, kind="stable")
             near = np.take_along_axis(near, o2, axis=1)
-            out = []
-            for row in near:
-                by_pid: dict[int, list[int]] = {}
-                for c in row:
-                    sds = [int(s) for s in cell_seeds[c] if s >= 0]
-                    if sds:
-                        by_pid.setdefault(int(cell_shard[c]), []).extend(sds)
-                out.append(
-                    [{"pid": p, "seeds": s} for p, s in sorted(by_pid.items())]
-                )
-            return pd.Series(out)
+            return pd.Series(
+                _group_seeds_by_pid(near, cell_shard, cell_seeds)
+            )
 
         routed = (
             queries.withColumn("r", F.explode(_route(F.col("qemb"))))

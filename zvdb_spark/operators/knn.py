@@ -237,6 +237,59 @@ _TARGET_CELL_ROWS = 4096   # measured straggler-robust cell size
 _MAX_SIDE_ROWS = 65536     # per-task matrix bound (64 MB at 128-d f64)
 _CELL_CHUNK_ELEMS = 1 << 24  # distance-matrix elements (128 MB f64)
 
+# Broadcast-probe gate (round 14): a probe side at or below this many
+# ROWS (and _BCAST_PROBE_BYTES of float64 payload, checked after the
+# Arrow collect) rides an executor BROADCAST instead of being
+# replicated through the exchange. At the 1M x 10k bench shape the
+# exploded probe side was 245 copies x 10k rows x ~1.1 KB ≈ 2.7 GB of
+# shuffle write+read plus one Arrow decode + np.stack of the full
+# probe batch PER TASK; the same 10 MB probe matrix broadcasts once
+# per executor. Above the gate (e.g. corpus-scale self-joins) the
+# blocked cogroup fan-out below remains THE path — its task memory
+# stays bounded at any probe count, which a broadcast cannot promise.
+_BCAST_PROBE_ROWS = 65536
+_BCAST_PROBE_BYTES = 1 << 27  # 128 MB of f64 probe matrix
+
+
+def _collect_probe_matrix(probes: DataFrame, query_id: str,
+                          query_vec: str):
+    """(ids, matrix) of a SMALL probe side via one Arrow ``toPandas``
+    (guide: Arrow for driver transfers; the driver holds only the
+    gate-bounded probe batch, never corpus rows)."""
+    import numpy as np
+
+    pdf = probes.select(query_id, query_vec).toPandas()
+    qids = pdf[query_id].to_numpy().astype(np.int64, copy=False)
+    if not len(qids):
+        return qids, np.empty((0, 0), dtype=np.float64)
+    qarr = np.ascontiguousarray(
+        np.stack(pdf[query_vec].to_numpy()).astype(np.float64)
+    )
+    return qids, qarr
+
+
+def _bcast_probe_map(corpus: DataFrame, fn, n_shards: int,
+                     corpus_id: str, corpus_vec: str) -> DataFrame:
+    """One hash repartition of the corpus into ``n_shards``
+    near-balanced _TARGET_CELL_ROWS-grained tasks (the measured
+    straggler granularity — see the grid constants; an interleaved
+    probe with the corpus left on its 32 input partitions ran ~2x
+    slower — fat tasks straggle under fluctuating CPU), then ``fn``
+    per task with the probe matrix arriving via broadcast. The corpus
+    still crosses the exchange exactly once (as in the B=1 blocked
+    grid); the probe side now crosses ZERO times. The partition key is
+    a deterministic 64x-oversampled id hash: deterministic = retry-
+    safe (unlike rand()), 64 subkeys per partition = no P-keys-into-
+    P-partitions collision skew, and a HASH exchange skips the local
+    sort every keyless round-robin repartition pays
+    (spark.sql.execution.sortBeforeRepartition)."""
+    c = corpus.select(
+        F.col(corpus_id).cast("long").alias("vec_id"),
+        F.col(corpus_vec).alias("emb"),
+    )
+    key = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(64 * n_shards))
+    return c.repartition(n_shards, key).mapInPandas(fn, _PAIR_SCHEMA)
+
 
 def _auto_grid(corpus: DataFrame, probes: DataFrame,
                n_shards: int | None, n_blocks: int | None,
@@ -306,15 +359,92 @@ def exact_search_blocked(
     (distance, id) tie handling, then a global per-query top-k merge
     carries only B*P*k candidate rows per query block — never the
     corpus. Returns (query_id, neighbor_id, score, rn), rn in 1..k.
+
+    Probe sides at or below _BCAST_PROBE_ROWS take the broadcast-probe
+    path (round 14): the probe matrix is Arrow-collected once and
+    broadcast, the corpus crosses its single exchange as before, and
+    every per-pair distance / per-task top-k / global merge expression
+    is the SAME code — per-task top-k is lossless for the global top-k
+    under any partitioning (a row dropped past local rank k has k
+    better rows in its task), so the selected (query, neighbor, rn)
+    rows are identical to the blocked grid's. Scores carry the
+    standard GEMM-shape caveat every grid change here has had: BLAS
+    summation order varies with matrix shape, so a pair's f64 score
+    can move by ~1e-15 across partitionings (equal VECTORS still tie
+    exactly within a run — identical columns of one GEMM — so the id
+    tie-break is stable). Pinned by the oracled q_knn_batch hash and
+    test_blocked_search_matches_partitioned.
     """
     import numpy as np
     import pandas as pd
 
+    asc = metric == "l2_sq"
+    rows_q = n_probes
+    if rows_q is None and not (n_shards is not None and n_blocks is not None):
+        rows_q = probes.count()  # _auto_grid would have run this count
+    if (
+        rows_q is not None
+        and rows_q <= _BCAST_PROBE_ROWS
+        and n_blocks in (None, 1)
+    ):
+        qids, qarr = _collect_probe_matrix(probes, query_id, query_vec)
+        if qarr.nbytes <= _BCAST_PROBE_BYTES:
+            spark = corpus.sparkSession
+            if not len(qids):
+                return spark.createDataFrame(
+                    [], f"{_PAIR_SCHEMA}, rn int"
+                )
+            n_shards, _ = _auto_grid(
+                corpus, probes, n_shards, 1, n_corpus, len(qids),
+                parallelism=spark.sparkContext.defaultParallelism,
+            )
+            bq = spark.sparkContext.broadcast((qids, qarr))
+
+            def _shard_topk(batches):
+                qi_all, qa = bq.value
+                for cpdf in batches:
+                    if not len(cpdf):
+                        continue
+                    ids = cpdf["vec_id"].to_numpy()
+                    mat = np.ascontiguousarray(
+                        np.stack(cpdf["emb"].to_numpy()).astype(np.float64)
+                    )
+                    kk = min(k, mat.shape[0])
+                    qchunk = max(
+                        256, _CELL_CHUNK_ELEMS // max(mat.shape[0], 1)
+                    )
+                    for lo in range(0, len(qa), qchunk):
+                        d = _pair_scores(qa[lo : lo + qchunk], mat, metric)
+                        rank_d = d if asc else -d
+                        part = _topk_by_dist_id(rank_d, ids, kk)
+                        yield pd.DataFrame(
+                            {
+                                "query_id": np.repeat(
+                                    qi_all[lo : lo + qchunk], kk
+                                ),
+                                "neighbor_id": ids[part.ravel()],
+                                "score": np.take_along_axis(
+                                    d, part, axis=1
+                                ).ravel(),
+                            }
+                        )
+
+            per_cell = _bcast_probe_map(
+                corpus, _shard_topk, n_shards, corpus_id, corpus_vec
+            )
+            ordering = [
+                F.col("score").asc() if asc else F.col("score").desc(),
+                F.col("neighbor_id").asc(),
+            ]
+            w = W.partitionBy("query_id").orderBy(*ordering)
+            return per_cell.withColumn(
+                "rn", F.row_number().over(w)
+            ).filter(F.col("rn") <= k)
+
     n_shards, n_blocks = _auto_grid(
-        corpus, probes, n_shards, n_blocks, n_corpus, n_probes,
+        corpus, probes, n_shards, n_blocks, n_corpus, rows_q,
         parallelism=corpus.sparkSession.sparkContext.defaultParallelism,
     )
-    asc = metric == "l2_sq"
 
     def _cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(qpdf) or not len(cpdf):
@@ -384,12 +514,76 @@ def threshold_join_blocked(
     directly from each cell — no candidate materialization, no merge
     stage. l2_sq keeps score < tau; cosine keeps score >= tau;
     upper_only emits only neighbor_id > query_id.
+
+    Small probe sides take the same broadcast-probe path as
+    exact_search_blocked (round 14) — identical per-pair mask with no
+    cross-pair dependence, so partition layout cannot change the
+    emitted pairs except for a pair whose f64 score sits within ~1e-15
+    of tau (the GEMM-shape caveat described in exact_search_blocked —
+    far below any sensible threshold margin; pinned by the oracled
+    q_sim_join_threshold / q_dedup_vectors / q_dedup_embedding
+    hashes).
     """
     import numpy as np
     import pandas as pd
 
+    rows_q = n_probes
+    if rows_q is None and not (n_shards is not None and n_blocks is not None):
+        rows_q = probes.count()  # _auto_grid would have run this count
+    if (
+        rows_q is not None
+        and rows_q <= _BCAST_PROBE_ROWS
+        and n_blocks in (None, 1)
+    ):
+        qids_b, qarr_b = _collect_probe_matrix(probes, query_id, query_vec)
+        if qarr_b.nbytes <= _BCAST_PROBE_BYTES:
+            spark = corpus.sparkSession
+            if not len(qids_b):
+                return spark.createDataFrame([], _PAIR_SCHEMA)
+            n_shards, _ = _auto_grid(
+                corpus, probes, n_shards, 1, n_corpus, len(qids_b),
+                parallelism=spark.sparkContext.defaultParallelism,
+            )
+            bq = spark.sparkContext.broadcast((qids_b, qarr_b))
+
+            def _shard_pairs(batches):
+                qi_all, qa = bq.value
+                for cpdf in batches:
+                    if not len(cpdf):
+                        continue
+                    ids = cpdf["vec_id"].to_numpy()
+                    mat = np.ascontiguousarray(
+                        np.stack(cpdf["emb"].to_numpy()).astype(np.float64)
+                    )
+                    qchunk = max(
+                        256, _CELL_CHUNK_ELEMS // max(mat.shape[0], 1)
+                    )
+                    for lo in range(0, len(qa), qchunk):
+                        qi = qi_all[lo : lo + qchunk]
+                        score = _pair_scores(
+                            qa[lo : lo + qchunk], mat, metric
+                        )
+                        mask = (
+                            score < tau if metric == "l2_sq"
+                            else score >= tau
+                        )
+                        if upper_only:
+                            mask &= ids[None, :] > qi[:, None]
+                        r, c = np.nonzero(mask)
+                        yield pd.DataFrame(
+                            {
+                                "query_id": qi[r],
+                                "neighbor_id": ids[c],
+                                "score": score[r, c],
+                            }
+                        )
+
+            return _bcast_probe_map(
+                corpus, _shard_pairs, n_shards, corpus_id, corpus_vec
+            )
+
     n_shards, n_blocks = _auto_grid(
-        corpus, probes, n_shards, n_blocks, n_corpus, n_probes,
+        corpus, probes, n_shards, n_blocks, n_corpus, rows_q,
         parallelism=corpus.sparkSession.sparkContext.defaultParallelism,
     )
 

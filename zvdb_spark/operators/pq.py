@@ -26,7 +26,13 @@ Distributed shape (all stages cluster-side):
   and scores every (query, row) pair with ONE GEMM — measured 4x over
   the per-m LUT-gather form this replaces (the LUT form wrote
   O(queries x m x k) table bytes per cell and did m gathers per pair;
-  BLAS moves strictly less memory). Per-partition top-k, then a
+  BLAS moves strictly less memory). REGIME CAVEAT: the GEMM form
+  raises per-pair FLOPs from O(m) lookups to O(dim) = O(m x dsub);
+  the measured 2-4x win covers dim=128, m=16, dsub=8 (and the 4x
+  flat-path figure the 100k bench shape) against numpy's fancy-gather
+  LUT — a materially larger dsub, or a native LUT kernel, can invert
+  it, so re-run the interleaved A/B before inheriting the GEMM form
+  into a different dim/m split. Per-partition top-k, then a
   global window merge carrying only P x k rows per query — identical
   merge contract to operators/knn.exact_search. Emitted distances are
   float32 casts of the f64-exact ADC quantity (the LUT form emitted
@@ -77,6 +83,10 @@ def hash_sample(
     for a 100k x 128-d sample (measured: the Row transfer plus the
     per-Row ``np.asarray`` loop in every consumer) vs ~2 s through
     Arrow; same rows, same order, bit-identical float64 values.
+    The ~2 s figure assumes
+    ``spark.sql.execution.arrow.pyspark.enabled=true`` (session.py
+    sets it); a session without it silently falls back to the slow
+    row-conversion ``toPandas`` — same values, ~old cost.
 
     ``n_rows`` (when the caller knows the corpus size — parquet
     footer, range count) enables the scale-safe path: a hash
@@ -477,7 +487,13 @@ def pq_search_ivf(
     it. Caps BELOW k trade recall for merge size:
     they starve queries whose candidates concentrate in few cells
     (measured: cap=32 under budget 100 plateaued recall at 0.63-0.68
-    where the lossless default gives 0.82-0.94).
+    where the lossless default gives 0.82-0.94). NOTE: a sub-k cap's
+    candidate pool depends on TASK COMPOSITION (which cells share a
+    task), so its recall varies with spark.sql.shuffle.partitions /
+    the 4x task-granularity rule below — sub-k cap recall points are
+    reproducible only at a stated task count (the bench annotates its
+    cap-sweep points accordingly); the lossless default is
+    composition-invariant.
 
     ``residual=True`` declares the codes RESIDUAL-encoded
     (ivfpq_build): per probed cell the LUT is built for the query
