@@ -109,3 +109,25 @@ def test_centroid_load_rejects_corruption(tmp_path):
     json.dump(m, open(f"{p}.json", "w"))
     with pytest.raises(ValueError, match="format"):
         load_centroids(p)
+
+
+def test_lloyd_fit_executor_bit_identical(spark):
+    """lloyd_fit (round 14: the coarse-quantizer fit moved into one
+    executor task, guide §5) must return bit-identical centroids to
+    the driver-side lloyd_local on the same sample — the broadcast /
+    one-task job is pure placement, never numerics. Forces the
+    executor path by dropping the size gate."""
+    from zvdb_spark.operators import kmeans as KM
+
+    rng = np.random.default_rng(3)
+    mat = rng.random((5000, 24))
+    mat[100:140] = mat[0]  # duplicate rows: tie-heavy assignment
+    want = KM.lloyd_local(mat, k=64, n_iter=4)
+    saved = KM._EXEC_FIT_MIN_BYTES
+    KM._EXEC_FIT_MIN_BYTES = 0
+    try:
+        got = KM.lloyd_fit(spark, mat, k=64, n_iter=4)
+    finally:
+        KM._EXEC_FIT_MIN_BYTES = saved
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)  # bitwise, not allclose

@@ -186,6 +186,44 @@ def lloyd_local(
     return c
 
 
+# Fits whose sample matrix is at least this large run inside ONE
+# executor task (lloyd_fit, below) instead of on the driver; smaller
+# fits stay driver-side, where one job's scheduling overhead would
+# exceed the fit.
+_EXEC_FIT_MIN_BYTES = 8 << 20
+
+
+def lloyd_fit(spark, mat: np.ndarray, k: int, n_iter: int) -> np.ndarray:
+    """``lloyd_local`` with the FIT moved off the driver (guide §5:
+    the driver should do almost no data work): the sample matrix is
+    broadcast and the fit runs inside ONE executor task — same
+    sample, same kernel, same seed, and ``lloyd_local`` is
+    deterministic independent of its thread count (fixed chunk
+    boundaries, disjoint chunk writes, sequential reduceat sums), so
+    the centroids are IDENTICAL to a driver-side fit on the same
+    machine image (pinned by test_lloyd_fit_executor_bit_identical).
+    On a real cluster this frees the driver to schedule while one
+    executor burns the FLOPs; in local mode it is wall-neutral (same
+    cores either way — the fit stage has the machine to itself).
+    Small matrices skip the job and fit driver-side: one task's
+    scheduling + broadcast round-trip costs more than the fit."""
+    mat = np.ascontiguousarray(mat, dtype=np.float64)
+    if mat.nbytes < _EXEC_FIT_MIN_BYTES:
+        return lloyd_local(mat, k, n_iter)
+    sc = spark.sparkContext
+    bc = sc.broadcast(mat)
+    try:
+        def _fit(_):
+            from zvdb_spark.operators.kmeans import lloyd_local
+
+            yield lloyd_local(bc.value, k, n_iter)
+
+        [cents] = sc.parallelize([0], 1).mapPartitions(_fit).collect()
+    finally:
+        bc.destroy()
+    return np.ascontiguousarray(cents)
+
+
 def save_centroids(centroids: np.ndarray, path: str) -> str:
     """Persist a fitted centroid matrix so a FUTURE SESSION pins the
     same assignments bit-stably (the GraphIndex.save pattern at
@@ -323,11 +361,15 @@ def kmeans_fit_sample(
 
     Sampling uses operators/pq.hash_sample (partitioning-independent,
     seeded; pass ``n_rows`` when known so the collect stays bounded).
-    Returns (k, dim) float64.
+    Returns (k, dim) float64. Large fits run inside one executor task
+    (``lloyd_fit``) so the driver stays schedulable during the
+    O(sample x k x dim) FLOP block — identical centroids either way.
     """
     from zvdb_spark.operators.pq import hash_sample, sample_matrix
 
     sample = hash_sample(
         emb, sample_n, id_col=id_col, cols=(vec_col,), n_rows=n_rows
     )
-    return lloyd_local(sample_matrix(sample, vec_col), k, n_iter)
+    return lloyd_fit(
+        emb.sparkSession, sample_matrix(sample, vec_col), k, n_iter
+    )
