@@ -386,9 +386,21 @@ def main() -> None:
         # (N passes over the dict, per-point min), so a host-load
         # swing moves all points together instead of faking a
         # crossover between points sampled minutes apart.
+        # Pass order REVERSES on odd passes as of r14: a dedicated
+        # A/B found a first-position penalty of up to ~2x (5 of 6
+        # alternating-order rounds, whichever side ran FIRST in a
+        # round was the slow one regardless of identity) — with a
+        # fixed order the penalty lands on one side systematically
+        # (r13's committed loaded-vs-live 0.772 and this round's
+        # 0.607/0.71 all charged it to whichever point the dict
+        # listed first); reversing gives every side each position
+        # once, so the per-side min is position-fair.
         secs = {name: float("inf") for name in fns}
-        for _ in range(passes):
-            for name, fn in fns.items():
+        for p in range(passes):
+            order = list(fns.items())
+            if p % 2:
+                order.reverse()
+            for name, fn in order:
                 t0 = time.perf_counter()
                 fn()
                 secs[name] = min(secs[name], time.perf_counter() - t0)
@@ -511,7 +523,7 @@ def main() -> None:
                     )
                 ),
             },
-            passes=3,
+            passes=2,  # r14 wall budget (was 3); order-alternating
         )
         ann_sec = both["ann"]
         timings["vector_search_ann_uniform"] = round(ann_sec, 3)
@@ -663,10 +675,12 @@ def main() -> None:
         qp = _qdf(cqueries[:n_probe])
         sweep = []
         for ef in EF_SWEEP:
-            # best-of-2: this host carries external load with ±2x
-            # swings; single-shot sweep points measured the neighbors
+            # single-shot per ef as of r14 (wall budget — was
+            # best-of-2): the curve's CLAIM is qualitative
+            # (recall rises with ef) and the ef=128 sample still
+            # folds into the headline's best-of-across-the-timeline
             sec = _best_of(
-                2,
+                1,
                 lambda e=ef: _noop_write(
                     cgidx.search(qdf_c, k=BENCH_K, ef=e, n_queries=ann_nq)
                 ),
@@ -805,7 +819,9 @@ def main() -> None:
                                  cand_rows=ann_nq * rr)
                 )
 
-            sec = _best_of(2, _run)
+            # single-shot per nprobe as of r14 (wall budget — was
+            # best-of-2); all three nprobe points and recalls stay
+            sec = _best_of(1, _run)
             r_pdf = exact_rerank(
                 pq_search_ivf(
                     codes, books, cents, cqueries[:n_probe], k=rr,
@@ -1028,10 +1044,15 @@ def main() -> None:
         g_build = time.perf_counter() - t0
         timings["graph_1m_build"] = round(g_build, 3)
 
-        # warm every path with a 1k slice (worker pool + page-in); a
-        # slice warmup removes the same cold costs as a full run
-        # (measured equivalent within host noise) at 1/10 the minutes
-        n_warm = min(1000, nq1)
+        # warm every path with a FULL-SIZE batch as of r14: the 1k
+        # slice warmup left residual cold costs in the FIRST timed
+        # point, and with the single-pass interleave the first point
+        # is the exact baseline — a first-position penalty (measured
+        # up to ~2x in the position A/B) would inflate every
+        # crossover ratio in the compressed paths' favor. nq1 is 2k
+        # now, so the full warm costs what the old 1k slice did at
+        # the old 10k batch.
+        n_warm = nq1
         qdf1 = _qdf(cq)
         qdf_warm = _qdf(cq[:n_warm])
         _noop_write(_ivfpq(cq[:n_warm], BENCH_K, rr1))
@@ -1425,8 +1446,10 @@ def main() -> None:
         ex_pdf = state["ex_pdf_uniform"]
         sweep = []
         for rr in (100, 400):
+            # single-shot per R as of r14 (wall budget — was
+            # best-of-2); both R points and their recall probes stay
             sec = _best_of(
-                2,
+                1,
                 lambda r=rr: _noop_write(
                     pq_search_rerank(
                         codes, emb, books, queries[:ann_nq],
@@ -1644,14 +1667,10 @@ def main() -> None:
                 # fidx.retire() above — don't leak executor disk
             if cemb is not None:
                 _ivfpq_pass()
-        # the IVFPQ build is the family's long-tail member: at ~10x
-        # the siblings' duration, two passes left it swinging 73%
-        # driver-vs-committed in r11 while the short members agreed
-        # to <=10% — one extra pass (best-of-3) plus a PUBLISHED
-        # spread makes the residual uncertainty visible instead of
-        # silent
-        if cemb is not None:
-            _ivfpq_pass()
+        # the IVFPQ build is the family's long-tail member; the
+        # r11-era THIRD pass is gone as of r14 (wall budget) — the
+        # published spread_pct still exposes the residual two-pass
+        # uncertainty instead of hiding it
         if ivfpq_obs:
             best["ivfpq_build"] = min(ivfpq_obs)
         window: dict = {"passes": 2}
