@@ -1066,10 +1066,13 @@ def main() -> None:
         # and 7 showed the points drifting against each other when
         # timed minutes apart on this loaded host (lossless cap
         # "lost" to an exact baseline sampled in a different load
-        # window twice). So: ONE INTERLEAVED PASS (r14 wall budget —
-        # was two) — every point timed back-to-back with the exact
-        # baseline, and the ratios computed within that shared
-        # window.
+        # window twice). So: TWO INTERLEAVED PASSES at the r14 2k
+        # batch (order-alternating, so the exact baseline samples
+        # both first and last position — two full runs showed the
+        # first-positioned exact point reading ~46 s in this
+        # section's context where isolation gives 8-19 s) — every
+        # point timed back-to-back with the exact baseline, and the
+        # ratios computed within that shared window.
         # The per-task cap remains the recall/qps KNOB at deep probes
         # and both ends are published (the repo's sweep discipline):
         # cap = R (the lossless pq_search_ivf default) maximizes
@@ -1086,7 +1089,7 @@ def main() -> None:
                 gidx1.search(qdf1, k=BENCH_K, n_queries=nq1)
             ),
         }
-        secs = _interleaved(points, passes=1)
+        secs = _interleaved(points, passes=2)
         ex_sec = secs["exact"]
         timings["ivfpq_1m_exact_baseline"] = round(ex_sec, 3)
         timings["ivfpq_1m_search_cap64"] = round(secs["cap64"], 3)
@@ -1112,7 +1115,7 @@ def main() -> None:
             "rerank_r": rr1,
             "exact_qps": round(nq1 / ex_sec, 2),
             "nq": nq1,
-            "shared_load_window": "1 interleaved pass (r14), single-shot",
+            "shared_load_window": "2 order-alternating passes (r14), best-of-2",
             "cap_sweep": [
                 {
                     "per_task_cap": cap,
@@ -1151,7 +1154,7 @@ def main() -> None:
             "exact_qps": round(nq1 / ex_sec, 2),
             "qps_ratio_vs_exact": round(ex_sec / secs["graph"], 3),
             "nq": nq1,
-            "shared_load_window": "1 interleaved pass (r14), single-shot",
+            "shared_load_window": "2 order-alternating passes (r14), best-of-2",
             "recall_at_k": round(_recall_of(g_pdf, ex_pdf1, n_probe), 3),
         }
         result["graph_1m_qps_ratio_vs_exact"] = result["graph_1m"][
